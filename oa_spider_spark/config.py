@@ -1,0 +1,32 @@
+"""Engine constants.
+
+The image-kernel constants reproduce the reference's captcha pipeline
+(`/root/reference/oa_spider/captcha/captcha.py:11-15`): binary images use
+BLACK=0 / WHITE=255 and the manually-tuned binarization threshold 135.
+
+Timeout/retry constants mirror the reference's network discipline
+(`/root/reference/oa_spider/oa.py:22,178`, `run.py:14-41`) but are expressed
+as engine config, not wall-clock sleeps.
+"""
+
+BLACK = 0
+WHITE = 255
+THRESHOLD = 135  # captcha.py:15 — manually calibrated binarization threshold
+
+# Retry taxonomy (reference run.py:14-41): retryable errors re-enter the
+# frontier with attempt+1 up to MAX_ATTEMPTS, then land in the dead-letter
+# partition (status='failed').
+MAX_ATTEMPTS = 3
+
+# Fake-lossy codec quantization step; q=4 keeps max per-pixel error at 2,
+# i.e. PSNR >= 42 dB — above the BASELINE.json 40 dB invariant.
+LOSSY_QUANT = 4
+
+# Politeness: default per-host fetch budget per round (replaces the
+# reference's cron cadence, README_OLD.md:36-42).
+DEFAULT_HOST_BUDGET = 100
+
+# Salting factor for hot-host skew defusal at the fetch repartition
+# (SURVEY.md §4 item 1). At cluster scale this is derived from per-host
+# frontier counts; tests use the fixed default.
+DEFAULT_SALT = 8

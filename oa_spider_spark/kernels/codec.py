@@ -1,0 +1,191 @@
+"""Deterministic image codecs (no PIL in this environment).
+
+Two formats cover the lossless/lossy split required by the BASELINE.json
+per-row invariant (decoded-pixel allclose; PSNR >= 40 dB for lossy):
+
+* ``png``  — a real, spec-conformant PNG (8-bit greyscale or RGB,
+  zlib-deflated, filters 0-4 on decode, filter 0 on encode). Lossless.
+* ``jpeg`` — a stand-in lossy codec (the container has no JPEG library;
+  the reference's real decode path `captcha.py:20-25` is PIL). Documented
+  stub semantics: uniform quantization with step q=4 + deflate. Max
+  per-pixel error is q/2 = 2 → PSNR >= 42 dB, deterministically above the
+  40 dB gate. Magic ``FJPG``. The Spark-side plumbing (binary column,
+  Arrow batches, schema) is identical to what a real JPEG decoder would
+  use — swap `_encode_lossy/_decode_lossy` for libjpeg bindings on a real
+  cluster.
+
+All functions operate on uint8 numpy arrays, shape (h, w) for greyscale
+("L" mode in the reference, captcha.py:49) or (h, w, 3) for RGB.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..config import LOSSY_QUANT
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode (h,w) or (h,w,3) uint8 → PNG bytes (filter 0 rows)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = arr.shape
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, channels = 2, 3
+        h, w = arr.shape[:2]
+    else:
+        raise ValueError(f"unsupported shape {arr.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = arr.reshape(h, w * channels)
+    # one filter-type byte (0 = None) per scanline
+    stream = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+    stream[:, 1:] = raw
+    idat = zlib.compress(stream.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes → uint8 array (h,w) or (h,w,3). Filters 0-4."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or color_type not in (0, 2) or interlace:
+                raise ValueError("unsupported PNG variant")
+            channels = 1 if color_type == 0 else 3
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters, scan = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f, cur = filters[y], scan[y].astype(np.uint8).copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = cur + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right scan
+            line = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else np.uint8(0)
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else np.uint8(0)
+                if f == 1:
+                    line[x] = cur[x] + left
+                elif f == 3:
+                    line[x] = cur[x] + np.uint8((int(left) + int(up)) // 2)
+                else:
+                    line[x] = cur[x] + _paeth(
+                        np.array(left), np.array(up), np.array(ul)
+                    )
+            out[y] = line
+        else:
+            raise ValueError(f"bad filter {f}")
+    arr = out.reshape(h, w, channels)
+    return arr[:, :, 0] if channels == 1 else arr
+
+
+def _encode_lossy(arr: np.ndarray, q: int = LOSSY_QUANT) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    c = 1 if arr.ndim == 2 else arr.shape[2]
+    h, w = arr.shape[:2]
+    quant = ((arr.astype(np.uint16) // q) * q + q // 2).clip(0, 255).astype(np.uint8)
+    return b"FJPG" + struct.pack(">IIBB", w, h, c, q) + zlib.compress(quant.tobytes(), 6)
+
+
+def _decode_lossy(data: bytes) -> np.ndarray:
+    if data[:4] != b"FJPG":
+        raise ValueError("not FJPG")
+    w, h, c, _q = struct.unpack_from(">IIBB", data, 4)
+    raw = zlib.decompress(data[14:])
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+    return arr[:, :, 0] if c == 1 else arr
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt == "jpeg":
+        return _encode_lossy(arr)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Format-sniffing decode (reference `Image.open`, captcha.py:25)."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:4] == b"FJPG":
+        return _decode_lossy(data)
+    raise ValueError("unknown image format")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images.
+
+    The BASELINE.json per-row invariant: decoded pixels must satisfy
+    PSNR >= 40 dB vs the reference decode for lossy formats (exact for
+    lossless). Returns inf for identical images.
+    """
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def average_hash(arr: np.ndarray, hash_size: int = 8) -> int:
+    """Perceptual average-hash of an image → signed 64-bit int.
+
+    Block-mean downsample to hash_size², threshold at the mean, pack bits
+    row-major. Deterministic, pure numpy (the `phash` column of the images
+    table, BASELINE.json input_hint).
+    """
+    if arr.ndim == 3:  # luminance, ITU-R 601 weights (reference captcha.py:35
+        # intends 0.299/0.587/0.114; its 0.578 typo is in dead code)
+        arr = (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2])
+    h, w = arr.shape
+    ys = (np.arange(hash_size + 1) * h) // hash_size
+    xs = (np.arange(hash_size + 1) * w) // hash_size
+    blocks = np.empty((hash_size, hash_size), dtype=np.float64)
+    for i in range(hash_size):
+        for j in range(hash_size):
+            blocks[i, j] = arr[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for bit in bits:
+        val = (val << np.uint64(1)) | bit
+    return int(val.astype(np.int64))

@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode knobs are sized for the sandbox (local[N], single JVM); the same
+settings translate to cluster mode where noted. AQE + Arrow are always on:
+the engine's two Python stages (fetch/decode, verify) are Arrow-batched
+(`mapInArrow` / pandas_udf), everything else is whole-stage-codegen'd JVM.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | None = None,
+    app_name: str = "oa_spider_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores=None`` → local[*]. ``shuffle_partitions`` defaults to the core
+    count — on a real cluster, set it to ~2-3× total executor cores instead.
+    """
+    master = f"local[{cores}]" if cores else "local[*]"
+    n = cores or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
