@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus a real
+crawl-engine round (seed → dedup → politeness → Arrow fetch/decode →
+commit) over a synthetic frontier sized to the SF, and prints ONE JSON
+line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "throughput": {...}}
+
+Scaling evidence (N vs 4N cores, north_rule) is produced by
+``scripts/scaling_bench.py`` which runs THIS file at two parallelism
+levels in separate processes (Spark local mode pins cores per JVM) and
+writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def infer_sf(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+HEADLINE = [
+    "q_crawl_select",
+    "q_budget_window",
+    "q_topk_priority",
+    "q_seen_antijoin",
+    "q_digest_collect",
+    "q_exact_dedup",
+    "q_simhash",
+    "q_cosine_topk",
+    "q_token_count",
+    "q_quality_score",
+    "q_sessionize",
+    "q_arrays_zip_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = infer_sf(sf_dir)
+
+    from oa_spider_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name=f"bench_{cpus}", shuffle_partitions=cpus)
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.perf_counter()
+        n = q(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n > 0, f"{name} returned 0 rows"
+
+    # --- crawl-engine round throughput -----------------------------------
+    from oa_spider_spark import datagen
+    from oa_spider_spark.frontier.round import run_round, seed_catalog
+    from oa_spider_spark.tables import Catalog
+
+    n_seeds = max(500, int(500_000 * sf))
+    n_hosts = 24
+    with tempfile.TemporaryDirectory(prefix="bench_cat_") as root:
+        cat = Catalog(root)
+        seeds = datagen.seed_frontier_rows(n_seeds, n_hosts=n_hosts, hot_share=0.4)
+        seed_catalog(spark, cat, seeds)
+        t0 = time.perf_counter()
+        res = run_round(
+            spark, cat, 0, n_hosts=n_hosts,
+            default_budget=max(200, n_seeds // n_hosts),
+            partitions=cpus * 2,
+        )
+        crawl_sec = time.perf_counter() - t0
+    timings["crawl_round"] = round(crawl_sec, 3)
+    throughput = {
+        "frontier_urls_per_sec": round(res.selected / crawl_sec, 1),
+        "fetched_images_per_sec": round(res.fetched_ok / crawl_sec, 1),
+        "payload_mb_per_sec": round(res.bytes_fetched / crawl_sec / 1e6, 2),
+        "selected": res.selected,
+        "fetched_ok": res.fetched_ok,
+        "cpus": cpus,
+    }
+
+    total = round(time.perf_counter() - t_total0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + one crawl round, wall seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "throughput": throughput,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

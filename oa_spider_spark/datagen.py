@@ -1,0 +1,206 @@
+"""Deterministic synthetic web universe.
+
+The reference crawls live portals over HTTP (`oa.py` session calls); the
+sandbox has no network, and BASELINE.json mandates deterministic tests, so
+fetching is replaced by a *pure function of the canonical URL* — the same
+function drives the Spark `mapInArrow` fetch stage AND the pure-Python
+reference simulator (`sim.py`), which is what makes crawl-order /
+seen-set / payload equivalence checkable bit-for-bit.
+
+Everything is seeded from ``zlib.crc32`` of the URL — no wall clock, no
+global RNG state (SURVEY.md F11 note: timestamps are data).
+
+Universe shape:
+  * ``n_hosts`` hosts, ``h000.example.org`` ...; one is deliberately hot
+    (a large share of seed URLs) to exercise skew handling.
+  * every URL is ``http://<host>/<kind>/<n>`` with kind in {doc, mail}
+    (docs-then-mails ordering, reference oa.py:455).
+  * fetch(url) returns an image payload (png = lossless / jpeg = lossy
+    stand-in), a caption exercising `clean_filename` chars, outlinks, and
+    a status drawn from the reference's retry taxonomy (run.py:14-41):
+    ok / retry (transient, succeeds on a later attempt) / failed (fatal).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from .kernels.codec import average_hash, encode_image
+
+GLOBAL_SEED = 42
+
+# deterministic per-URL failure taxonomy (reference run.py:23-39:
+# ReadTimeout -> retry; ConnectionError/LoginFail -> fatal)
+RETRY_MOD = 17  # ~6% of URLs time out on their first attempt
+FATAL_MOD = 97  # ~1% of URLs are permanently broken
+
+_CJK = "通知文件公告会议培训报告批复函"
+_MESSY = ['<', '>', ':', '"', '/', '\\', '|', '?', '*', '\n', '.', '。']
+
+
+def url_of(host: str, kind: str, n: int) -> str:
+    return f"http://{host}/{kind}/{n}"
+
+
+def canon_of(url: str) -> str:
+    """Python twin of frontier/canon.py::canonicalize_url for the
+    simulator — must agree with the Column expression (tested)."""
+    no_frag = url.split("#", 1)[0]
+    if "://" in no_frag:
+        scheme, rest = no_frag.split("://", 1)
+    else:
+        scheme, rest = no_frag, no_frag
+    scheme = scheme.lower()
+    hostport = rest.split("/", 1)[0].split("?", 1)[0].lower()
+    host = hostport
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    pathq = rest[len(hostport):]
+    path = pathq.split("?", 1)[0]
+    if "?" in pathq:
+        q = pathq.split("?", 1)[1]
+        sorted_q = "&".join(sorted(q.split("&")))
+    else:
+        sorted_q = ""
+    out = f"{scheme}://{host}{path or '/'}"
+    if "?" in pathq and sorted_q:
+        out += "?" + sorted_q
+    return out
+
+
+def _seed_of(url_canon: str) -> int:
+    return (zlib.crc32(url_canon.encode("utf-8")) ^ GLOBAL_SEED) & 0x7FFFFFFF
+
+
+def host_index(host: str) -> int:
+    return int(host.split(".", 1)[0][1:])
+
+
+def hosts(n_hosts: int) -> list[str]:
+    return [f"h{i:03d}.example.org" for i in range(n_hosts)]
+
+
+def seed_frontier_rows(n_urls: int, n_hosts: int = 20, hot_share: float = 0.5):
+    """Seed list: dicts shaped like FIXTURES.md §2 frontier rows.
+
+    ``hot_share`` of the URLs land on host 0 (the hot host). priority and
+    created_time (epoch ms, data not wall-clock) derive from the URL seed.
+    Docs-then-mails: kind from n%3 (2 docs : 1 mail).
+    """
+    hs = hosts(n_hosts)
+    rows = []
+    for n in range(n_urls):
+        s = _seed_of(f"seed:{n}")
+        if (s % 1000) / 1000.0 < hot_share:
+            host = hs[0]
+        else:
+            host = hs[1 + s % (n_hosts - 1)]
+        kind = "doc" if n % 3 else "mail"
+        url = url_of(host, kind, n)
+        uc = canon_of(url)
+        us = _seed_of(uc)
+        rows.append(
+            dict(
+                url=url,
+                kind=kind,
+                priority=us % 100,
+                created_ms=1_600_000_000_000 + (us % 10_000_000),
+                depth=0,
+                attempt=0,
+            )
+        )
+    return rows
+
+
+@dataclass
+class FetchResult:
+    status: str  # ok | retry | failed
+    bytes: bytes | None
+    w: int
+    h: int
+    fmt: str
+    caption: str
+    phash: int
+    links: list[str]
+
+
+def synth_caption(seed: int) -> str:
+    """Caption with CJK + filename-hostile chars (FIXTURES.md §1)."""
+    rng = np.random.RandomState(seed)
+    n = 6 + rng.randint(0, 8)
+    chars = [_CJK[rng.randint(0, len(_CJK))] for _ in range(n)]
+    # sprinkle 0-2 forbidden chars to exercise clean_filename
+    for _ in range(rng.randint(0, 3)):
+        pos = rng.randint(0, len(chars) + 1)
+        chars.insert(pos, _MESSY[rng.randint(0, len(_MESSY))])
+    return f"doc{seed % 100000} " + "".join(chars)
+
+
+def synth_image(seed: int):
+    """Deterministic greyscale test pattern: gradient + sinusoid + noise.
+    Smooth enough to quantize within the PSNR gate, unique per seed."""
+    rng = np.random.RandomState(seed)
+    h = 24 + rng.randint(0, 41)
+    w = 24 + rng.randint(0, 41)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = (
+        100
+        + 80 * np.sin(xx / (3 + seed % 7) + seed % 11)
+        + 60 * (yy / h)
+        + rng.randint(-10, 11, (h, w))
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def fetch_url(url_canon: str, attempt: int = 0, n_hosts: int = 20,
+              max_depth: int = 2) -> FetchResult:
+    """THE deterministic fetch function (stands in for reference
+    oa.py:365-397 detail fetch + oa.py:178-213 download).
+
+    * transient failure: seed % RETRY_MOD == 0 fails while attempt==0
+      (reference ReadTimeout -> try2try retry, run.py:23-27)
+    * fatal: seed % FATAL_MOD == 0 always fails (ConnectionError class)
+    * otherwise: an image + caption + 0-3 outlinks on mostly the same
+      host (link extraction analog of the parser fan-out, oa.py:583-586).
+    """
+    s = _seed_of(url_canon)
+    if s % FATAL_MOD == 0:
+        return FetchResult("failed", None, 0, 0, "", "", 0, [])
+    if s % RETRY_MOD == 0 and attempt == 0:
+        return FetchResult("retry", None, 0, 0, "", "", 0, [])
+    img = synth_image(s)
+    fmt = "png" if s % 2 == 0 else "jpeg"
+    payload = encode_image(img, fmt)
+    caption = synth_caption(s)
+    ph = average_hash(img)
+    # outlinks: pure function of the URL seed; depth capped by caller
+    rng = np.random.RandomState(s ^ 0x5EED)
+    n_links = int(rng.randint(0, 4))
+    # parse original host/kind/n out of the canonical url
+    try:
+        rest = url_canon.split("://", 1)[1]
+        host, kind, n = rest.split("/")[0], rest.split("/")[1], int(rest.split("/")[2])
+    except (IndexError, ValueError):
+        host, kind, n = "h000.example.org", "doc", 0
+    hs = hosts(n_hosts)
+    links = []
+    for i in range(n_links):
+        same_host = rng.randint(0, 10) < 8  # 80% same-host links
+        lhost = host if same_host else hs[int(rng.randint(0, n_hosts))]
+        lkind = "doc" if rng.randint(0, 3) else "mail"
+        links.append(url_of(lhost, lkind, 1_000_000 + (s % 100_000) * 10 + i))
+    h_, w_ = img.shape
+    return FetchResult("ok", payload, int(w_), int(h_), fmt, caption, ph, links)
+
+
+def link_priority(url_canon: str) -> int:
+    return _seed_of(url_canon) % 100
+
+
+def link_created_ms(url_canon: str) -> int:
+    return 1_600_000_000_000 + (_seed_of(url_canon) % 10_000_000)

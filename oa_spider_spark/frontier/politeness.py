@@ -1,0 +1,98 @@
+"""Politeness budgets, robots gating, crawl ordering, skew salting.
+
+Reference semantics being generalized:
+  * crawl cadence 3 rounds/hour (cron, README_OLD.md:36-42) → per-round
+    per-host fetch budgets (O4/O6);
+  * listing order `sort=CreatedTime desc` (oa.py:553-569) + docs-then-mails
+    concatenation (oa.py:455) + `[:limit]` slice (oa.py:456-459) → one
+    deterministic total order;
+  * `/word/view` link skip (oa.py:771-773) → robots disallow prefixes.
+
+The total crawl order (FIXTURES.md §2, SURVEY.md §7 hard-part 1):
+    (priority DESC, created_ms DESC, kind_rank ASC, url_hash ASC)
+url_hash breaks every tie, so the order is total and the Spark job —
+which executes unordered — reproduces the reference's sequential order
+exactly when sorted. The budget window runs BEFORE the fetch stage:
+Catalyst cannot push a limit below an opaque Python stage (SURVEY.md §4),
+so the pipeline is authored filter-first — unlike the reference, which
+fetches everything and slices afterwards (its documented anti-pattern,
+oa.py:444 vs :456-459).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_HOST_BUDGET, DEFAULT_SALT
+
+
+def kind_rank(col: Column | str = "kind") -> Column:
+    """docs before mails (reference documents.extend(mail_files), oa.py:455)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c == "doc", 0).otherwise(1)
+
+
+def order_cols(df_or_prefix: str = "") -> list[Column]:
+    p = df_or_prefix
+    return [
+        F.col(p + "priority").desc(),
+        F.col(p + "created_ms").desc(),
+        kind_rank(p + "kind").asc(),
+        F.col(p + "url_hash").asc(),
+    ]
+
+
+def robots_allowed(df: DataFrame, hosts: DataFrame | None) -> DataFrame:
+    """Broadcast-join the hosts/politeness table (J3) and drop rows whose
+    URL path matches a disallow prefix. hosts columns:
+    (host, budget_per_round, crawl_delay_ms, robots_disallow array<string>).
+    """
+    if hosts is None:
+        return df.withColumn("budget_per_round", F.lit(None).cast("int"))
+    joined = df.join(F.broadcast(hosts), "host", "left")
+    # path of url_canon: strip scheme + host[:port], keep the leading slash
+    path = F.regexp_replace(
+        F.substring_index(F.col("url_canon"), "://", -1), r"^[^/]*", ""
+    )
+    disallowed = F.exists(
+        F.coalesce(F.col("robots_disallow"), F.array().cast("array<string>")),
+        lambda p: F.startswith(path, p),
+    )
+    return joined.filter(~disallowed)
+
+
+def apply_budget(
+    df: DataFrame, default_budget: int = DEFAULT_HOST_BUDGET
+) -> DataFrame:
+    """Per-host top-k under the deterministic crawl order — the engine's
+    politeness primitive (replaces the reference's wall-clock cadence)."""
+    w = Window.partitionBy("host").orderBy(*order_cols())
+    budget = F.coalesce(F.col("budget_per_round"), F.lit(default_budget))
+    return (
+        df.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= budget)
+        .drop("host_rank")
+    )
+
+
+def global_order_and_limit(df: DataFrame, limit: int | None = None) -> DataFrame:
+    """Global deterministic order + optional round limit, with the fetch
+    sequence number materialized as `fetch_order` (basis of the
+    crawl-order equivalence tests)."""
+    w = Window.orderBy(*order_cols())
+    out = df.withColumn("fetch_order", F.row_number().over(w))
+    if limit is not None:
+        out = out.filter(F.col("fetch_order") <= limit)
+    return out
+
+
+def salted_repartition(df: DataFrame, partitions: int, salt: int = DEFAULT_SALT) -> DataFrame:
+    """Repartition for the fetch stage on (host, salt) so one hot host
+    spreads over `salt` tasks instead of one (SURVEY.md §4 item 1 — UDF
+    stage skew is invisible to AQE's skew-join handling, so it is defused
+    at the partitioner)."""
+    return df.repartition(
+        partitions,
+        F.concat_ws("#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt)).cast("string")),
+    )

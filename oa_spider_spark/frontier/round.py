@@ -1,0 +1,236 @@
+"""One crawl round as one DataFrame job (SURVEY.md §3.4), plus the
+multi-round driver with exact resume.
+
+Round pipeline::
+
+    frontier (committed) ─ dedup by url_hash (latest attempt wins)
+      → anti-join seen  (Bloom prefilter + exact left_anti)      J2
+      → broadcast hosts join + robots gate                        J3/T5
+      → per-host budget window                                    O4
+      → global order + limit → fetch_order                        O1-O3
+      → salted repartition → mapInArrow fetch                     S6-S8
+      → stage ONCE to parquet, then column-pruned re-reads derive:
+          · new frontier rows (explode links, canon, priority)    exploded
+          · retry rows (attempt+1, re-enter frontier)             T2
+          · seen appends (ok + fatal url_hashes)                  §1.3
+          · per-partition lineage + round metrics                 T4
+      → atomic commit of all appends                              tables.py
+
+The single staging write is deliberate: the expensive Arrow fetch output
+materializes exactly once; every derived append re-reads the staged
+parquet with column pruning (the `links`/`url_hash` reads never touch the
+`bytes` column). At 100 TB that is the difference between one pass and
+four.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_HOST_BUDGET, DEFAULT_SALT, MAX_ATTEMPTS
+from ..tables import Catalog
+from .canon import with_url_columns
+from .fetch import fetch_stage
+from .politeness import (
+    apply_budget,
+    global_order_and_limit,
+    order_cols,
+    robots_allowed,
+    salted_repartition,
+)
+from .seen import anti_join_seen
+
+FRONTIER_COLS = [
+    "url", "url_canon", "url_hash", "host", "kind",
+    "priority", "created_ms", "depth", "attempt", "round_added",
+]
+
+
+def normalize_frontier(spark: SparkSession, rows: list[dict], round_added: int = 0) -> DataFrame:
+    """Seed rows (datagen.seed_frontier_rows dicts) → frontier DataFrame
+    with canonical URL columns attached JVM-side."""
+    base = spark.createDataFrame(
+        [
+            (r["url"], r["kind"], int(r["priority"]), int(r["created_ms"]),
+             int(r["depth"]), int(r["attempt"]), round_added)
+            for r in rows
+        ],
+        "url string, kind string, priority int, created_ms long, depth int, "
+        "attempt int, round_added int",
+    )
+    return with_url_columns(base).select(*FRONTIER_COLS)
+
+
+def dedup_frontier(frontier: DataFrame) -> DataFrame:
+    """One row per url_hash; the highest-attempt row wins so a URL
+    re-queued for retry carries its attempt count (T2)."""
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("attempt").desc(), F.col("round_added").desc(), F.col("priority").desc()
+    )
+    return (
+        frontier.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@dataclass
+class RoundResult:
+    round_id: int
+    selected: int
+    fetched_ok: int
+    retried: int
+    failed: int
+    new_links: int
+    bytes_fetched: int
+
+
+def links_to_frontier(staged: DataFrame, round_id: int) -> DataFrame:
+    """Explode ok-rows' outlinks into new frontier rows. Link priority /
+    created_ms are pure crc32 expressions matching datagen.link_priority
+    (both sides JVM-computable AND Python-computable for the simulator)."""
+    links = (
+        staged.filter(F.col("status") == "ok")
+        .select(F.explode("links").alias("url"), F.col("depth").alias("parent_depth"))
+    )
+    links = with_url_columns(links)
+    seed = F.crc32(F.encode(F.col("url_canon"), "utf-8")).bitwiseXOR(F.lit(42)).bitwiseAND(F.lit(0x7FFFFFFF))
+    return (
+        links.withColumn("kind", F.element_at(F.split(F.col("url_canon"), "/"), 4))
+        .withColumn("priority", F.pmod(seed, F.lit(100)).cast("int"))
+        .withColumn("created_ms", (F.lit(1_600_000_000_000) + F.pmod(seed, F.lit(10_000_000))).cast("long"))
+        .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
+        .withColumn("attempt", F.lit(0))
+        .withColumn("round_added", F.lit(round_id))
+        .select(*FRONTIER_COLS)
+    )
+
+
+def run_round(
+    spark: SparkSession,
+    catalog: Catalog,
+    round_id: int,
+    *,
+    n_hosts: int = 20,
+    default_budget: int = DEFAULT_HOST_BUDGET,
+    round_limit: int | None = None,
+    max_depth: int = 2,
+    use_bloom: bool = True,
+    hosts_table: DataFrame | None = None,
+    partitions: int | None = None,
+    salt: int = DEFAULT_SALT,
+) -> RoundResult:
+    frontier = catalog.read(spark, "frontier")
+    if frontier is None:
+        raise ValueError("frontier is empty — seed it before round 0")
+    seen = catalog.read(spark, "seen")
+
+    # --- selection (all JVM-side, ahead of the opaque fetch stage) -------
+    active = dedup_frontier(frontier).filter(F.col("depth") <= max_depth)
+    active = anti_join_seen(active, seen, use_bloom=use_bloom)
+    active = robots_allowed(active, hosts_table)
+    active = apply_budget(active, default_budget)
+    selected = global_order_and_limit(active, round_limit).drop(
+        "budget_per_round", "crawl_delay_ms", "robots_disallow", "proxy"
+    )
+
+    # --- fetch (single materialization) ----------------------------------
+    nparts = partitions or spark.sparkContext.defaultParallelism
+    fetch_in = salted_repartition(selected, nparts, salt)
+    fetched = fetch_stage(fetch_in, n_hosts=n_hosts).withColumn(
+        "partition_id", F.spark_partition_id()
+    ).withColumn("round", F.lit(round_id))
+    staged_fetch_path = catalog.stage(fetched, "fetched", round_id)
+    staged = spark.read.parquet(staged_fetch_path)
+
+    # --- derived appends (column-pruned reads of the staged output) ------
+    new_frontier = links_to_frontier(
+        staged.select("status", "links", "depth"), round_id
+    ).filter(F.col("depth") <= max_depth)
+
+    retries = (
+        staged.filter((F.col("status") == "retry") & (F.col("attempt") + 1 < MAX_ATTEMPTS))
+        .select(*[c for c in FRONTIER_COLS if c not in ("attempt", "round_added")],
+                (F.col("attempt") + 1).alias("attempt"))
+        .withColumn("round_added", F.lit(round_id + 1))
+        .select(*FRONTIER_COLS)
+    )
+
+    # seen = processed-and-done: ok + fatal + retry-exhausted (the
+    # reference marks read only after successful processing, oa.py:384;
+    # fatal rows are done-by-failure and go to the dead-letter view)
+    seen_append = (
+        staged.filter(
+            (F.col("status") == "ok")
+            | (F.col("status") == "failed")
+            | ((F.col("status") == "retry") & (F.col("attempt") + 1 >= MAX_ATTEMPTS))
+        )
+        .select("url_hash", "url_canon", F.col("status"), F.lit(round_id).alias("round_seen"))
+    )
+
+    lineage = (
+        staged.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("rows_in"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("rows_out"),
+            F.coalesce(F.sum(F.length("bytes")), F.lit(0)).alias("bytes_fetched"),
+        )
+        .withColumn("round", F.lit(round_id))
+    )
+
+    staged_paths = {
+        "fetched": [staged_fetch_path],
+        "frontier": [
+            catalog.stage(new_frontier, "frontier", round_id),
+            catalog.stage(retries, "frontier", round_id),
+        ],
+        "seen": [catalog.stage(seen_append, "seen", round_id)],
+        "lineage": [catalog.stage(lineage, "lineage", round_id)],
+    }
+    catalog.commit_round(round_id, staged_paths)
+
+    stats = staged.agg(
+        F.count("*").alias("selected"),
+        F.sum((F.col("status") == "ok").cast("long")).alias("ok"),
+        F.sum((F.col("status") == "retry").cast("long")).alias("retry"),
+        F.sum((F.col("status") == "failed").cast("long")).alias("failed"),
+        F.coalesce(F.sum(F.length("bytes")), F.lit(0)).alias("bytes"),
+    ).collect()[0]
+    n_links = new_frontier.count()
+    return RoundResult(
+        round_id,
+        stats["selected"],
+        stats["ok"] or 0,
+        stats["retry"] or 0,
+        stats["failed"] or 0,
+        n_links,
+        stats["bytes"] or 0,
+    )
+
+
+def seed_catalog(spark: SparkSession, catalog: Catalog, rows: list[dict]) -> None:
+    """Round -1 'genesis' commit: the seed list (reference's configured
+    sites/listing endpoints, run.py:79-86)."""
+    df = normalize_frontier(spark, rows, round_added=0)
+    catalog.commit_round(-1, {"frontier": [catalog.stage(df, "frontier", 0)]})
+
+
+def run_crawl(
+    spark: SparkSession,
+    catalog: Catalog,
+    n_rounds: int,
+    **round_kwargs,
+) -> list[RoundResult]:
+    """Multi-round driver with exact resume: rounds already in the commit
+    log are never re-run (idempotent restart, north_rule T4; the
+    reference's analog is the pid-pickle guard, oa-spider.py:14-27)."""
+    done = set(catalog.committed_rounds())
+    results = []
+    for r in range(n_rounds):
+        if r in done:
+            continue
+        results.append(run_round(spark, catalog, r, **round_kwargs))
+    return results

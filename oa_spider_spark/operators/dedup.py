@@ -1,0 +1,227 @@
+"""Deduplication family over a `documents(doc_id, text, ...)` table.
+
+Four tiers, all shuffle-conscious:
+
+* exact          — md5 content hash groupBy (one shuffle, map-side combine)
+* minhash_lsh    — shingle → minhash signature → band buckets → candidate
+                   pairs only within buckets (the 100-TB-safe near-dup:
+                   no O(n²) compare; shuffle volume = Σ bucket sizes)
+* simhash        — 64-bit fingerprint; near-dups = small hamming distance
+                   within block buckets (4×16-bit block index, standard
+                   "at most k different blocks" pigeonhole trick)
+* ngram_jaccard  — exact Jaccard on character n-gram sets for candidate
+                   pairs (the verifier stage after LSH blocking)
+
+Hashes are computed JVM-side (md5/xxhash64/conv) — no Python in the hot
+path; only set-arithmetic on exploded rows, which Catalyst pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per distinct content hash; keeper = min doc_id (stable)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Character k-shingles as 64-bit hashes: (doc_id, shingle_hash).
+    Distinct per doc. JVM-side: sequence + substring + xxhash64."""
+    n = F.length(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    sh = F.transform(idx, lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(k))))
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle_hash"))
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """(doc_id, sig array<long>) — n_hashes min-hash values. Each hash i
+    is an affine remix of the shingle hash (splitmix-style constants
+    derived from `seed`), min-aggregated per doc: one shuffle."""
+    def _signed(x: int) -> int:
+        x &= 0xFFFFFFFFFFFFFFFF
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    mixers = [
+        _signed(seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) for i in range(n_hashes)
+    ]
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle_hash").bitwiseXOR(F.lit(m)))).alias(f"h{i}")
+        for i, m in enumerate(mixers)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate (doc_a, doc_b) pairs that
+    collide in ≥1 band. Join happens per-bucket — a self-equi-join on
+    (band, bucket_hash), never a cross join."""
+    assert bands * rows_per_band <= 64
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ])).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| via shingle
+    equi-join, |A∪B| = |A|+|B|−|A∩B|. Output (doc_a, doc_b, jaccard)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        pairs
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle_hash"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle_hash"), ["doc_b", "shingle_hash"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH blocking → exact
+    Jaccard verify → connected pairs above threshold. Returns
+    (doc_a, doc_b, jaccard) survivors."""
+    sh = shingles(docs, text_col, k)
+    sig = minhash_signatures(sh, n_hashes)
+    pairs = lsh_candidate_pairs(sig, bands, n_hashes // bands)
+    return jaccard_pairs(pairs, sh, threshold)
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens (JVM-only: explode + bit math).
+    Output (doc_id, simhash long)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    h = F.xxhash64("token")
+    bits = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    fp = None
+    for b in range(64):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return bits.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ k over 64-bit simhash.
+    Blocking: split into 4 16-bit blocks; any pair within distance 3
+    shares ≥1 exact block (pigeonhole) → self-join per block value."""
+    blocks = sim.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, n_planes: int = 12, seed: int = 7
+) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket join, then
+    exact cosine inside buckets. Planes are deterministic from `seed`
+    (broadcast literal arrays). Output (vec_a, vec_b, cos_sim)."""
+    import numpy as np
+
+    dim = len(emb.select("embedding").head()["embedding"])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    sig = None
+    for i in range(n_planes):
+        lit = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(F.zip_with("embedding", lit, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    bucketed = emb.select("vec_id", "embedding", sig.alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.embedding"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (norm("a") * norm("b"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

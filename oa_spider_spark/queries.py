@@ -1,0 +1,928 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(Spark DataFrame callable, DuckDB oracle SQL) pair over the driver's
+parquet tables at /root/testdata/sf*/.
+
+The crawl-specific operators (anti-join dedup, politeness windows,
+ordering, limits) run over a **derived frontier**: a deterministic,
+SQL-expressible projection of the `events` table into FIXTURES.md §2
+frontier shape. Deriving it with plain arithmetic (no engine-specific
+hash functions) is what lets DuckDB compute the identical frontier and
+serve as the oracle. Tie-breaks use `event_id` (unique) — the oracle-side
+stand-in for `url_hash` (xxhash64 is not portable to DuckDB).
+
+Aliasing rule (driver contract): every computed column carries the same
+explicit alias in BOTH the DataFrame code and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import (
+    abstract_of,
+    b64_decode_utf8,
+    clean_filename,
+    name_from_url,
+    squeeze_digits,
+    url_param,
+    valid_code,
+)
+
+BUDGET = 20
+TOPK = 50
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- the derived frontier (events → FIXTURES.md §2 shape) -----------------
+
+# Oracle-side CTE; the DataFrame twin is `frontier_df`.
+FRONTIER_CTE = """
+WITH frontier AS (
+  SELECT
+    'http://h' || lpad(CAST(user_id % 40 AS STRING), 3, '0')
+        || '.example.org/'
+        || (CASE WHEN event_id % 3 = 0 THEN 'mail' ELSE 'doc' END)
+        || '/' || CAST(event_id AS STRING)                          AS url,
+    'h' || lpad(CAST(user_id % 40 AS STRING), 3, '0')
+        || '.example.org'                                           AS host,
+    CASE WHEN event_id % 3 = 0 THEN 'mail' ELSE 'doc' END           AS kind,
+    CAST(event_id % 100 AS INT)                                     AS priority,
+    ts                                                              AS created_time,
+    event_id                                                        AS event_id,
+    event_id % 5 <> 0                                               AS unread
+  FROM events
+),
+seen AS (
+  SELECT event_id FROM events WHERE event_id % 7 = 0
+)
+"""
+
+
+def frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("h"), F.lpad((F.col("user_id") % 40).cast("string"), 3, "0"), F.lit(".example.org")
+    )
+    kind = F.when(F.col("event_id") % 3 == 0, "mail").otherwise("doc")
+    return e.select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/"), kind, F.lit("/"), F.col("event_id").cast("string")
+        ).alias("url"),
+        host.alias("host"),
+        kind.alias("kind"),
+        (F.col("event_id") % 100).cast("int").alias("priority"),
+        F.col("ts").alias("created_time"),
+        F.col("event_id").alias("event_id"),
+        (F.col("event_id") % 5 != 0).alias("unread"),
+    )
+
+
+def seen_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0).select("event_id")
+
+
+def _order():
+    return [
+        F.col("priority").desc(),
+        F.col("created_time").desc(),
+        F.when(F.col("kind") == "doc", 0).otherwise(1).asc(),
+        F.col("event_id").asc(),
+    ]
+
+
+_ORDER_SQL = "priority DESC, created_time DESC, (CASE WHEN kind='doc' THEN 0 ELSE 1 END), event_id"
+
+
+# --- queries --------------------------------------------------------------
+
+def q_crawl_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: one crawl round's selection — unread filter (P1-P5),
+    seen anti-join (J2/U3), per-host politeness budget (O4/§2.6), global
+    deterministic order + limit (O1-O3). Everything ahead of the fetch
+    stage, exactly as the engine stages it (SURVEY.md §3.4)."""
+    f = frontier_df(spark, sf_dir).filter(F.col("unread"))
+    f = f.join(seen_df(spark, sf_dir), "event_id", "left_anti")
+    w = Window.partitionBy("host").orderBy(*_order())
+    f = f.withColumn("host_rank", F.row_number().over(w)).filter(F.col("host_rank") <= BUDGET)
+    g = Window.orderBy(*_order())
+    return (
+        f.withColumn("fetch_order", F.row_number().over(g))
+        .filter(F.col("fetch_order") <= 500)
+        .select("fetch_order", "url", "host", "kind", "priority", "event_id")
+    )
+
+
+SQL_CRAWL_SELECT = FRONTIER_CTE + f"""
+, unread_new AS (
+  SELECT f.* FROM frontier f
+  WHERE f.unread AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.event_id = f.event_id)
+),
+budgeted AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY {_ORDER_SQL}) AS host_rank
+  FROM unread_new
+),
+ordered AS (
+  SELECT *, row_number() OVER (ORDER BY {_ORDER_SQL}) AS fetch_order
+  FROM budgeted WHERE host_rank <= {BUDGET}
+)
+SELECT fetch_order, url, host, kind, priority, event_id
+FROM ordered WHERE fetch_order <= 500
+"""
+
+
+def q_unread_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — the reference marks unread docs by an <img> inside an HTML
+    snippet, filtered with a regex (`oa.py:360-363`). Reconstruct the
+    idspan HTML deterministically, then filter with rlike."""
+    f = frontier_df(spark, sf_dir)
+    idspan = F.when(
+        F.col("unread"), F.concat(F.lit("<span><img src='/images/new.png'>"), F.col("url"), F.lit("</span>"))
+    ).otherwise(F.concat(F.lit("<span>"), F.col("url"), F.lit("</span>")))
+    return (
+        f.withColumn("idspan", idspan)
+        .filter(F.col("idspan").rlike("src='/images"))
+        .select("event_id", "url", "idspan")
+    )
+
+
+SQL_UNREAD_FILTER = FRONTIER_CTE + """
+, spans AS (
+  SELECT event_id, url,
+         CASE WHEN unread
+              THEN '<span><img src=''/images/new.png''>' || url || '</span>'
+              ELSE '<span>' || url || '</span>' END AS idspan
+  FROM frontier
+)
+SELECT event_id, url, idspan FROM spans
+WHERE regexp_matches(idspan, 'src=''/images')
+"""
+
+
+def q_budget_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/§2.6 — per-host politeness budget as a ranking window (replaces
+    the reference's [:limit] slicing, oa.py:456-459)."""
+    f = frontier_df(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy(*_order())
+    return (
+        f.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= BUDGET)
+        .select("host", "event_id", "host_rank", "priority")
+    )
+
+
+SQL_BUDGET_WINDOW = FRONTIER_CTE + f"""
+SELECT host, event_id, host_rank, priority FROM (
+  SELECT host, event_id, priority,
+         row_number() OVER (PARTITION BY host ORDER BY {_ORDER_SQL}) AS host_rank
+  FROM frontier
+) WHERE host_rank <= {BUDGET}
+"""
+
+
+def q_topk_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O3 — global deterministic crawl order, top-K (docs before
+    mails, CreatedTime desc — reference oa.py:553-569, oa.py:455)."""
+    f = frontier_df(spark, sf_dir)
+    w = Window.orderBy(*_order())
+    return (
+        f.withColumn("fetch_order", F.row_number().over(w))
+        .filter(F.col("fetch_order") <= TOPK)
+        .select("fetch_order", "event_id", "kind", "priority")
+    )
+
+
+SQL_TOPK_PRIORITY = FRONTIER_CTE + f"""
+SELECT fetch_order, event_id, kind, priority FROM (
+  SELECT event_id, kind, priority,
+         row_number() OVER (ORDER BY {_ORDER_SQL}) AS fetch_order
+  FROM frontier
+) WHERE fetch_order <= {TOPK}
+"""
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/U3 — exact seen-set anti-join (unread = listing − read-log)."""
+    f = frontier_df(spark, sf_dir)
+    return (
+        f.join(seen_df(spark, sf_dir), "event_id", "left_anti")
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_new"), F.max("event_id").alias("max_event_id"))
+    )
+
+
+SQL_SEEN_ANTIJOIN = FRONTIER_CTE + """
+SELECT kind, count(*) AS n_new, max(event_id) AS max_event_id
+FROM frontier f
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.event_id = f.event_id)
+GROUP BY kind
+"""
+
+
+def q_union_docs_mails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — docs ∪ mails with source-tier ordering preserved as a rank
+    column (reference documents.extend(mail_files), oa.py:455)."""
+    f = frontier_df(spark, sf_dir)
+    docs = f.filter(F.col("kind") == "doc").withColumn("kind_rank", F.lit(0))
+    mails = f.filter(F.col("kind") == "mail").withColumn("kind_rank", F.lit(1))
+    return (
+        docs.unionByName(mails)
+        .groupBy("kind_rank", "kind")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_UNION_DOCS_MAILS = FRONTIER_CTE + """
+SELECT kind_rank, kind, count(*) AS n FROM (
+  SELECT kind, 0 AS kind_rank FROM frontier WHERE kind = 'doc'
+  UNION ALL
+  SELECT kind, 1 AS kind_rank FROM frontier WHERE kind = 'mail'
+)
+GROUP BY kind_rank, kind
+"""
+
+
+def q_digest_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — per-site digest aggregation (reference FILENAMES g.py:21 +
+    notification.py:22-31): count + deterministic sorted title list."""
+    d = _t(spark, sf_dir, "documents")
+    title = F.substring(F.col("text"), 1, 20).alias("title")
+    return (
+        d.select("source", title)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("title")).alias("titles"),
+        )
+    )
+
+
+SQL_DIGEST_COLLECT = """
+SELECT source, count(*) AS n_docs,
+       list_sort(list(substring(text, 1, 20))) AS titles
+FROM documents GROUP BY source
+"""
+
+
+def q_arrays_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the reference's only true join: positional zip of two
+    comma-split parallel arrays into (url, name) pairs, then explode
+    (`oa.py:583-586`). File lists are synthesized deterministically from
+    doc_id (3 files per doc)."""
+    d = _t(spark, sf_dir, "documents")
+    ids = F.concat_ws(
+        ",",
+        (F.col("doc_id") * 10).cast("string"),
+        (F.col("doc_id") * 10 + 1).cast("string"),
+        (F.col("doc_id") * 10 + 2).cast("string"),
+    )
+    names = F.concat_ws(
+        ",",
+        F.concat(F.lit("att_"), (F.col("doc_id") * 10).cast("string"), F.lit(".pdf")),
+        F.concat(F.lit("att_"), (F.col("doc_id") * 10 + 1).cast("string"), F.lit(".doc")),
+        F.concat(F.lit("att_"), (F.col("doc_id") * 10 + 2).cast("string"), F.lit(".xls")),
+    )
+    zipped = F.arrays_zip(F.split(ids, ","), F.split(names, ",")).alias("z")
+    e = d.select("doc_id", F.explode(zipped).alias("fx"))
+    return e.select(
+        "doc_id",
+        F.col("fx")["0"].alias("fileid"),
+        F.col("fx")["1"].alias("filename"),
+    )
+
+
+SQL_ARRAYS_ZIP_JOIN = """
+SELECT doc_id,
+       CAST(doc_id * 10 + i AS STRING) AS fileid,
+       'att_' || CAST(doc_id * 10 + i AS STRING)
+              || (CASE i WHEN 0 THEN '.pdf' WHEN 1 THEN '.doc' ELSE '.xls' END) AS filename
+FROM documents, range(3) r(i)
+"""
+
+
+def q_clean_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — filename canonicalization (oa.py:36-53), bit-exact: strip
+    Windows-forbidden chars + newline family, trim edge dots. Applied to
+    deterministically messed-up titles."""
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit('..t<>:"/\\|?*'),
+        F.col("doc_id").cast("string"),
+        F.lit("\nx\r."),
+    )
+    return d.select("doc_id", clean_filename(messy).alias("clean_name"))
+
+
+SQL_CLEAN_FILENAME = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace('..t<>:"/\|?*' || CAST(doc_id AS STRING) || chr(10) || 'x' || chr(13) || '.',
+                        '[<>:"/\\|?*' || chr(10) || chr(13) || chr(11) || chr(12) || chr(133) || chr(8232) || chr(8233) || ']',
+                        '', 'g'),
+         '^\.+|\.+$', '', 'g') AS clean_name
+FROM documents
+"""
+
+
+def q_url_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 — query-string parsing after the last '?' (oa.py:74-79) and
+    detail-URL rebuild from card/id params (oa.py:735-738)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://site/page?card="),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("&id="),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url_param(url, "card").alias("card"),
+        url_param(url, "id").alias("id"),
+        F.concat(
+            F.lit("http://site/cardshow?cardid="),
+            url_param(url, "card"),
+            F.lit("-"),
+            url_param(url, "id"),
+        ).alias("detail_url"),
+    )
+
+
+SQL_URL_PARAMS = """
+SELECT doc_id,
+       CAST(doc_id % 9 AS STRING) AS card,
+       CAST(doc_id AS STRING) AS id,
+       'http://site/cardshow?cardid=' || CAST(doc_id % 9 AS STRING) || '-' || CAST(doc_id AS STRING) AS detail_url
+FROM documents
+"""
+
+
+def q_name_from_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — url[url.rfind('/')+1:] (oa.py:775-776)."""
+    f = frontier_df(spark, sf_dir)
+    return f.select("event_id", name_from_url(F.col("url")).alias("name"))
+
+
+SQL_NAME_FROM_URL = FRONTIER_CTE + """
+SELECT event_id, regexp_extract(url, '([^/]*)$', 1) AS name FROM frontier
+"""
+
+
+def q_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/O5 — HTML-strip + first-36-chars + '[...]' (oa.py:24-34)."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    return d.select("doc_id", abstract_of(html).alias("abstract"))
+
+
+SQL_ABSTRACT = r"""
+SELECT doc_id,
+       substring(trim(regexp_replace(regexp_replace('<p>' || text || '</p>', '<[^>]*>', '', 'g'), '\s+', ' ', 'g')), 1, 36)
+       || '[...]' AS abstract
+FROM documents
+"""
+
+
+def q_confusables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10 — OCR-confusable substitution + 4-digit validation
+    (oa.py:248-273): codes synthesized with letter noise."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("O"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("l"),
+        ((F.col("doc_id") + 3) % 10).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw_code"),
+        squeeze_digits(raw).alias("code"),
+        valid_code(raw).alias("valid"),
+    )
+
+
+SQL_CONFUSABLES = """
+SELECT doc_id,
+       'O' || CAST(doc_id % 10 AS STRING) || 'l' || CAST((doc_id + 3) % 10 AS STRING) AS raw_code,
+       regexp_replace(translate('O' || CAST(doc_id % 10 AS STRING) || 'l' || CAST((doc_id + 3) % 10 AS STRING),
+                                'OoIilb', '001110'), '[^0-9]', '', 'g') AS code,
+       length(regexp_replace(translate('O' || CAST(doc_id % 10 AS STRING) || 'l' || CAST((doc_id + 3) % 10 AS STRING),
+                                       'OoIilb', '001110'), '[^0-9]', '', 'g')) = 4 AS valid
+FROM documents
+"""
+
+
+def q_b64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — base64 mail-body decode (oa.py:423): encode text then decode
+    back; output both to prove the round trip."""
+    d = _t(spark, sf_dir, "documents")
+    enc = F.base64(F.encode(F.substring(F.col("text"), 1, 24), "utf-8"))
+    return d.select("doc_id", enc.alias("b64"), b64_decode_utf8(enc).alias("note"))
+
+
+SQL_B64_ROUNDTRIP = """
+SELECT doc_id,
+       base64(encode(substring(text, 1, 24))) AS b64,
+       substring(text, 1, 24) AS note
+FROM documents
+"""
+
+
+def q_collision_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — mkdir collision rename `(n)` (oa.py:56-71) as a window:
+    duplicate titles get a (n) suffix by arrival order."""
+    d = _t(spark, sf_dir, "documents")
+    title = F.concat(F.lit("t"), (F.col("doc_id") % 37).cast("string"))
+    w = Window.partitionBy(title).orderBy(F.col("doc_id"))
+    rn = F.row_number().over(w)
+    return d.select(
+        "doc_id",
+        F.when(rn == 1, title).otherwise(
+            F.concat(title, F.lit("("), (rn - 1).cast("string"), F.lit(")"))
+        ).alias("folder"),
+    )
+
+
+SQL_COLLISION_SUFFIX = """
+SELECT doc_id,
+       CASE WHEN rn = 1 THEN title ELSE title || '(' || CAST(rn - 1 AS STRING) || ')' END AS folder
+FROM (
+  SELECT doc_id, 't' || CAST(doc_id % 37 AS STRING) AS title,
+         row_number() OVER (PARTITION BY 't' || CAST(doc_id % 37 AS STRING) ORDER BY doc_id) AS rn
+  FROM documents
+)
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op — exact dedup by content hash over documents:
+    keeper = min doc_id per md5(text); report group sizes."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op — whitespace token count + char count."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events sessionization (30-min gap) — lag + cumulative-sum window;
+    sessions per user + events per session, aggregated."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn("sess_start", newsess).withColumn(
+        "session_id", F.sum("sess_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.max("n_events").alias("max_session_len"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS sess_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(sess_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_len FROM (
+  SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY user_id, session_id
+) GROUP BY user_id
+"""
+
+
+def q_retry_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/P9 — status-column routing (retryable vs fatal, run.py:23-39)
+    as a CASE dispatch + per-status counts."""
+    f = frontier_df(spark, sf_dir)
+    status = (
+        F.when(F.col("event_id") % 97 == 0, "failed")
+        .when(F.col("event_id") % 17 == 0, "retry")
+        .otherwise("ok")
+    )
+    return f.select(status.alias("status")).groupBy("status").agg(F.count("*").alias("n"))
+
+
+SQL_RETRY_ROUTING = FRONTIER_CTE + """
+SELECT CASE WHEN event_id % 97 = 0 THEN 'failed'
+            WHEN event_id % 17 = 0 THEN 'retry'
+            ELSE 'ok' END AS status,
+       count(*) AS n
+FROM frontier GROUP BY 1
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op — 16-bit SimHash over word tokens, built from
+    md5 (portable to the oracle): per token take 16 bits of md5, sum ±1
+    per bit position weighted by token count, sign → fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    h16 = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long")
+    bits = tok.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h16, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"b{b}")
+            for b in range(16)
+        ],
+    )
+    agg = bits.groupBy("doc_id").agg(*[F.sum(f"b{b}").alias(f"s{b}") for b in range(16)])
+    fp = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+SQL_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), tb AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 4))::BIGINT AS h16
+  FROM tok WHERE token <> ''
+), sums AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h16 >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tb, range(16) b(b)
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search — brute-force cosine top-K against a probe
+    vector (the embedding of vec_id = 0), JVM-side via zip_with/aggregate
+    (no UDF). The scale path (LSH-bucketed) is operators/similarity.py."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe"))
+    x = e.crossJoin(F.broadcast(probe))
+    dot = F.aggregate(
+        F.zip_with("embedding", "probe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate("probe", F.lit(0.0), lambda acc, v: acc + v * v))
+    sim = F.round(dot / (na * nb), 6)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        x.select("vec_id", "label", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH probe AS (
+  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+), sims AS (
+  SELECT e.vec_id, e.label,
+         round(list_dot_product(e.embedding::DOUBLE[], probe.p)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(probe.p, probe.p))), 6) AS cos_sim
+  FROM embeddings e, probe
+)
+SELECT vec_id, label, cos_sim,
+       row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+FROM sims
+QUALIFY rank <= {TOPK}
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op — text quality heuristics: char classes,
+    punctuation density, mean token length (all JVM expressions)."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.!?,;:]", ""))
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.round(n_alpha / n, 6).alias("alpha_ratio"),
+        F.round(n_punct / n, 6).alias("punct_ratio"),
+        F.round(n / n_tok, 6).alias("chars_per_token"),
+    )
+
+
+SQL_QUALITY_SCORE = r"""
+SELECT doc_id,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+       round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
+       round(length(text) * 1.0 / len(string_split_regex(trim(text), '\s+')), 6) AS chars_per_token
+FROM documents
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_crawl_select": q_crawl_select,
+    "q_unread_filter": q_unread_filter,
+    "q_budget_window": q_budget_window,
+    "q_topk_priority": q_topk_priority,
+    "q_seen_antijoin": q_seen_antijoin,
+    "q_union_docs_mails": q_union_docs_mails,
+    "q_digest_collect": q_digest_collect,
+    "q_arrays_zip_join": q_arrays_zip_join,
+    "q_clean_filename": q_clean_filename,
+    "q_url_params": q_url_params,
+    "q_name_from_url": q_name_from_url,
+    "q_abstract": q_abstract,
+    "q_confusables": q_confusables,
+    "q_b64_roundtrip": q_b64_roundtrip,
+    "q_collision_suffix": q_collision_suffix,
+    "q_exact_dedup": q_exact_dedup,
+    "q_token_count": q_token_count,
+    "q_sessionize": q_sessionize,
+    "q_retry_routing": q_retry_routing,
+    "q_simhash": q_simhash,
+    "q_cosine_topk": q_cosine_topk,
+    "q_quality_score": q_quality_score,
+}
+
+ORACLES: dict[str, str] = {
+    "q_crawl_select": SQL_CRAWL_SELECT,
+    "q_unread_filter": SQL_UNREAD_FILTER,
+    "q_budget_window": SQL_BUDGET_WINDOW,
+    "q_topk_priority": SQL_TOPK_PRIORITY,
+    "q_seen_antijoin": SQL_SEEN_ANTIJOIN,
+    "q_union_docs_mails": SQL_UNION_DOCS_MAILS,
+    "q_digest_collect": SQL_DIGEST_COLLECT,
+    "q_arrays_zip_join": SQL_ARRAYS_ZIP_JOIN,
+    "q_clean_filename": SQL_CLEAN_FILENAME,
+    "q_url_params": SQL_URL_PARAMS,
+    "q_name_from_url": SQL_NAME_FROM_URL,
+    "q_abstract": SQL_ABSTRACT,
+    "q_confusables": SQL_CONFUSABLES,
+    "q_b64_roundtrip": SQL_B64_ROUNDTRIP,
+    "q_collision_suffix": SQL_COLLISION_SUFFIX,
+    "q_exact_dedup": SQL_EXACT_DEDUP,
+    "q_token_count": SQL_TOKEN_COUNT,
+    "q_sessionize": SQL_SESSIONIZE,
+    "q_retry_routing": SQL_RETRY_ROUTING,
+    "q_simhash": SQL_SIMHASH,
+    "q_cosine_topk": SQL_COSINE_TOPK,
+    "q_quality_score": SQL_QUALITY_SCORE,
+}
+
+
+# --- operator-module surface (training-pipeline ops) ----------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — heuristic script-based language ID."""
+    from .operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = """
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 'empty'
+            WHEN length(regexp_replace(text, '[^一-龥]', '', 'g')) * 1.0 / length(text) > 0.3 THEN 'cjk'
+            WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) > 0.3 THEN 'latin'
+            ELSE 'mixed' END AS pred_lang
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup scoring, hash-free definition so DuckDB
+    can oracle it: pairs of docs (doc_id % 17 == 0 subset) sharing ≥1
+    distinct 5-gram, exact Jaccard ≥ 0.4. The engine's LSH-accelerated
+    variant (same math, xxhash64 shingles + banding) is q_minhash_lsh."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    n = F.length("text")
+    idx = F.sequence(F.lit(1), F.greatest(n - 5 + 1, F.lit(1)))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.col("text").substr(i, F.lit(5))))
+    sh = d.select("doc_id", F.explode(grams).alias("gram"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "gram")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0
+), ser AS (
+  SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM d))) AS i
+), sh AS (
+  SELECT DISTINCT doc_id, substring(text, i, 5) AS gram
+  FROM d JOIN ser ON ser.i <= greatest(length(text) - 5 + 1, 1)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.4
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (xxhash64 shingles → 32-hash
+    signatures → 8 bands → bucket join → exact Jaccard verify ≥ 0.8).
+    Hash-dependent candidate generation → rows-only driver check; the
+    hash-free Jaccard math is oracled by q_ngram_jaccard, and planted-dup
+    recovery is asserted in tests/test_operators.py."""
+    from .operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.8).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprint (xxhash64 → rows-only check;
+    determinism + shift-robustness asserted in tests)."""
+    from .operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs via 16-bit block LSH (rows-only:
+    xxhash64-based)."""
+    from .operators.dedup import simhash64, simhash_near_pairs
+
+    return simhash_near_pairs(simhash64(_t(spark, sf_dir, "documents")), max_hamming=10)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets +
+    exact cosine ≥ 0.9 inside buckets (rows-only; exact-cosine math is
+    oracled by q_cosine_topk). The real embeddings are mutually distant,
+    so deterministic near-duplicates (vec_id+10^6, scaled by 1.001 —
+    cosine 1.0) are planted for the first 20 vectors; the operator must
+    recover them."""
+    from .operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        "label",
+    )
+    return embedding_near_dups(emb.unionByName(planted), threshold=0.9).select(
+        "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic k-means cells,
+    probe scans n_probe cells only (rows-only; brute-force baseline is
+    oracled by q_cosine_topk)."""
+    from .operators.similarity import ivf_topk, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    cents = train_centroids(emb, n_cells=8, iters=2)
+    return ivf_topk(emb, probe, cents, k=20, n_probe=4)
+
+
+def _synth_images_df(spark: SparkSession, n: int = 60) -> DataFrame:
+    from . import datagen
+    from .kernels.codec import average_hash, encode_image
+
+    rows = []
+    for i in range(n):
+        arr = datagen.synth_image(5000 + i)
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        rows.append(
+            (f"img{i:04d}", bytearray(encode_image(arr, fmt)), int(arr.shape[1]),
+             int(arr.shape[0]), fmt, datagen.synth_caption(5000 + i), average_hash(arr))
+        )
+    return spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+
+
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — Arrow-batch decode + stats + PSNR re-encode verify
+    over the deterministic synthetic images table (binary payloads are
+    not SQL-expressible → rows-only; invariants pinned in tests)."""
+    from .operators.multimodal import decode_stats
+
+    return decode_stats(_synth_images_df(spark))
+
+
+def q_captcha_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1-K8 captcha pipeline as a batch stage over rendered digit
+    images (rows-only; exact-code recovery pinned in tests)."""
+    import numpy as np
+
+    from .kernels.codec import encode_image
+    from .kernels.image_ops import digit_templates, render_captcha
+    from .operators.multimodal import captcha_solve
+
+    t = digit_templates()
+    rng = np.random.RandomState(31)
+    rows = []
+    for i in range(40):
+        code = f"{(i * 2467 + 123) % 10000:04d}"
+        rows.append((f"cap{i:03d}", bytearray(encode_image(render_captcha(code, t, noise=5, rng=rng), "png"))))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return captcha_solve(df)
+
+
+def q_phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — perceptual-hash Hamming near-dup image pairs via
+    16-bit block LSH + bit_count verify (rows-only)."""
+    from .operators.multimodal import phash_hamming_pairs
+
+    return phash_hamming_pairs(_synth_images_df(spark), max_hamming=16)
+
+
+QUERIES.update(
+    {
+        "q_lang_id": q_lang_id,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_simhash_near_pairs": q_simhash_near_pairs,
+        "q_embedding_near_dups": q_embedding_near_dups,
+        "q_ivf_ann": q_ivf_ann,
+        "q_image_decode_stats": q_image_decode_stats,
+        "q_captcha_pipeline": q_captcha_pipeline,
+        "q_phash_near_dup_images": q_phash_near_dup_images,
+    }
+)
+
+ORACLES.update(
+    {
+        "q_lang_id": SQL_LANG_ID,
+        "q_ngram_jaccard": SQL_NGRAM_JACCARD,
+        # the rest are rows-only (hash-/binary-dependent, non-SQL)
+    }
+)

@@ -1,0 +1,124 @@
+"""Streaming crawl: the reference's 20-minute cron cadence
+(`README_OLD.md:36-42`) becomes a Structured Streaming query over the
+frontier's append directory — each micro-batch is one "round", processed
+with the exact same selection/fetch stages as the batch engine via
+`foreachBatch` (exactly-once: the catalog commit is idempotent per
+epoch, so a replayed batch after failure re-commits harmlessly).
+
+`Trigger.AvailableNow` drains everything pending then stops — the
+streaming twin of "run one cron round now". A long-running deployment
+drops the trigger and lets micro-batches flow.
+
+`host_rate_metrics` is the watermarked politeness monitor: fetches per
+host per 10-second window, tolerating 30 s of event-time lateness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_HOST_BUDGET
+from ..frontier.fetch import fetch_stage
+from ..frontier.politeness import apply_budget, global_order_and_limit, salted_repartition
+from ..frontier.round import FRONTIER_COLS, dedup_frontier
+from ..tables import Catalog
+
+FRONTIER_DDL = (
+    "url string, url_canon string, url_hash long, host string, kind string, "
+    "priority int, created_ms long, depth int, attempt int, round_added int"
+)
+
+
+def frontier_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    """File-source stream over a directory receiving frontier parquet
+    appends (in production: Kafka topic of discovered URLs)."""
+    return (
+        spark.readStream.schema(FRONTIER_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+
+def streaming_crawl(
+    spark: SparkSession,
+    catalog: Catalog,
+    in_dir: str,
+    checkpoint_dir: str,
+    *,
+    n_hosts: int = 20,
+    default_budget: int = DEFAULT_HOST_BUDGET,
+    available_now: bool = True,
+):
+    """Run the crawl as a streaming query; returns the StreamingQuery.
+
+    Each micro-batch: dedup (within batch) → anti-join committed seen →
+    budget window → order → Arrow fetch → commit fetched+seen under
+    round_id = 10_000 + epoch (offset to never collide with batch-mode
+    rounds in the same catalog)."""
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        round_id = 10_000 + int(epoch_id)
+        if round_id in set(catalog.committed_rounds()):
+            return  # replay after failure: already committed, skip (exactly-once)
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        active = dedup_frontier(batch_df)
+        seen = catalog.read(sess, "seen")
+        if seen is not None:
+            active = active.join(seen.select("url_hash"), "url_hash", "left_anti")
+        active = active.withColumn("budget_per_round", F.lit(default_budget))
+        selected = global_order_and_limit(apply_budget(active)).drop("budget_per_round")
+        # over-budget rows are NOT dropped: they re-enter the frontier
+        # table as backlog for the next round (the batch engine's
+        # unselected-rows-stay semantics, frontier/round.py)
+        backlog = active.drop("budget_per_round").join(
+            selected.select("url_hash"), "url_hash", "left_anti"
+        ).select(*FRONTIER_COLS)
+        fetched = fetch_stage(
+            salted_repartition(selected, sess.sparkContext.defaultParallelism),
+            n_hosts=n_hosts,
+        ).withColumn("round", F.lit(round_id)).withColumn(
+            "partition_id", F.spark_partition_id()
+        )
+        staged_path = catalog.stage(fetched, "fetched", round_id)
+        staged = sess.read.parquet(staged_path)
+        seen_append = staged.filter(F.col("status") != "retry").select(
+            "url_hash", "url_canon", "status", F.lit(round_id).alias("round_seen")
+        )
+        retries = staged.filter(F.col("status") == "retry").select(
+            *[c for c in FRONTIER_COLS if c not in ("attempt",)],
+            (F.col("attempt") + 1).alias("attempt"),
+        ).select(*FRONTIER_COLS)
+        catalog.commit_round(
+            round_id,
+            {
+                "fetched": [staged_path],
+                "seen": [catalog.stage(seen_append, "seen", round_id)],
+                "frontier": [
+                    catalog.stage(backlog, "frontier", round_id),
+                    catalog.stage(retries, "frontier", round_id),
+                ],
+            },
+        )
+
+    writer = (
+        frontier_stream(spark, in_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def host_rate_metrics(stream: DataFrame) -> DataFrame:
+    """Watermarked per-host fetch-rate windows (politeness monitoring):
+    event time = created_ms, 10 s tumbling windows, 30 s late tolerance."""
+    with_ts = stream.withColumn("event_ts", F.timestamp_millis(F.col("created_ms")))
+    return (
+        with_ts.withWatermark("event_ts", "30 seconds")
+        .groupBy(F.window("event_ts", "10 seconds"), "host")
+        .agg(F.count("*").alias("n_urls"), F.approx_count_distinct("url_hash").alias("n_distinct"))
+    )

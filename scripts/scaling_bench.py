@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north_rule: throughput scaling ≥ 0.8 from
+N to 4N executors, evidenced in-sandbox as the same job at two local
+parallelism levels on identical input).
+
+Runs bench.py in SEPARATE processes at local[N] and local[4N] (a JVM
+pins its core count at startup — two sessions in one process would
+share the first JVM), then writes BENCH/BASELINE.md with throughput at
+both levels and efficiency = (T_N / T_4N) / 4 per metric... note
+efficiency is computed on *throughput*: eff = (thr_4N / thr_N) / 4.
+
+Usage: python scripts/scaling_bench.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"bench at {cpus} cores produced no JSON:\n{out.stdout}\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    lo = run_bench(n, sf_dir)
+    hi = run_bench(4 * n, sf_dir)
+
+    t_lo, t_hi = lo["throughput"], hi["throughput"]
+    eff = {
+        k: round((t_hi[k] / t_lo[k]) / 4, 3)
+        for k in ("frontier_urls_per_sec", "fetched_images_per_sec")
+    }
+    md = f"""# BENCH — measured numbers (sandbox)
+
+Same job, identical input ({sf_dir}), two parallelism levels in separate
+JVMs — the in-sandbox stand-in for N vs 4N executors (BASELINE.md).
+
+## Crawl-round throughput
+
+| metric | local[{n}] | local[{4*n}] | scaling efficiency ((thr_4N/thr_N)/4) |
+|---|---|---|---|
+| frontier URLs/sec | {t_lo['frontier_urls_per_sec']} | {t_hi['frontier_urls_per_sec']} | {eff['frontier_urls_per_sec']} |
+| fetched images/sec | {t_lo['fetched_images_per_sec']} | {t_hi['fetched_images_per_sec']} | {eff['fetched_images_per_sec']} |
+| payload MB/sec | {t_lo['payload_mb_per_sec']} | {t_hi['payload_mb_per_sec']} | — |
+
+Round size: {t_lo['selected']} URLs selected, {t_lo['fetched_ok']} images fetched.
+
+North-rule gate: efficiency ≥ 0.8 → {"**PASS**" if min(eff.values()) >= 0.8 else "**FAIL** (see notes)"}
+
+## Headline query seconds (sf={lo['sf']})
+
+| query | local[{n}] s | local[{4*n}] s |
+|---|---|---|
+""" + "\n".join(
+        f"| {q} | {lo['queries'][q]} | {hi['queries'][q]} |" for q in lo["queries"]
+    ) + f"""
+
+Raw JSON:
+
+```json
+{json.dumps(lo)}
+{json.dumps(hi)}
+```
+"""
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(md)
+    print(json.dumps({"eff": eff, "lo": t_lo, "hi": t_hi}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Crawl-engine equivalence vs the pure-Python reference simulator.
+
+The north_rule gate: same seed list + same politeness budget ⇒ the Spark
+engine must reproduce the reference loop's crawl ordering and URL-seen
+set exactly, and every fetched row must satisfy the payload invariants
+(decoded-pixel PSNR ≥ 40 dB for lossy / exact for lossless, byte-exact
+caption).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oa_spider_spark import datagen, sim
+from oa_spider_spark.frontier.canon import canonicalize_url, with_url_columns
+from oa_spider_spark.frontier.round import (
+    normalize_frontier,
+    run_crawl,
+    run_round,
+    seed_catalog,
+)
+from oa_spider_spark.frontier.seen import anti_join_seen, bloom_params
+from oa_spider_spark.hashing import url_hash64
+from oa_spider_spark.kernels.codec import decode_image, psnr
+from oa_spider_spark.tables import Catalog
+
+N_URLS = 400
+N_HOSTS = 10
+BUDGET = 25
+ROUNDS = 3
+
+
+def test_canonicalize_matches_python_twin(spark):
+    urls = [
+        "http://H000.Example.org/doc/1",
+        "http://h1.example.org:80/a/b?z=2&a=1",
+        "https://h2.example.org:443/p?x=1#frag",
+        "http://h3.example.org/mail/9?b=2&a=1&a=0",
+        "http://h4.example.org",
+        "http://h5.example.org/?q=",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"]).select(
+        "url", canonicalize_url("url").alias("canon")
+    )
+    for row in df.collect():
+        assert row["canon"] == datagen.canon_of(row["url"]), row["url"]
+
+
+def test_url_hash_matches_python_twin(spark):
+    urls = [r["url"] for r in datagen.seed_frontier_rows(50, n_hosts=5)]
+    df = with_url_columns(spark.createDataFrame([(u,) for u in urls], ["url"]))
+    for row in df.select("url_canon", "url_hash").collect():
+        assert row["url_hash"] == url_hash64(row["url_canon"])
+
+
+@pytest.fixture(scope="module")
+def crawl_pair(spark, tmp_path_factory):
+    """Run the same ROUNDS-round crawl in both engines."""
+    root = tmp_path_factory.mktemp("catalog")
+    seeds = datagen.seed_frontier_rows(N_URLS, n_hosts=N_HOSTS, hot_share=0.4)
+    cat = Catalog(root)
+    seed_catalog(spark, cat, seeds)
+    results = run_crawl(
+        spark, cat, ROUNDS, n_hosts=N_HOSTS, default_budget=BUDGET, use_bloom=True
+    )
+    st = sim.seed_state(seeds)
+    sim_rounds = [
+        sim.run_round_sim(st, r, n_hosts=N_HOSTS, default_budget=BUDGET)
+        for r in range(ROUNDS)
+    ]
+    return cat, results, st, sim_rounds
+
+
+def test_crawl_order_equivalence(spark, crawl_pair):
+    cat, results, st, sim_rounds = crawl_pair
+    fetched = cat.read(spark, "fetched")
+    for r in range(ROUNDS):
+        engine_seq = [
+            row["url_canon"]
+            for row in fetched.filter(F.col("round") == r)
+            .orderBy("fetch_order")
+            .select("url_canon")
+            .collect()
+        ]
+        sim_seq = [rec["url_canon"] for rec in sim_rounds[r]]
+        assert engine_seq == sim_seq, f"round {r}: order diverges"
+
+
+def test_seen_set_equivalence(spark, crawl_pair):
+    cat, results, st, sim_rounds = crawl_pair
+    seen = cat.read(spark, "seen")
+    engine_seen = {row["url_hash"]: row["status"] for row in seen.collect()}
+    assert engine_seen == st.seen
+
+
+def test_no_url_processed_twice(spark, crawl_pair):
+    """Retries may re-fetch a URL across rounds (T2), but a URL is
+    *processed* (ok/failed) at most once, and never re-fetched after the
+    round that put it into seen."""
+    cat, *_ = crawl_pair
+    fetched = cat.read(spark, "fetched")
+    done = fetched.filter(F.col("status") != "retry")
+    assert done.groupBy("url_hash").count().filter(F.col("count") > 1).count() == 0
+    seen = cat.read(spark, "seen").select("url_hash", F.col("round_seen"))
+    after = (
+        fetched.join(seen, "url_hash")
+        .filter(F.col("round") > F.col("round_seen"))
+        .count()
+    )
+    assert after == 0
+
+
+def test_budget_respected(spark, crawl_pair):
+    cat, *_ = crawl_pair
+    fetched = cat.read(spark, "fetched")
+    over = (
+        fetched.groupBy("round", "host")
+        .count()
+        .filter(F.col("count") > BUDGET)
+        .count()
+    )
+    assert over == 0
+
+
+def test_payload_invariants(spark, crawl_pair):
+    """Per-row invariant (BASELINE.json input_hint): engine bytes decode
+    to pixels within PSNR gate of the simulator's decode; captions are
+    byte-exact; phash identical."""
+    cat, results, st, sim_rounds = crawl_pair
+    fetched = cat.read(spark, "fetched").filter(F.col("status") == "ok")
+    sim_by_canon = {rec["url_canon"]: rec for recs in sim_rounds for rec in recs if rec["status"] == "ok"}
+    rows = fetched.select("url_canon", "bytes", "caption", "fmt", "phash").collect()
+    assert len(rows) == len(sim_by_canon)
+    for row in rows:
+        ref = sim_by_canon[row["url_canon"]]
+        assert row["caption"] == ref["caption"]
+        assert row["phash"] == ref["phash"]
+        a = decode_image(bytes(row["bytes"]))
+        b = decode_image(ref["bytes"])
+        if row["fmt"] == "png":
+            assert np.array_equal(a, b)
+        else:
+            assert psnr(a, b) >= 40.0
+
+
+def test_lineage_accounts_for_all_rows(spark, crawl_pair):
+    cat, results, *_ = crawl_pair
+    lineage = cat.read(spark, "lineage")
+    per_round = {
+        row["round"]: row["total"]
+        for row in lineage.groupBy("round").agg(F.sum("rows_in").alias("total")).collect()
+    }
+    for res in results:
+        assert per_round[res.round_id] == res.selected
+
+
+def test_exact_resume_skips_committed_rounds(spark, crawl_pair):
+    cat, results, *_ = crawl_pair
+    # re-running the same crawl must be a no-op (idempotent restart)
+    again = run_crawl(spark, cat, ROUNDS, n_hosts=N_HOSTS, default_budget=BUDGET)
+    assert again == []
+
+
+def test_resume_mid_crawl_continues(spark, tmp_path):
+    seeds = datagen.seed_frontier_rows(60, n_hosts=4)
+    cat = Catalog(tmp_path / "cat")
+    seed_catalog(spark, cat, seeds)
+    run_round(spark, cat, 0, n_hosts=4, default_budget=10)
+    # "crash": new driver resumes; round 0 skipped, round 1 runs
+    results = run_crawl(spark, cat, 2, n_hosts=4, default_budget=10)
+    assert [r.round_id for r in results] == [1]
+
+
+def test_bloom_and_exact_agree(spark):
+    rows = datagen.seed_frontier_rows(300, n_hosts=6)
+    df = normalize_frontier(spark, rows)
+    seen = df.limit(120).select("url_hash", "url_canon")
+    with_bloom = anti_join_seen(df, seen, use_bloom=True)
+    without = anti_join_seen(df, seen, use_bloom=False)
+    a = {r["url_hash"] for r in with_bloom.select("url_hash").collect()}
+    b = {r["url_hash"] for r in without.select("url_hash").collect()}
+    assert a == b
+
+
+def test_bloom_params_sane():
+    m, k = bloom_params(1_000_000, 0.01)
+    assert 9_000_000 < m < 11_000_000  # ~9.6 bits/key at 1% fpp
+    assert k in (6, 7, 8)
+
+
+def test_retry_taxonomy(spark, crawl_pair):
+    """Transient URLs (seed % RETRY_MOD == 0) must eventually succeed on a
+    later round; fatal URLs must be dead-lettered, never retried."""
+    cat, results, st, sim_rounds = crawl_pair
+    fetched = cat.read(spark, "fetched")
+    retried = fetched.filter(F.col("status") == "retry").select("url_hash").distinct()
+    later_ok = fetched.filter(F.col("status") == "ok").select("url_hash")
+    recovered = retried.join(later_ok, "url_hash", "inner").count()
+    assert recovered > 0  # retries do come back and succeed
+    failed = fetched.filter(F.col("status") == "failed")
+    assert failed.count() > 0
+    # fatal rows appear exactly once (dead-letter, no re-fetch)
+    assert failed.groupBy("url_hash").count().filter(F.col("count") > 1).count() == 0

@@ -1,0 +1,243 @@
+"""Training-pipeline operator tests: dedup families, similarity search,
+text analysis, multimodal plumbing — verified against brute-force
+pandas/numpy oracles on small synthetic inputs plus the real testdata
+tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oa_spider_spark.kernels.codec import average_hash, decode_image, encode_image
+from oa_spider_spark.operators import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """documents + planted near-duplicates and exact duplicates."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    rows = d.select("doc_id", "text").collect()
+    base = [(r["doc_id"], r["text"]) for r in rows]
+    planted = []
+    for doc_id, t in base[:10]:
+        planted.append((doc_id + 100000, t))  # exact dup
+    for doc_id, t in base[10:20]:
+        planted.append((doc_id + 200000, t[:-5] + "XYZAB"))  # near dup
+    return spark.createDataFrame(base + planted, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted(spark, docs_with_dups):
+    out = dedup.exact_dedup(docs_with_dups).filter(F.col("n_copies") > 1)
+    assert out.count() == 10
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == 20
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_with_dups):
+    pairs = dedup.minhash_dedup(docs_with_dups, threshold=0.5)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # all 10 exact-dup pairs must be found (jaccard 1.0)
+    exact_pairs = {(i, i + 100000) for (i, _t) in _first(docs_with_dups, 10)}
+    assert exact_pairs <= found
+    # most planted near-dups should be found
+    near_pairs = {(i, i + 200000) for (i, _t) in _rows(docs_with_dups, 10, 20)}
+    assert len(near_pairs & found) >= 7
+
+
+def _first(df, n):
+    return [(r["doc_id"], r["text"]) for r in df.orderBy("doc_id").limit(n).collect()]
+
+
+def _rows(df, a, b):
+    rows = df.filter(F.col("doc_id") < 100000).orderBy("doc_id").collect()
+    return [(r["doc_id"], r["text"]) for r in rows[a:b]]
+
+
+def test_jaccard_exact_dup_is_one(spark, docs_with_dups):
+    sh = dedup.shingles(docs_with_dups)
+    sig = dedup.minhash_signatures(sh)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    j = dedup.jaccard_pairs(pairs, sh)
+    exact = j.filter(F.col("doc_b") - F.col("doc_a") == 100000)
+    vals = [r["jaccard"] for r in exact.collect()]
+    assert vals and all(v == 1.0 for v in vals)
+
+
+def test_simhash_near_pairs(spark, docs_with_dups):
+    sim = dedup.simhash64(docs_with_dups)
+    pairs = dedup.simhash_near_pairs(sim, max_hamming=3)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    exact_pairs = {(i, i + 100000) for (i, _t) in _first(docs_with_dups, 10)}
+    assert exact_pairs <= found  # identical text -> hamming 0
+
+
+def test_simhash64_matches_numpy_oracle(spark):
+    import zlib
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    # independent oracle via Spark's own xxhash64 of tokens
+    tok_h = {
+        r["token"]: r["h"]
+        for r in spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",), ("delta",)], ["token"]
+        ).select("token", F.xxhash64("token").alias("h")).collect()
+    }
+
+    def oracle(tokens):
+        v = np.zeros(64)
+        for t in tokens:
+            h = np.uint64(np.int64(tok_h[t]))
+            for b in range(64):
+                v[b] += 1 if (int(h) >> b) & 1 else -1
+        fp = 0
+        for b in range(64):
+            if v[b] > 0:
+                fp |= 1 << b
+        return np.int64(np.uint64(fp))
+
+    assert out[1] == oracle(["alpha", "beta", "gamma"])
+    assert out[2] == oracle(["alpha", "beta", "delta"])
+
+
+def test_embedding_near_dups_planted(spark):
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(30, 16))
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(30)]
+    # plant: 100 ~= 0 with small noise
+    rows.append((100, [float(x) for x in base[0] + rng.normal(scale=0.01, size=16)], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = dedup.embedding_near_dups(emb, threshold=0.95)
+    found = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert (0, 100) in found
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    probe = vecs[0]
+    sims = vecs @ probe / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(probe))
+    order = np.lexsort((ids, -sims))[:10]
+    expected = [int(ids[i]) for i in order]
+    got = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            emb.withColumn("embedding", F.col("embedding").cast("array<double>")),
+            [float(x) for x in probe], 10
+        ).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    cents = similarity.train_centroids(emb, n_cells=8, iters=2)
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, probe, 10).collect()}
+    approx = {r["vec_id"] for r in similarity.ivf_topk(emb, probe, cents, 10, n_probe=4).collect()}
+    assert len(exact & approx) >= 6  # recall@10 >= 0.6 with half the cells probed
+
+
+def test_text_operators_run_and_agree_with_pandas(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    pdf = docs.toPandas()
+    ts = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    for _, row in pdf.iterrows():
+        assert ts[row["doc_id"]]["n_tokens"] == len(row["text"].strip().split())
+    qs = text.quality_score(docs)
+    assert qs.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+    li = text.lang_id(docs)
+    assert li.filter(F.col("pred_lang").isNull()).count() == 0
+    fp = text.fingerprint(docs)
+    assert fp.filter(F.col("fingerprint").isNull()).count() == 0
+    # fingerprint is shift-robust: prefixing text doesn't change min-gram
+    # for most docs (rolling min over mostly-same grams) — just smoke here
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    from oa_spider_spark import datagen
+
+    rows = []
+    for i in range(40):
+        arr = datagen.synth_image(1000 + i)
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        rows.append(
+            (f"img{i:03d}", bytearray(encode_image(arr, fmt)), arr.shape[1], arr.shape[0],
+             fmt, f"caption {i}", average_hash(arr))
+        )
+    # plant a near-identical pair: img900 = img000 re-encoded lossily
+    arr0 = datagen.synth_image(1000)
+    rows.append(("img900", bytearray(encode_image(arr0, "jpeg")), arr0.shape[1],
+                 arr0.shape[0], "jpeg", "caption 900", average_hash(decode_image(encode_image(arr0, "jpeg")))))
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+
+
+def test_decode_stats_invariants(spark, images_df):
+    out = multimodal.decode_stats(images_df)
+    rows = out.collect()
+    assert len(rows) == images_df.count()
+    assert all(r["decode_ok"] for r in rows)
+    assert all(r["reencode_psnr"] >= 40.0 for r in rows)
+    dims = {r["image_id"]: (r["dec_w"], r["dec_h"]) for r in rows}
+    for r in images_df.select("image_id", "w", "h").collect():
+        assert dims[r["image_id"]] == (r["w"], r["h"])
+
+
+def test_decode_stats_bad_payload_flagged(spark):
+    bad = spark.createDataFrame(
+        [("badimg", bytearray(b"not an image"), 0, 0, "png", "x", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    rows = multimodal.decode_stats(bad).collect()
+    assert rows[0]["decode_ok"] is False
+
+
+def test_captcha_solve_batch(spark):
+    from oa_spider_spark.kernels.image_ops import digit_templates, render_captcha
+
+    t = digit_templates()
+    rng = np.random.RandomState(9)
+    codes = ["1234", "9870", "5566"]
+    rows = [
+        (f"c{i}", bytearray(encode_image(render_captcha(c, t, noise=4, rng=rng), "png")))
+        for i, c in enumerate(codes)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = {r["image_id"]: r["code"] for r in multimodal.captcha_solve(df).collect()}
+    assert out == {"c0": "1234", "c1": "9870", "c2": "5566"}
+
+
+def test_resize_images(spark, images_df):
+    out = multimodal.resize_images(images_df, 16, 16)
+    rows = out.collect()
+    for r in rows:
+        arr = decode_image(bytes(r["bytes"]))
+        assert arr.shape == (16, 16)
+
+
+def test_frame_sample_plumbing(spark):
+    from oa_spider_spark import datagen
+
+    frames = [datagen.synth_image(7000 + i) for i in range(10)]
+    payload = multimodal.synth_video_bytes(frames)
+    df = spark.createDataFrame(
+        [("vid0", bytearray(payload))], "image_id string, bytes binary"
+    )
+    out = multimodal.frame_sample(df, every_n=4).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in out] == [0, 4, 8]
+    assert np.array_equal(decode_image(bytes(out[0]["frame_bytes"])), frames[0])
+
+
+def test_phash_hamming_pairs_finds_reencode(spark, images_df):
+    out = multimodal.phash_hamming_pairs(images_df, max_hamming=6)
+    found = {(r["img_a"], r["img_b"]) for r in out.collect()}
+    assert ("img000", "img900") in found
