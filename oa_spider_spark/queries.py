@@ -733,9 +733,17 @@ FROM documents
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup scoring, hash-free definition so DuckDB
     can oracle it: pairs of docs (doc_id % 17 == 0 subset) sharing ≥1
-    distinct 5-gram, exact Jaccard ≥ 0.4. The engine's LSH-accelerated
-    variant (same math, xxhash64 shingles + banding) is q_minhash_lsh."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    distinct 5-gram, exact Jaccard ≥ 0.4. Deterministic near-dup clones
+    (doc_id+10^6, text truncated by 7 chars) are planted — identically
+    in the oracle — so recall is testable at every scale factor. The
+    engine's LSH-accelerated variant (same math, xxhash64 shingles +
+    banding) is q_minhash_lsh."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    clones = base.filter(F.col("doc_id") % 34 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring(F.col("text"), 1, F.greatest(F.length("text") - 7, F.lit(12))).alias("text"),
+    )
+    d = base.select("doc_id", "text").unionByName(clones)
     n = F.length("text")
     idx = F.sequence(F.lit(1), F.greatest(n - 5 + 1, F.lit(1)))
     grams = F.array_distinct(F.transform(idx, lambda i: F.col("text").substr(i, F.lit(5))))
@@ -762,6 +770,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_JACCARD = """
 WITH d AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 7, 12)) AS text
+  FROM documents WHERE doc_id % 34 = 0
 ), ser AS (
   SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM d))) AS i
 ), sh AS (
