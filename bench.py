@@ -75,12 +75,24 @@ def main() -> None:
     from oa_spider_spark.frontier.round import run_round, seed_catalog
     from oa_spider_spark.tables import Catalog
 
-    n_seeds = max(500, int(500_000 * sf))
+    n_seeds = max(2000, int(8_000_000 * sf))
     n_hosts = 24
+
+    # Warmup: a tiny throwaway round spins up every Python worker (pandas/
+    # pyarrow imports, ~0.3 s/core once per executor) and JIT-compiles the
+    # codegen'd stages. Steady-state throughput is the metric — a real
+    # cluster amortizes worker startup over thousands of rounds.
+    with tempfile.TemporaryDirectory(prefix="bench_warm_") as root:
+        warm_cat = Catalog(root)
+        seed_catalog(spark, warm_cat, datagen.seed_frontier_df(
+            spark, 4000, n_hosts=n_hosts, hot_share=0.4, partitions=cpus * 2))
+        run_round(spark, warm_cat, 0, n_hosts=n_hosts,
+                  default_budget=4000 // n_hosts, partitions=cpus * 2)
+
     with tempfile.TemporaryDirectory(prefix="bench_cat_") as root:
         cat = Catalog(root)
-        seeds = datagen.seed_frontier_rows(n_seeds, n_hosts=n_hosts, hot_share=0.4)
-        seed_catalog(spark, cat, seeds)
+        seed_catalog(spark, cat, datagen.seed_frontier_df(
+            spark, n_seeds, n_hosts=n_hosts, hot_share=0.4, partitions=cpus * 2))
         t0 = time.perf_counter()
         res = run_round(
             spark, cat, 0, n_hosts=n_hosts,

@@ -117,6 +117,56 @@ def seed_frontier_rows(n_urls: int, n_hosts: int = 20, hot_share: float = 0.5):
     return rows
 
 
+def seed_frontier_df(
+    spark, n_urls: int, n_hosts: int = 20, hot_share: float = 0.5,
+    round_added: int = 0, partitions: int | None = None,
+):
+    """Distributed twin of :func:`seed_frontier_rows`: the same seed list
+    generated as Column expressions over ``spark.range`` — no driver-side
+    row materialization (10^8 seeds never fit through createDataFrame).
+    `F.crc32` is the same CRC-32 as ``zlib.crc32``; equality with the
+    Python generator is pinned by tests/test_frontier.py."""
+    from pyspark.sql import functions as F
+
+    from .frontier.canon import with_url_columns
+
+    nparts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_urls, 1, nparts).select(F.col("id").alias("n"))
+    s = (
+        F.crc32(F.encode(F.concat(F.lit("seed:"), F.col("n").cast("string")), "utf-8"))
+        .bitwiseXOR(F.lit(GLOBAL_SEED))
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+    hidx = F.when(s % 1000 < int(hot_share * 1000), F.lit(0)).otherwise(
+        (1 + s % (n_hosts - 1)).cast("int")
+    )
+    host = F.concat(F.lit("h"), F.lpad(hidx.cast("string"), 3, "0"), F.lit(".example.org"))
+    kind = F.when(F.col("n") % 3 == 0, F.lit("mail")).otherwise(F.lit("doc"))
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/"), kind, F.lit("/"), F.col("n").cast("string")
+    )
+    # canon_of(url) == url for seed URLs (already canonical), so the
+    # priority seed is crc32 of the url itself.
+    us = (
+        F.crc32(F.encode(url, "utf-8"))
+        .bitwiseXOR(F.lit(GLOBAL_SEED))
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+    df = base.select(
+        url.alias("url"),
+        kind.alias("kind"),
+        (us % 100).cast("int").alias("priority"),
+        (F.lit(1_600_000_000_000) + us % 10_000_000).cast("long").alias("created_ms"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("attempt"),
+        F.lit(round_added).alias("round_added"),
+    )
+    return with_url_columns(df).select(
+        "url", "url_canon", "url_hash", "host", "kind",
+        "priority", "created_ms", "depth", "attempt", "round_added",
+    )
+
+
 @dataclass
 class FetchResult:
     status: str  # ok | retry | failed

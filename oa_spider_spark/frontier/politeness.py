@@ -76,14 +76,65 @@ def apply_budget(
     )
 
 
-def global_order_and_limit(df: DataFrame, limit: int | None = None) -> DataFrame:
+def global_order_and_limit(
+    df: DataFrame, limit: int | None = None, partitions: int | None = None
+) -> DataFrame:
     """Global deterministic order + optional round limit, with the fetch
     sequence number materialized as `fetch_order` (basis of the
-    crawl-order equivalence tests)."""
-    w = Window.orderBy(*order_cols())
-    out = df.withColumn("fetch_order", F.row_number().over(w))
-    if limit is not None:
-        out = out.filter(F.col("fetch_order") <= limit)
+    crawl-order equivalence tests).
+
+    A bare `Window.orderBy(...)` row_number would funnel every row through
+    ONE task — a non-starter at 10^10 frontier rows. Instead: range-
+    partitioned total sort, then global rank = partition offset + local
+    index. The only driver-side data is one (partition_id, count) row per
+    partition; row numbering itself is a vectorized arange per Arrow batch.
+    The sorted selection is persisted so the count job and the numbering
+    job see identical partition contents (range-boundary sampling is not
+    otherwise guaranteed deterministic across jobs).
+    """
+    import numpy as np
+    from pyspark import StorageLevel, TaskContext
+
+    spark = df.sparkSession
+    nparts = partitions or spark.sparkContext.defaultParallelism
+    # persist the selection so the range sampler and the sort each read a
+    # materialized input instead of re-running the window DAG upstream
+    inp = df.persist(StorageLevel.MEMORY_AND_DISK)
+    ordered = inp.repartitionByRange(nparts, *order_cols()).sortWithinPartitions(
+        *order_cols()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ordered.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    inp.unpersist()
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_bc = spark.sparkContext.broadcast(offsets)
+
+    def number(it):
+        pid = TaskContext.get().partitionId()
+        base = offsets_bc.value.get(pid, 0)
+        done = 0
+        for pdf in it:
+            n = len(pdf)
+            out = pdf.assign(fetch_order=(np.arange(n, dtype=np.int64) + base + done + 1).astype("int32"))
+            done += n
+            if limit is not None:
+                out = out[out["fetch_order"] <= limit]
+            if len(out):
+                yield out
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out = ordered.mapInPandas(number, schema=f"{ddl}, fetch_order int")
+    # let the caller release the sorted cache once the round is staged
+    out._ordered_cache = ordered  # type: ignore[attr-defined]
     return out
 
 

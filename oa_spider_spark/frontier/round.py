@@ -133,7 +133,8 @@ def run_round(
     active = anti_join_seen(active, seen, use_bloom=use_bloom)
     active = robots_allowed(active, hosts_table)
     active = apply_budget(active, default_budget)
-    selected = global_order_and_limit(active, round_limit).drop(
+    selected_full = global_order_and_limit(active, round_limit, partitions=partitions)
+    selected = selected_full.drop(
         "budget_per_round", "crawl_delay_ms", "robots_disallow", "proxy"
     )
 
@@ -144,6 +145,9 @@ def run_round(
         "partition_id", F.spark_partition_id()
     ).withColumn("round", F.lit(round_id))
     staged_fetch_path = catalog.stage(fetched, "fetched", round_id)
+    cache = getattr(selected_full, "_ordered_cache", None)
+    if cache is not None:
+        cache.unpersist()
     staged = spark.read.parquet(staged_fetch_path)
 
     # --- derived appends (column-pruned reads of the staged output) ------
@@ -211,10 +215,14 @@ def run_round(
     )
 
 
-def seed_catalog(spark: SparkSession, catalog: Catalog, rows: list[dict]) -> None:
+def seed_catalog(
+    spark: SparkSession, catalog: Catalog, rows: list[dict] | DataFrame
+) -> None:
     """Round -1 'genesis' commit: the seed list (reference's configured
-    sites/listing endpoints, run.py:79-86)."""
-    df = normalize_frontier(spark, rows, round_added=0)
+    sites/listing endpoints, run.py:79-86). Accepts either Python seed
+    rows (small/simulator-paired runs) or an already-distributed frontier
+    DataFrame (datagen.seed_frontier_df — the scale path)."""
+    df = rows if isinstance(rows, DataFrame) else normalize_frontier(spark, rows, round_added=0)
     catalog.commit_round(-1, {"frontier": [catalog.stage(df, "frontier", 0)]})
 
 

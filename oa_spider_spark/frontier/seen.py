@@ -81,19 +81,24 @@ def mark_maybe_seen(
     joined = withshard.join(bloom, "shard", "left")
 
     def probe(it):
+        # Vectorized per shard group (≤ n_shards iterations per batch, each
+        # an O(rows_in_group × k) numpy gather) — no per-row Python.
         for pdf in it:
-            bits_col = pdf["bits"]
             out = np.zeros(len(pdf), dtype=bool)
             if len(pdf):
                 hashes = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
                 pos = _positions(hashes, m_bits_per_shard, k)
-                for i in range(len(pdf)):
-                    b = bits_col.iloc[i]
+                shards = pdf["shard"].to_numpy()
+                bits_col = pdf["bits"]
+                for s in np.unique(shards):
+                    idx = np.flatnonzero(shards == s)
+                    b = bits_col.iloc[int(idx[0])]
                     if b is None:
                         continue
                     arr = np.frombuffer(b, dtype=np.uint8)
-                    p = pos[i]
-                    out[i] = bool(np.all(arr[p >> 3] & (1 << (p & 7)).astype(np.uint8)))
+                    p = pos[idx]
+                    hit = (arr[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+                    out[idx] = hit.all(axis=1)
             yield pdf.drop(columns=["bits"]).assign(maybe_seen=out)
 
     schema = ", ".join(

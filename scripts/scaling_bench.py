@@ -35,7 +35,12 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # Default N=4 → 4N=16 on the 32-core sandbox host: BOTH levels must
+    # leave headroom for the JVM's own service threads (shuffle/Arrow
+    # IPC), mirroring a real cluster where executors own their cores.
+    # local[32] would oversubscribe the host (32 Python workers + 32 JVM
+    # task threads on 32 cores) and measure the host, not the engine.
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     lo = run_bench(n, sf_dir)
     hi = run_bench(4 * n, sf_dir)

@@ -53,6 +53,19 @@ def test_url_hash_matches_python_twin(spark):
         assert row["url_hash"] == url_hash64(row["url_canon"])
 
 
+def test_distributed_seed_gen_matches_python_twin(spark):
+    """datagen.seed_frontier_df (Column-expression generator, the 10^8+
+    scale path) must produce bit-identical frontier rows to the Python
+    generator the simulator consumes."""
+    from oa_spider_spark.frontier.round import normalize_frontier
+
+    a = datagen.seed_frontier_df(spark, 500, n_hosts=7, hot_share=0.3).orderBy("url").collect()
+    b = normalize_frontier(
+        spark, datagen.seed_frontier_rows(500, n_hosts=7, hot_share=0.3)
+    ).orderBy("url").collect()
+    assert a == b
+
+
 @pytest.fixture(scope="module")
 def crawl_pair(spark, tmp_path_factory):
     """Run the same ROUNDS-round crawl in both engines."""
