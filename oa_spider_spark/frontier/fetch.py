@@ -28,6 +28,7 @@ from .. import datagen
 FETCH_FIELDS = [
     pa.field("status", pa.string()),
     pa.field("bytes", pa.binary()),
+    pa.field("nbytes", pa.int64()),
     pa.field("w", pa.int32()),
     pa.field("h", pa.int32()),
     pa.field("fmt", pa.string()),
@@ -37,7 +38,7 @@ FETCH_FIELDS = [
 ]
 
 FETCH_OUT_DDL = (
-    "status string, bytes binary, w int, h int, fmt string, "
+    "status string, bytes binary, nbytes long, w int, h int, fmt string, "
     "caption string, phash long, links array<string>"
 )
 
@@ -47,11 +48,12 @@ def synthetic_fetch_batch(batch: pa.RecordBatch, n_hosts: int) -> pa.RecordBatch
     Pure function of (url_canon, attempt) — identical on every executor."""
     urls = batch.column("url_canon").to_pylist()
     attempts = batch.column("attempt").to_pylist()
-    status, payload, ws, hs, fmts, caps, phs, links = [], [], [], [], [], [], [], []
+    status, payload, nbytes, ws, hs, fmts, caps, phs, links = [], [], [], [], [], [], [], [], []
     for uc, att in zip(urls, attempts):
         r = datagen.fetch_url(uc, attempt=att or 0, n_hosts=n_hosts)
         status.append(r.status)
         payload.append(r.bytes)
+        nbytes.append(0 if r.bytes is None else len(r.bytes))
         ws.append(r.w)
         hs.append(r.h)
         fmts.append(r.fmt)
@@ -61,6 +63,7 @@ def synthetic_fetch_batch(batch: pa.RecordBatch, n_hosts: int) -> pa.RecordBatch
     arrays = [
         pa.array(status, pa.string()),
         pa.array(payload, pa.binary()),
+        pa.array(nbytes, pa.int64()),
         pa.array(ws, pa.int32()),
         pa.array(hs, pa.int32()),
         pa.array(fmts, pa.string()),

@@ -86,14 +86,14 @@ def global_order_and_limit(
     A bare `Window.orderBy(...)` row_number would funnel every row through
     ONE task — a non-starter at 10^10 frontier rows. Instead: range-
     partitioned total sort, then global rank = partition offset + local
-    index. The only driver-side data is one (partition_id, count) row per
-    partition; row numbering itself is a vectorized arange per Arrow batch.
-    The sorted selection is persisted so the count job and the numbering
-    job see identical partition contents (range-boundary sampling is not
+    rank. The only driver-side data is one (partition_id, count) row per
+    partition; the local rank is a per-partition window and the offset a
+    broadcast join — the whole path stays JVM-side (no Python stage).
+    The sorted selection is persisted so the count job and the rank job
+    see identical partition contents (range-boundary sampling is not
     otherwise guaranteed deterministic across jobs).
     """
-    import numpy as np
-    from pyspark import StorageLevel, TaskContext
+    from pyspark import StorageLevel
 
     spark = df.sparkSession
     nparts = partitions or spark.sparkContext.defaultParallelism
@@ -111,28 +111,22 @@ def global_order_and_limit(
         .collect()
     }
     inp.unpersist()
-    offsets = {}
-    acc = 0
+    rows, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        rows.append((pid, acc))
         acc += counts[pid]
-    offsets_bc = spark.sparkContext.broadcast(offsets)
+    offsets_df = spark.createDataFrame(rows or [(0, 0)], "_pid int, _off long")
 
-    def number(it):
-        pid = TaskContext.get().partitionId()
-        base = offsets_bc.value.get(pid, 0)
-        done = 0
-        for pdf in it:
-            n = len(pdf)
-            out = pdf.assign(fetch_order=(np.arange(n, dtype=np.int64) + base + done + 1).astype("int32"))
-            done += n
-            if limit is not None:
-                out = out[out["fetch_order"] <= limit]
-            if len(out):
-                yield out
-
-    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    out = ordered.mapInPandas(number, schema=f"{ddl}, fetch_order int")
+    w = Window.partitionBy("_pid").orderBy(*order_cols())
+    out = (
+        ordered.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets_df), "_pid")
+        .withColumn("fetch_order", (F.col("_off") + F.col("_rn")).cast("int"))
+        .drop("_pid", "_rn", "_off")
+    )
+    if limit is not None:
+        out = out.filter(F.col("fetch_order") <= limit)
     # let the caller release the sorted cache once the round is staged
     out._ordered_cache = ordered  # type: ignore[attr-defined]
     return out

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_HOST_BUDGET, DEFAULT_SALT, MAX_ATTEMPTS
@@ -65,15 +65,23 @@ def normalize_frontier(spark: SparkSession, rows: list[dict], round_added: int =
 
 
 def dedup_frontier(frontier: DataFrame) -> DataFrame:
-    """One row per url_hash; the highest-attempt row wins so a URL
-    re-queued for retry carries its attempt count (T2)."""
-    w = Window.partitionBy("url_hash").orderBy(
-        F.col("attempt").desc(), F.col("round_added").desc(), F.col("priority").desc()
-    )
+    """One row per url_hash; the highest-(attempt, round_added, priority)
+    row wins so a URL re-queued for retry carries its attempt count (T2).
+
+    groupBy + max_by, not a row_number window: the hash aggregate gets
+    map-side partial aggregation (duplicates collapse before the shuffle)
+    and skips the per-group sort — at 10^10 frontier rows this is the
+    round's biggest shuffle. Remaining ties are exact duplicates (equal
+    url_hash ⇒ equal url ⇒ every derived column equal), so max_by's
+    arbitrary pick is still deterministic row-content-wise."""
+    cols = frontier.columns
+    key = F.struct(F.col("attempt"), F.col("round_added"), F.col("priority"))
+    rest = [c for c in cols if c != "url_hash"]
     return (
-        frontier.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        frontier.groupBy("url_hash")
+        .agg(F.max_by(F.struct(*rest), key).alias("_r"))
+        .select("url_hash", *[F.col(f"_r.{c}").alias(c) for c in rest])
+        .select(*cols)
     )
 
 
@@ -175,12 +183,14 @@ def run_round(
         .select("url_hash", "url_canon", F.col("status"), F.lit(round_id).alias("round_seen"))
     )
 
+    # nbytes (computed in the fetch stage) keeps these aggregations off
+    # the binary column — no full payload re-scan per round
     lineage = (
         staged.groupBy("partition_id")
         .agg(
             F.count("*").alias("rows_in"),
             F.sum((F.col("status") == "ok").cast("long")).alias("rows_out"),
-            F.coalesce(F.sum(F.length("bytes")), F.lit(0)).alias("bytes_fetched"),
+            F.coalesce(F.sum("nbytes"), F.lit(0)).alias("bytes_fetched"),
         )
         .withColumn("round", F.lit(round_id))
     )
@@ -201,7 +211,7 @@ def run_round(
         F.sum((F.col("status") == "ok").cast("long")).alias("ok"),
         F.sum((F.col("status") == "retry").cast("long")).alias("retry"),
         F.sum((F.col("status") == "failed").cast("long")).alias("failed"),
-        F.coalesce(F.sum(F.length("bytes")), F.lit(0)).alias("bytes"),
+        F.coalesce(F.sum("nbytes"), F.lit(0)).alias("bytes"),
     ).collect()[0]
     n_links = new_frontier.count()
     return RoundResult(

@@ -660,6 +660,186 @@ FROM documents
 """
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — ad-hoc JSON field access (reference r.json()['data'][...],
+    oa.py:369-371,484,495) over the events.props JSON column."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        F.col("event_type").alias("event_type"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, json_extract_string(props, '$.k')::INT AS k, event_type
+FROM events
+"""
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/P6 — HTML link scrape + preview-link skip (reference PyQuery
+    over card pages, oa.py:806-817; skip /word/view hrefs, oa.py:771-773).
+    The page HTML is synthesized deterministically per doc."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<ul><li><a href="/doc/'), F.col("doc_id").cast("string"),
+        F.lit('">d</a></li><li><a href="/word/view?id='), F.col("doc_id").cast("string"),
+        F.lit('">p</a></li><li><a href="/mail/'), (F.col("doc_id") % 50).cast("string"),
+        F.lit('">m</a></li></ul>'),
+    )
+    hrefs = F.regexp_extract_all(html, F.lit('href="([^"]+)"'), 1)
+    return (
+        d.select("doc_id", F.explode(hrefs).alias("href"))
+        .filter(~F.col("href").startswith("/word/view"))
+    )
+
+
+SQL_LINK_EXTRACT = """
+WITH pages AS (
+  SELECT doc_id,
+         '<ul><li><a href="/doc/' || CAST(doc_id AS STRING)
+         || '">d</a></li><li><a href="/word/view?id=' || CAST(doc_id AS STRING)
+         || '">p</a></li><li><a href="/mail/' || CAST(doc_id % 50 AS STRING)
+         || '">m</a></li></ul>' AS html
+  FROM documents
+)
+SELECT doc_id, href FROM (
+  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+  FROM pages
+) WHERE NOT starts_with(href, '/word/view')
+"""
+
+
+def q_redirect_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — redirect resolution: regex the target out of a JS body and
+    absolutize it (reference to_url, oa.py:729-733)."""
+    d = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit('xhr.get("/portal/view/'), F.col("doc_id").cast("string"), F.lit('", cb)')
+    )
+    rel = F.regexp_extract(body, r'get\("(.+)",', 1)
+    return d.select(
+        "doc_id", F.concat(F.lit("http://site.example.org"), rel).alias("abs_url")
+    )
+
+
+SQL_REDIRECT_URL = """
+SELECT doc_id,
+       'http://site.example.org'
+       || regexp_extract('xhr.get("/portal/view/' || CAST(doc_id AS STRING) || '", cb)',
+                         'get\\("(.+)",', 1) AS abs_url
+FROM documents
+"""
+
+
+def q_sizeof_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — human-readable byte sizes, 1024 ladder (reference sizeof_fmt,
+    oa.py:82-87), as (scaled value, unit) columns."""
+    e = _t(spark, sf_dir, "events")
+    nbytes = F.floor(F.col("value") * 100000).cast("long")
+    unit = (
+        F.when(nbytes < 1024, "B")
+        .when(nbytes < 1024**2, "KB")
+        .when(nbytes < 1024**3, "MB")
+        .otherwise("GB")
+    )
+    scaled = (
+        F.when(nbytes < 1024, nbytes.cast("double"))
+        .when(nbytes < 1024**2, nbytes / 1024.0)
+        .when(nbytes < 1024**3, nbytes / (1024.0**2))
+        .otherwise(nbytes / (1024.0**3))
+    )
+    return e.select(
+        "event_id", nbytes.alias("nbytes"),
+        F.round(scaled, 1).alias("scaled"), unit.alias("unit"),
+    )
+
+
+SQL_SIZEOF_FMT = """
+SELECT event_id,
+       CAST(floor(value * 100000) AS BIGINT) AS nbytes,
+       round(CASE WHEN nbytes < 1024 THEN nbytes * 1.0
+                  WHEN nbytes < 1048576 THEN nbytes / 1024.0
+                  WHEN nbytes < 1073741824 THEN nbytes / 1048576.0
+                  ELSE nbytes / 1073741824.0 END, 1) AS scaled,
+       CASE WHEN nbytes < 1024 THEN 'B'
+            WHEN nbytes < 1048576 THEN 'KB'
+            WHEN nbytes < 1073741824 THEN 'MB'
+            ELSE 'GB' END AS unit
+FROM events
+"""
+
+
+def q_running_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — running byte total + mean rate per user (the reference's
+    live download progress meter: save/elapsed, oa.py:183-206).
+    Integer cents throughout: float cumulative sums are oracle-fragile
+    (DuckDB's segment-tree window summation orders fp adds differently
+    than Spark's running sum)."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    seq = F.row_number().over(w)
+    return e.select(
+        "user_id", "event_id",
+        cum.alias("cum_cents"),
+        F.floor(cum * 10 / seq).cast("long").alias("mean_milli"),
+    )
+
+
+SQL_RUNNING_BYTES = """
+SELECT user_id, event_id,
+       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS cum_cents,
+       sum(CAST(floor(value * 100) AS BIGINT)) OVER w * 10 // row_number() OVER w AS mean_milli
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — success-rate counters (reference y/n login-rate harness,
+    test_run.py:37-57): share of events with value > 50 per type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg((F.col("value") > 50).cast("int")), 6).alias("success_rate"),
+        )
+    )
+
+
+SQL_SUCCESS_RATE = """
+SELECT event_type, count(*) AS n,
+       round(avg(CASE WHEN value > 50 THEN 1 ELSE 0 END), 6) AS success_rate
+FROM events GROUP BY event_type
+"""
+
+
+def q_note_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17/S9 — note→HTML page render (reference write_note template,
+    oa.py:145-150)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.format_string(
+            "<html><head><meta charset=\"utf-8\"></head><body>%s</body></html>",
+            F.substring(F.col("text"), 1, 40),
+        ).alias("page"),
+    )
+
+
+SQL_NOTE_RENDER = """
+SELECT doc_id,
+       '<html><head><meta charset="utf-8"></head><body>'
+       || substring(text, 1, 40) || '</body></html>' AS page
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_crawl_select": q_crawl_select,
     "q_unread_filter": q_unread_filter,
@@ -683,6 +863,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_cosine_topk": q_cosine_topk,
     "q_quality_score": q_quality_score,
+    "q_json_extract": q_json_extract,
+    "q_link_extract": q_link_extract,
+    "q_redirect_url": q_redirect_url,
+    "q_sizeof_fmt": q_sizeof_fmt,
+    "q_running_bytes": q_running_bytes,
+    "q_success_rate": q_success_rate,
+    "q_note_render": q_note_render,
 }
 
 ORACLES: dict[str, str] = {
@@ -708,6 +895,13 @@ ORACLES: dict[str, str] = {
     "q_simhash": SQL_SIMHASH,
     "q_cosine_topk": SQL_COSINE_TOPK,
     "q_quality_score": SQL_QUALITY_SCORE,
+    "q_json_extract": SQL_JSON_EXTRACT,
+    "q_link_extract": SQL_LINK_EXTRACT,
+    "q_redirect_url": SQL_REDIRECT_URL,
+    "q_sizeof_fmt": SQL_SIZEOF_FMT,
+    "q_running_bytes": SQL_RUNNING_BYTES,
+    "q_success_rate": SQL_SUCCESS_RATE,
+    "q_note_render": SQL_NOTE_RENDER,
 }
 
 
@@ -908,6 +1102,30 @@ def q_captcha_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return captcha_solve(df)
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — Arrow-batch bilinear resize to 32x32 thumbnails
+    (rows-only; exactness pinned in tests/test_operators.py)."""
+    from .operators.multimodal import resize_images
+
+    return resize_images(_synth_images_df(spark, 40), out_w=32, out_h=32).select(
+        "image_id", "w", "h", F.length("bytes").alias("thumb_bytes"), "phash"
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — every-Nth frame sampling from synthetic video
+    containers (rows-only; frame math pinned in tests)."""
+    from . import datagen
+    from .operators.multimodal import frame_sample, synth_video_bytes
+
+    rows = []
+    for i in range(12):
+        frames = [datagen.synth_image(9000 + i * 31 + j) for j in range(6 + i % 5)]
+        rows.append((f"vid{i:03d}", bytearray(synth_video_bytes(frames))))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return frame_sample(df, every_n=3)
+
+
 def q_phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — perceptual-hash Hamming near-dup image pairs via
     16-bit block LSH + bit_count verify (rows-only)."""
@@ -928,6 +1146,8 @@ QUERIES.update(
         "q_image_decode_stats": q_image_decode_stats,
         "q_captcha_pipeline": q_captcha_pipeline,
         "q_phash_near_dup_images": q_phash_near_dup_images,
+        "q_image_resize": q_image_resize,
+        "q_frame_sample": q_frame_sample,
     }
 )
 

@@ -1,0 +1,81 @@
+"""Physical-plan guardrails (SURVEY.md §7 hard-part 3): assert the
+optimizations we rely on at 100-TB scale actually appear in the plans —
+column pruning reaches the parquet scan, the global crawl order is a
+range-partitioned distributed sort (never a single-task window), and the
+seen anti-join + hosts join pick the intended strategies."""
+
+import re
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from oa_spider_spark import datagen
+from oa_spider_spark.frontier.politeness import global_order_and_limit
+from oa_spider_spark.frontier.round import dedup_frontier
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_token_count_prunes_documents_scan(spark):
+    """A 2-column projection must not read the whole documents schema."""
+    df = entry_mod.queries()["q_token_count"](spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_crawl_select_pushes_nothing_through_python(spark):
+    """q_crawl_select is pure JVM — no Python evals anywhere in the plan."""
+    df = entry_mod.queries()["q_crawl_select"](spark, SF_DIR)
+    plan = plan_of(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow"):
+        assert marker not in plan, f"{marker} found in crawl-select plan"
+
+
+def test_global_order_is_range_partitioned_not_single_task(spark):
+    """The engine's total order must be a distributed range sort with a
+    per-partition rank — never a partition-less Window (single task)."""
+    f = datagen.seed_frontier_df(spark, 500, n_hosts=6, hot_share=0.4)
+    out = global_order_and_limit(f, None, partitions=4)
+    out.collect()
+    plan = plan_of(out)
+    assert "rangepartitioning" in plan.lower(), plan
+    # every Window operator in the plan must carry a partition spec (_pid)
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_pid" in line, f"partition-less window: {line}"
+    cache = getattr(out, "_ordered_cache", None)
+    if cache is not None:
+        cache.unpersist()
+
+
+def test_dedup_frontier_is_partial_aggregate_not_window(spark):
+    """dedup_frontier must compile to hash aggregates (map-side partial
+    combine) rather than a sort-based row_number window."""
+    f = datagen.seed_frontier_df(spark, 300, n_hosts=5, hot_share=0.3)
+    out = dedup_frontier(f)
+    out.collect()
+    plan = plan_of(out)
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan, plan  # map-side combine before the shuffle
+
+
+def test_fetch_stage_is_arrow_not_row_python(spark):
+    """The fetch stage must be mapInArrow (Arrow record batches), and its
+    input must already be salted-repartitioned (round-robin/hash exchange
+    ahead of the Python stage)."""
+    from oa_spider_spark.frontier.fetch import fetch_stage
+    from oa_spider_spark.frontier.politeness import salted_repartition
+
+    f = datagen.seed_frontier_df(spark, 200, n_hosts=4, hot_share=0.4)
+    out = fetch_stage(salted_repartition(f, 4), n_hosts=4)
+    plan = plan_of(out)
+    assert "PythonMapInArrow" in plan or "MapInArrow" in plan, plan
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in fetch path"
