@@ -51,7 +51,11 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # default to 16 of the 32 host cores: each Spark task drives a Python
+    # worker AND JVM service threads (Arrow IPC, shuffle, parquet encode);
+    # local[32] would oversubscribe the host and measure contention, not
+    # the engine (see BENCH/BASELINE.md notes)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", min(16, os.cpu_count() or 8)))
     sf = infer_sf(sf_dir)
 
     from oa_spider_spark.session import get_spark

@@ -84,51 +84,43 @@ def global_order_and_limit(
     crawl-order equivalence tests).
 
     A bare `Window.orderBy(...)` row_number would funnel every row through
-    ONE task — a non-starter at 10^10 frontier rows. Instead: range-
-    partitioned total sort, then global rank = partition offset + local
-    rank. The only driver-side data is one (partition_id, count) row per
-    partition; the local rank is a per-partition window and the offset a
-    broadcast join — the whole path stays JVM-side (no Python stage).
-    The sorted selection is persisted so the count job and the rank job
-    see identical partition contents (range-boundary sampling is not
-    otherwise guaranteed deterministic across jobs).
+    ONE task — a non-starter at 10^10 frontier rows. Instead, a
+    **bucketed global rank**: rows bucket by clamped priority (the leading
+    sort key), so every row of bucket b precedes every row of bucket b+1
+    in the total order regardless of the other keys — clamped outliers
+    still order correctly because the in-bucket window re-sorts by the
+    full key. Global rank = (broadcast) bucket offset + in-bucket
+    row_number. One tiny count job (≤100 rows to the driver), one
+    shuffle, all JVM — no range-boundary sampling, no dependence on
+    physical partition contents. The selection is persisted so the count
+    job and the rank job don't re-run the upstream window DAG twice.
     """
     from pyspark import StorageLevel
 
-    spark = df.sparkSession
-    nparts = partitions or spark.sparkContext.defaultParallelism
-    # persist the selection so the range sampler and the sort each read a
-    # materialized input instead of re-running the window DAG upstream
     inp = df.persist(StorageLevel.MEMORY_AND_DISK)
-    ordered = inp.repartitionByRange(nparts, *order_cols()).sortWithinPartitions(
-        *order_cols()
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
+    bucket = F.least(F.greatest(F.lit(99) - F.col("priority"), F.lit(0)), F.lit(99))
     counts = {
-        r["_pid"]: r["n"]
-        for r in ordered.groupBy(F.spark_partition_id().alias("_pid"))
-        .agg(F.count("*").alias("n"))
-        .collect()
+        r["_b"]: r["n"]
+        for r in inp.groupBy(bucket.alias("_b")).agg(F.count("*").alias("n")).collect()
     }
-    inp.unpersist()
     rows, acc = [], 0
-    for pid in sorted(counts):
-        rows.append((pid, acc))
-        acc += counts[pid]
-    offsets_df = spark.createDataFrame(rows or [(0, 0)], "_pid int, _off long")
+    for b in sorted(counts):
+        rows.append((b, acc))
+        acc += counts[b]
+    offsets_df = df.sparkSession.createDataFrame(rows or [(0, 0)], "_b int, _off long")
 
-    w = Window.partitionBy("_pid").orderBy(*order_cols())
+    w = Window.partitionBy("_b").orderBy(*order_cols())
     out = (
-        ordered.withColumn("_pid", F.spark_partition_id())
+        inp.withColumn("_b", bucket)
         .withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(offsets_df), "_pid")
+        .join(F.broadcast(offsets_df), "_b")
         .withColumn("fetch_order", (F.col("_off") + F.col("_rn")).cast("int"))
-        .drop("_pid", "_rn", "_off")
+        .drop("_b", "_rn", "_off")
     )
     if limit is not None:
         out = out.filter(F.col("fetch_order") <= limit)
-    # let the caller release the sorted cache once the round is staged
-    out._ordered_cache = ordered  # type: ignore[attr-defined]
+    # let the caller release the cached selection once the round is staged
+    out._ordered_cache = inp  # type: ignore[attr-defined]
     return out
 
 

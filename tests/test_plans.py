@@ -39,18 +39,18 @@ def test_crawl_select_pushes_nothing_through_python(spark):
         assert marker not in plan, f"{marker} found in crawl-select plan"
 
 
-def test_global_order_is_range_partitioned_not_single_task(spark):
-    """The engine's total order must be a distributed range sort with a
-    per-partition rank — never a partition-less Window (single task)."""
+def test_global_order_is_bucketed_not_single_task(spark):
+    """The engine's total order must be a distributed bucketed rank —
+    never a partition-less Window (single task at 10^10 rows)."""
     f = datagen.seed_frontier_df(spark, 500, n_hosts=6, hot_share=0.4)
     out = global_order_and_limit(f, None, partitions=4)
     out.collect()
     plan = plan_of(out)
-    assert "rangepartitioning" in plan.lower(), plan
-    # every Window operator in the plan must carry a partition spec (_pid)
+    # every Window operator in the plan must carry the bucket partition spec
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
-            assert "_pid" in line, f"partition-less window: {line}"
+            assert "_b" in line, f"partition-less window: {line}"
+    assert "BroadcastHashJoin" in plan, plan  # offsets join must broadcast
     cache = getattr(out, "_ordered_cache", None)
     if cache is not None:
         cache.unpersist()
