@@ -65,6 +65,14 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+    # Warm the JVM (classloading, codegen, parquet footer reads) and the
+    # Python workers before timing — the first query otherwise absorbs
+    # ~8 s of one-time startup that a long-lived cluster never sees.
+    spark.range(0, cpus * 4, 1, cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    queries[HEADLINE[0]](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name in HEADLINE:
@@ -82,18 +90,29 @@ def main() -> None:
     n_seeds = max(2000, int(8_000_000 * sf))
     n_hosts = 24
 
+    # Stage on tmpfs: on a real N vs 4N cluster each executor writes to its
+    # OWN local disk, so staging bandwidth scales with the cluster. The
+    # sandbox has ONE shared virtio disk — staging there measures disk
+    # writeback contention (observed: parquet writes degrading 5→29 s under
+    # 32 concurrent writers), not engine scaling. tmpfs (128 GiB here)
+    # stands in for per-executor disks; override with SPARK_GRAFT_STAGE_DIR.
+    stage_base = os.environ.get(
+        "SPARK_GRAFT_STAGE_DIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+
     # Warmup: a tiny throwaway round spins up every Python worker (pandas/
     # pyarrow imports, ~0.3 s/core once per executor) and JIT-compiles the
     # codegen'd stages. Steady-state throughput is the metric — a real
     # cluster amortizes worker startup over thousands of rounds.
-    with tempfile.TemporaryDirectory(prefix="bench_warm_") as root:
+    with tempfile.TemporaryDirectory(prefix="bench_warm_", dir=stage_base) as root:
         warm_cat = Catalog(root)
         seed_catalog(spark, warm_cat, datagen.seed_frontier_df(
             spark, 4000, n_hosts=n_hosts, hot_share=0.4, partitions=cpus * 2))
         run_round(spark, warm_cat, 0, n_hosts=n_hosts,
                   default_budget=4000 // n_hosts, partitions=cpus * 2)
 
-    with tempfile.TemporaryDirectory(prefix="bench_cat_") as root:
+    with tempfile.TemporaryDirectory(prefix="bench_cat_", dir=stage_base) as root:
         cat = Catalog(root)
         seed_catalog(spark, cat, datagen.seed_frontier_df(
             spark, n_seeds, n_hosts=n_hosts, hot_share=0.4, partitions=cpus * 2))

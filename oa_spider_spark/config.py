@@ -26,7 +26,6 @@ LOSSY_QUANT = 4
 # reference's cron cadence, README_OLD.md:36-42).
 DEFAULT_HOST_BUDGET = 100
 
-# Salting factor for hot-host skew defusal at the fetch repartition
-# (SURVEY.md §4 item 1). At cluster scale this is derived from per-host
-# frontier counts; tests use the fixed default.
-DEFAULT_SALT = 8
+# Hot-host skew defusal at the fetch repartition (SURVEY.md §4 item 1)
+# salts by the partition count (politeness.salted_repartition) so a hot
+# host spreads across every fetch task; no fixed salt constant.

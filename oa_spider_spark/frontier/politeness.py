@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_HOST_BUDGET, DEFAULT_SALT
+from ..config import DEFAULT_HOST_BUDGET
 
 
 def kind_rank(col: Column | str = "kind") -> Column:
@@ -124,12 +124,24 @@ def global_order_and_limit(
     return out
 
 
-def salted_repartition(df: DataFrame, partitions: int, salt: int = DEFAULT_SALT) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, partitions: int, salt: int | None = None
+) -> DataFrame:
     """Repartition for the fetch stage on (host, salt) so one hot host
     spreads over `salt` tasks instead of one (SURVEY.md §4 item 1 — UDF
     stage skew is invisible to AQE's skew-join handling, so it is defused
-    at the partitioner)."""
+    at the partitioner).
+
+    `salt` defaults to the partition count: a host with ≥`partitions`
+    rows spreads across EVERY fetch task, so the stage's wall time is
+    bounded by total/partitions, not by the hot host's share. A fixed
+    small salt (e.g. 8) makes any task that hashes 2+ hot-host buckets a
+    straggler — measured 0.62 scaling efficiency at 4→16 cores before
+    this change. Per-host locality inside a task is irrelevant to
+    correctness (budgets were applied upstream) and a real fetch worker
+    keys its connection pool by host, not by task."""
+    s = salt or max(partitions, 1)
     return df.repartition(
         partitions,
-        F.concat_ws("#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt)).cast("string")),
+        F.concat_ws("#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(s)).cast("string")),
     )

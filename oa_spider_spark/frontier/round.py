@@ -30,7 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_HOST_BUDGET, DEFAULT_SALT, MAX_ATTEMPTS
+from ..config import DEFAULT_HOST_BUDGET, MAX_ATTEMPTS
 from ..tables import Catalog
 from .canon import with_url_columns
 from .fetch import fetch_stage
@@ -129,7 +129,7 @@ def run_round(
     use_bloom: bool = True,
     hosts_table: DataFrame | None = None,
     partitions: int | None = None,
-    salt: int = DEFAULT_SALT,
+    salt: int | None = None,
 ) -> RoundResult:
     frontier = catalog.read(spark, "frontier")
     if frontier is None:
@@ -184,16 +184,27 @@ def run_round(
     )
 
     # nbytes (computed in the fetch stage) keeps these aggregations off
-    # the binary column — no full payload re-scan per round
+    # the binary column — no full payload re-scan per round. Per-partition
+    # lineage carries the full status taxonomy so round totals are a
+    # driver-side sum over ≤nparts rows — no separate stats scan.
     lineage = (
         staged.groupBy("partition_id")
         .agg(
             F.count("*").alias("rows_in"),
             F.sum((F.col("status") == "ok").cast("long")).alias("rows_out"),
+            F.sum((F.col("status") == "retry").cast("long")).alias("rows_retry"),
+            F.sum((F.col("status") == "failed").cast("long")).alias("rows_failed"),
             F.coalesce(F.sum("nbytes"), F.lit(0)).alias("bytes_fetched"),
         )
         .withColumn("round", F.lit(round_id))
     )
+
+    # the link count rides the staging write as an Observation — no
+    # second scan of the new-frontier snapshot just to count it
+    from pyspark.sql import Observation
+
+    links_obs = Observation(f"links_r{round_id}")
+    new_frontier = new_frontier.observe(links_obs, F.count(F.lit(1)).alias("n"))
 
     staged_paths = {
         "fetched": [staged_fetch_path],
@@ -206,22 +217,25 @@ def run_round(
     }
     catalog.commit_round(round_id, staged_paths)
 
-    stats = staged.agg(
-        F.count("*").alias("selected"),
-        F.sum((F.col("status") == "ok").cast("long")).alias("ok"),
-        F.sum((F.col("status") == "retry").cast("long")).alias("retry"),
-        F.sum((F.col("status") == "failed").cast("long")).alias("failed"),
-        F.coalesce(F.sum("nbytes"), F.lit(0)).alias("bytes"),
-    ).collect()[0]
-    n_links = new_frontier.count()
+    totals = (
+        spark.read.parquet(*staged_paths["lineage"])
+        .agg(
+            F.sum("rows_in").alias("selected"),
+            F.sum("rows_out").alias("ok"),
+            F.sum("rows_retry").alias("retry"),
+            F.sum("rows_failed").alias("failed"),
+            F.sum("bytes_fetched").alias("bytes"),
+        )
+        .collect()[0]
+    )
     return RoundResult(
         round_id,
-        stats["selected"],
-        stats["ok"] or 0,
-        stats["retry"] or 0,
-        stats["failed"] or 0,
-        n_links,
-        stats["bytes"] or 0,
+        totals["selected"] or 0,
+        totals["ok"] or 0,
+        totals["retry"] or 0,
+        totals["failed"] or 0,
+        links_obs.get["n"],
+        totals["bytes"] or 0,
     )
 
 
