@@ -124,6 +124,80 @@ def global_order_and_limit(
     return out
 
 
+def budget_and_order(
+    df: DataFrame, default_budget: int = DEFAULT_HOST_BUDGET, limit: int | None = None
+) -> DataFrame:
+    """Fused politeness budget + global deterministic rank, fully
+    distributed (replaces apply_budget → global_order_and_limit on the
+    round's hot path).
+
+    `apply_budget`'s per-host window sorts a host's ENTIRE backlog in one
+    task — at 40% hot-host share that single sort is O(frontier) serial
+    work and caps scaling (measured: the level-independent wall time grew
+    from 19 s to 28 s when the round doubled). Decomposing by the leading
+    sort key kills it:
+
+      1. rows bucket by clamped priority `_b` (every row of bucket b
+         outranks every row of bucket b+1 within its host and globally);
+      2. per-(host, _b) counts + a ≤100-row-per-host running sum give
+         `take` = how many rows of that cell make the host's budget —
+         cells past the cutoff drop without ever being sorted;
+      3. `row_number` within (host, _b) — cells are ≈1/100 of a host, so
+         the hot host's sort becomes 100 parallel small sorts;
+      4. global `fetch_order` = per-_b offsets (≤100-row running sum) +
+         `row_number` within _b over the budget survivors.
+
+    Everything is JVM window/agg work on ≤100-row metadata frames except
+    the two cell-level windows; there is NO driver collect (scale-safe at
+    10^6 hosts: the (host,_b) join is a plain equi-join Catalyst sizes
+    itself). Ordering is bit-identical to the unfused pipeline — the
+    equivalence suite pins it against the sequential simulator."""
+    from pyspark import StorageLevel
+
+    inp = df.persist(StorageLevel.MEMORY_AND_DISK)
+    bucket = F.least(F.greatest(F.lit(99) - F.col("priority"), F.lit(0)), F.lit(99))
+
+    cnts = inp.groupBy(F.col("host"), bucket.alias("_b")).agg(
+        F.count("*").alias("_n"), F.max("budget_per_round").alias("_bud")
+    )
+    w_host = (
+        Window.partitionBy("host").orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.coalesce(F.col("_bud"), F.lit(default_budget)).cast("long")
+    cum_before = F.coalesce(F.sum("_n").over(w_host), F.lit(0))
+    takes = (
+        cnts.withColumn("_take", F.least(F.col("_n"), F.greatest(budget - cum_before, F.lit(0))))
+        .filter(F.col("_take") > 0)
+        .select("host", "_b", "_take")
+    )
+
+    # global rank offsets over the SELECTED rows: ≤100-row running sum
+    w_glob = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        takes.groupBy("_b")
+        .agg(F.sum("_take").alias("_sel"))
+        .withColumn("_off", F.coalesce(F.sum("_sel").over(w_glob), F.lit(0)))
+        .select("_b", "_off")
+    )
+
+    w_cell = Window.partitionBy("host", "_b").orderBy(*order_cols())
+    w_bucket = Window.partitionBy("_b").orderBy(*order_cols())
+    out = (
+        inp.withColumn("_b", bucket)
+        .join(takes, ["host", "_b"])
+        .withColumn("_hr", F.row_number().over(w_cell))
+        .filter(F.col("_hr") <= F.col("_take"))
+        .withColumn("_rn", F.row_number().over(w_bucket))
+        .join(F.broadcast(offsets), "_b")
+        .withColumn("fetch_order", (F.col("_off") + F.col("_rn")).cast("int"))
+        .drop("_b", "_hr", "_take", "_rn", "_off")
+    )
+    if limit is not None:
+        out = out.filter(F.col("fetch_order") <= limit)
+    out._ordered_cache = inp  # type: ignore[attr-defined]
+    return out
+
+
 def salted_repartition(
     df: DataFrame, partitions: int, salt: int | None = None
 ) -> DataFrame:
@@ -132,16 +206,22 @@ def salted_repartition(
     stage skew is invisible to AQE's skew-join handling, so it is defused
     at the partitioner).
 
-    `salt` defaults to the partition count: a host with ≥`partitions`
-    rows spreads across EVERY fetch task, so the stage's wall time is
-    bounded by total/partitions, not by the hot host's share. A fixed
-    small salt (e.g. 8) makes any task that hashes 2+ hot-host buckets a
-    straggler — measured 0.62 scaling efficiency at 4→16 cores before
-    this change. Per-host locality inside a task is irrelevant to
-    correctness (budgets were applied upstream) and a real fetch worker
-    keys its connection pool by host, not by task."""
-    s = salt or max(partitions, 1)
+    `salt=None` (default) is the limiting case salt→∞: partition by
+    `url_hash` itself, i.e. per-ROW spread. Every fetch task gets
+    total/partitions rows (±hash noise <1% at 10^5+ rows) regardless of
+    how skewed the host distribution is, so the stage's wall time is the
+    mean, not a straggler's. Coarser alternatives measured worse: a fixed
+    salt of 8 → 0.62 scaling efficiency at 4→16 cores (a task hashing 2+
+    hot-host buckets runs ~2× the mean); salt=partitions → ~0.66 (Poisson
+    collisions of hot-host keys over partitions still leave a 1.5-2×
+    tail). Per-host task affinity is irrelevant to correctness — budgets
+    were applied upstream, and a real fetch worker keys its connection
+    pool by host within whatever batch it receives. Pass an integer
+    `salt` for host#bucket keys (k buckets per host) if a deployment
+    wants coarse host affinity anyway."""
+    if salt is None:
+        return df.repartition(partitions, F.col("url_hash"))
     return df.repartition(
         partitions,
-        F.concat_ws("#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(s)).cast("string")),
+        F.concat_ws("#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt)).cast("string")),
     )

@@ -35,9 +35,7 @@ from ..tables import Catalog
 from .canon import with_url_columns
 from .fetch import fetch_stage
 from .politeness import (
-    apply_budget,
-    global_order_and_limit,
-    order_cols,
+    budget_and_order,
     robots_allowed,
     salted_repartition,
 )
@@ -140,8 +138,7 @@ def run_round(
     active = dedup_frontier(frontier).filter(F.col("depth") <= max_depth)
     active = anti_join_seen(active, seen, use_bloom=use_bloom)
     active = robots_allowed(active, hosts_table)
-    active = apply_budget(active, default_budget)
-    selected_full = global_order_and_limit(active, round_limit, partitions=partitions)
+    selected_full = budget_and_order(active, default_budget, round_limit)
     selected = selected_full.drop(
         "budget_per_round", "crawl_delay_ms", "robots_disallow", "proxy"
     )

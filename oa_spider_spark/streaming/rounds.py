@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_HOST_BUDGET
 from ..frontier.fetch import fetch_stage
-from ..frontier.politeness import apply_budget, global_order_and_limit, salted_repartition
+from ..frontier.politeness import budget_and_order, salted_repartition
 from ..frontier.round import FRONTIER_COLS, dedup_frontier
 from ..tables import Catalog
 
@@ -69,7 +69,7 @@ def streaming_crawl(
         if seen is not None:
             active = active.join(seen.select("url_hash"), "url_hash", "left_anti")
         active = active.withColumn("budget_per_round", F.lit(default_budget))
-        selected = global_order_and_limit(apply_budget(active)).drop("budget_per_round")
+        selected = budget_and_order(active, default_budget).drop("budget_per_round")
         # over-budget rows are NOT dropped: they re-enter the frontier
         # table as backlog for the next round (the batch engine's
         # unselected-rows-stay semantics, frontier/round.py)

@@ -19,7 +19,7 @@ def main() -> None:
     n_seeds = int(os.environ.get("N_SEEDS", "50000"))
     from oa_spider_spark import datagen
     from oa_spider_spark.frontier.politeness import (
-        apply_budget, global_order_and_limit, robots_allowed, salted_repartition,
+        budget_and_order, robots_allowed, salted_repartition,
     )
     from oa_spider_spark.frontier.round import dedup_frontier, seed_catalog
     from oa_spider_spark.frontier.seen import anti_join_seen
@@ -31,7 +31,10 @@ def main() -> None:
     n_hosts = 24
     t = {}
 
-    with tempfile.TemporaryDirectory(prefix="prof_cat_") as root:
+    stage_base = os.environ.get(
+        "SPARK_GRAFT_STAGE_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    with tempfile.TemporaryDirectory(prefix="prof_cat_", dir=stage_base) as root:
         cat = Catalog(root)
         t0 = time.perf_counter()
         seed_catalog(spark, cat, datagen.seed_frontier_df(
@@ -51,14 +54,11 @@ def main() -> None:
         active = dedup_frontier(frontier).filter(F.col("depth") <= 2)
         active = anti_join_seen(active, None)
         active = robots_allowed(active, None)
-        active = apply_budget(active, budget)
         n_budget = active.count()
         t["selection_to_budget"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        selected = global_order_and_limit(active, None, partitions=cpus * 2).drop(
-            "budget_per_round"
-        )
+        selected = budget_and_order(active, budget).drop("budget_per_round")
         n_sel = selected.count()
         t["global_order"] = time.perf_counter() - t0
 

@@ -92,6 +92,36 @@ Raw JSON:
 {json.dumps(lo)}
 {json.dumps(hi)}
 ```
+
+## Notes — how the sandbox numbers extrapolate to a 1000-executor cluster
+
+* **What scales linearly by construction.** Every per-round stage shuffles on
+  keys whose cardinality grows with the data, not the cluster: frontier dedup
+  is a map-side-combined hash aggregate on `url_hash` (uniform); the Bloom
+  probe is co-partitioned on `pmod(url_hash, P)` with P sized to the cluster;
+  the fetch stage is salted so a hot host spreads over EVERY task. No stage
+  collects more than ~100 rows (bucket offsets) or a few KB (Bloom shard
+  metadata) to the driver.
+* **The one O(rows) driver interaction** is the bucket-offset collect of the
+  global rank (≤100 rows/round, one per priority bucket) — independent of
+  frontier size.
+* **10^10-URL frontier math.** At the measured per-core fetch cost (~2.4 ms:
+  synthetic decode+hash stands in for HTTP+JPEG decode), a 1000-executor ×
+  4-core cluster sustains ~1.7M URLs/sec → a 10^10-URL frontier drains in
+  ~100 minutes of fetch time. Frontier/seen tables at 10^10 rows × ~120 B
+  ≈ 1.2 TB — 2400 parquet partitions of 500 MB; the dedup + anti-join
+  shuffles move only key+metadata columns (no payloads). Payload staging
+  writes (~17 TB/round at 1.7 KB/image) go to executor-local disks/object
+  storage, scaling with executor count.
+* **Run-to-run variance.** The sandbox is a shared VM with bursty CPU steal
+  (observed 2× wall-clock swings run-to-run, `st` up to 6% in vmstat);
+  best-of-{os.environ.get("SCALING_REPS", "2")} per level mitigates it. All
+  `all_runs_urls_per_sec` values are in the raw JSON above.
+* **Why staging is on tmpfs.** Each executor on a real cluster writes staged
+  snapshots to its own disks, so staging bandwidth scales with the cluster;
+  the sandbox's single shared virtio disk does not (parquet writes were
+  observed degrading 5→29 s under 32 concurrent writers). tmpfs stands in
+  for per-executor disks; `SPARK_GRAFT_STAGE_DIR` overrides.
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)

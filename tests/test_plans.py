@@ -79,3 +79,36 @@ def test_fetch_stage_is_arrow_not_row_python(spark):
     plan = plan_of(out)
     assert "PythonMapInArrow" in plan or "MapInArrow" in plan, plan
     assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in fetch path"
+
+
+def test_budget_and_order_matches_unfused_pipeline(spark):
+    """The fused budget+rank operator (round hot path) must produce the
+    exact selection and fetch_order of the reference pipeline
+    apply_budget → global_order_and_limit, and its data windows must be
+    partitioned by the (host, bucket)/(bucket) cells — the hot host's
+    backlog must never be sorted in one task."""
+    from oa_spider_spark.frontier.politeness import apply_budget, budget_and_order
+
+    f = datagen.seed_frontier_df(spark, 3000, n_hosts=6, hot_share=0.5).withColumn(
+        "budget_per_round", F.lit(None).cast("int")
+    )
+    for limit in (None, 150):
+        fused = budget_and_order(f, 80, limit)
+        unfused = global_order_and_limit(apply_budget(f, 80), limit)
+        got = [(r["url_hash"], r["fetch_order"]) for r in fused.orderBy("fetch_order").collect()]
+        want = [(r["url_hash"], r["fetch_order"]) for r in unfused.orderBy("fetch_order").collect()]
+        assert got == want and len(got) > 0
+        for df in (fused, unfused):
+            cache = getattr(df, "_ordered_cache", None)
+            if cache is not None:
+                cache.unpersist()
+
+    fused = budget_and_order(f, 80)
+    fused.collect()
+    plan = plan_of(fused)
+    for line in plan.splitlines():
+        if "row_number" in line and "windowspecdefinition" in line.lower():
+            assert "_b" in line, f"data window not bucket-partitioned: {line}"
+    cache = getattr(fused, "_ordered_cache", None)
+    if cache is not None:
+        cache.unpersist()
