@@ -34,17 +34,6 @@ def run_bench_once(cpus: int, sf_dir: str) -> dict:
     return json.loads(lines[-1])
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
-    """Best-of-N (default 2, env SCALING_REPS): the sandbox is a shared
-    VM with run-to-run CPU variance of up to ~1.5×; best-of mitigates
-    interference, which is standard throughput-benchmark practice."""
-    reps = int(os.environ.get("SCALING_REPS", "2"))
-    runs = [run_bench_once(cpus, sf_dir) for _ in range(reps)]
-    best = max(runs, key=lambda r: r["throughput"]["frontier_urls_per_sec"])
-    best["all_runs_urls_per_sec"] = [r["throughput"]["frontier_urls_per_sec"] for r in runs]
-    return best
-
-
 def main() -> None:
     # Default N=4 → 4N=16 on the 32-core sandbox host: BOTH levels must
     # leave headroom for the JVM's own service threads (shuffle/Arrow
@@ -53,8 +42,31 @@ def main() -> None:
     # task threads on 32 cores) and measure the host, not the engine.
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    lo = run_bench(n, sf_dir)
-    hi = run_bench(4 * n, sf_dir)
+
+    # The sandbox is a shared VM whose available CPU drifts by ~1.4× on a
+    # scale of minutes-to-hours (hypervisor steal). Running all N-core
+    # reps then all 4N-core reps lets one slow hour poison the ratio, so
+    # reps are INTERLEAVED (lo,hi), (lo,hi), ... — each pair samples the
+    # same machine state — and the reported efficiency is the median of
+    # the per-pair efficiencies. Stage-level event-log analysis shows the
+    # fetch stage is balanced (32 equal tasks, zero stragglers), so
+    # remaining pair-to-pair spread is host noise, not the engine.
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    pairs = []
+    for _ in range(reps):
+        pairs.append((run_bench_once(n, sf_dir), run_bench_once(4 * n, sf_dir)))
+
+    def pair_eff(p):
+        return (p[1]["throughput"]["frontier_urls_per_sec"]
+                / p[0]["throughput"]["frontier_urls_per_sec"]) / 4
+
+    pairs.sort(key=pair_eff)
+    lo, hi = pairs[len(pairs) // 2]  # median-efficiency pair
+    lo["all_pairs_eff"] = [round(pair_eff(p), 3) for p in pairs]
+    lo["all_runs_urls_per_sec"] = [
+        (p[0]["throughput"]["frontier_urls_per_sec"],
+         p[1]["throughput"]["frontier_urls_per_sec"]) for p in pairs
+    ]
 
     t_lo, t_hi = lo["throughput"], hi["throughput"]
     eff = {
@@ -114,9 +126,13 @@ Raw JSON:
   writes (~17 TB/round at 1.7 KB/image) go to executor-local disks/object
   storage, scaling with executor count.
 * **Run-to-run variance.** The sandbox is a shared VM with bursty CPU steal
-  (observed 2× wall-clock swings run-to-run, `st` up to 6% in vmstat);
-  best-of-{os.environ.get("SCALING_REPS", "2")} per level mitigates it. All
-  `all_runs_urls_per_sec` values are in the raw JSON above.
+  (observed 2× wall-clock swings run-to-run, `st` up to 6% in vmstat).
+  Reps are interleaved (N, 4N) pairs so both levels sample the same machine
+  state; the reported numbers are the MEDIAN-efficiency pair. Per-pair
+  efficiencies and throughputs are in the raw JSON (`all_pairs_eff`,
+  `all_runs_urls_per_sec`). Stage-level event-log analysis of the fetch
+  stage shows 32 near-identical tasks (34-41 s, zero stragglers) — the
+  pair-to-pair spread is host noise, not engine skew.
 * **Why staging is on tmpfs.** Each executor on a real cluster writes staged
   snapshots to its own disks, so staging bandwidth scales with the cluster;
   the sandbox's single shared virtio disk does not (parquet writes were
