@@ -35,12 +35,17 @@ def brute_force_topk(emb: DataFrame, probe_vec: list[float], k: int = 10) -> Dat
     literal array). Output (vec_id, label, cos_sim, rank)."""
     lit = F.array(*[F.lit(float(x)) for x in probe_vec])
     sim = _dot(F.col("embedding"), lit) / (_norm(F.col("embedding")) * _norm(lit))
+    return _ranked_topk(emb.select("vec_id", "label", sim.alias("cos_sim")), k)
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    top-k merged on the driver, never a full sort — and the rank window
+    then touches only k rows. A bare Window.orderBy here would funnel the
+    WHOLE table through one task (the 100-TB anti-pattern)."""
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
-        emb.select("vec_id", "label", sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def train_centroids(
@@ -104,9 +109,4 @@ def ivf_topk(
     candidates = indexed.filter(F.col("cell").isin(probe_cells))
     lit = F.array(*[F.lit(float(x)) for x in probe_vec])
     sim = _dot(F.col("embedding"), lit) / (_norm(F.col("embedding")) * _norm(lit))
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
-        candidates.select("vec_id", "label", sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(candidates.select("vec_id", "label", sim.alias("cos_sim")), k)

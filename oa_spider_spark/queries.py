@@ -110,10 +110,12 @@ def q_crawl_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = f.join(seen_df(spark, sf_dir), "event_id", "left_anti")
     w = Window.partitionBy("host").orderBy(*_order())
     f = f.withColumn("host_rank", F.row_number().over(w)).filter(F.col("host_rank") <= BUDGET)
+    # distributed top-500 (TakeOrderedAndProject), then rank only 500 rows —
+    # the engine's round uses the fully-bucketed variant (budget_and_order)
+    top = f.orderBy(*_order()).limit(500)
     g = Window.orderBy(*_order())
     return (
-        f.withColumn("fetch_order", F.row_number().over(g))
-        .filter(F.col("fetch_order") <= 500)
+        top.withColumn("fetch_order", F.row_number().over(g))
         .select("fetch_order", "url", "host", "kind", "priority", "event_id")
     )
 
@@ -189,10 +191,10 @@ def q_topk_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1-O3 — global deterministic crawl order, top-K (docs before
     mails, CreatedTime desc — reference oa.py:553-569, oa.py:455)."""
     f = frontier_df(spark, sf_dir)
+    top = f.orderBy(*_order()).limit(TOPK)  # TakeOrderedAndProject, no global sort
     w = Window.orderBy(*_order())
     return (
-        f.withColumn("fetch_order", F.row_number().over(w))
-        .filter(F.col("fetch_order") <= TOPK)
+        top.withColumn("fetch_order", F.row_number().over(w))
         .select("fetch_order", "event_id", "kind", "priority")
     )
 
@@ -610,12 +612,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate("probe", F.lit(0.0), lambda acc, v: acc + v * v))
     sim = F.round(dot / (na * nb), 6)
+    # orderBy+limit = TakeOrderedAndProject (distributed top-k); the rank
+    # window then touches only TOPK rows — never a whole-table window
+    scored = x.select("vec_id", "label", sim.alias("cos_sim"))
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOPK)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
-        x.select("vec_id", "label", sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 SQL_COSINE_TOPK = f"""
