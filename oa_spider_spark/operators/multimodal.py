@@ -237,3 +237,27 @@ def phash_hamming_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def decode_text(df: DataFrame, charset: str = "GBK", bytes_col: str = "body",
+                out_col: str = "text") -> DataFrame:
+    """Parse-stage charset decode (reference F16: `r.content.decode('GBK')`,
+    oa.py:931,963). Spark's built-in `F.decode` only covers the UTF/ASCII
+    family, so legacy-charset decode rides the Arrow parse stage like the
+    rest of the HTML/JSON parsing (SURVEY.md S5/F15) — batch-at-a-time,
+    never a row UDF. Undecodable payloads yield NULL (the reference would
+    raise; a crawl engine dead-letters instead)."""
+    in_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def fn(batch: pa.RecordBatch) -> pa.RecordBatch:
+        datas = batch.column(bytes_col).to_pylist()
+        texts = []
+        for data in datas:
+            try:
+                texts.append(None if data is None else bytes(data).decode(charset))
+            except (UnicodeDecodeError, LookupError):
+                texts.append(None)
+        cols = list(batch.columns) + [pa.array(texts, pa.string())]
+        return pa.RecordBatch.from_arrays(cols, names=batch.schema.names + [out_col])
+
+    return _map_arrow(df, fn, f"{in_ddl}, {out_col} string")

@@ -1160,3 +1160,19 @@ ORACLES.update(
         # the rest are rows-only (hash-/binary-dependent, non-SQL)
     }
 )
+
+def q_gbk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 — legacy-charset (GBK) decode in the Arrow parse stage
+    (reference r.content.decode('GBK'), oa.py:931,963). Binary in, string
+    out; rows-only (DuckDB has no GBK), round-trip pinned in tests."""
+    from .operators.multimodal import decode_text
+
+    texts = [f"通知文件{i}公告会议第{i % 7}号" for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, bytearray(t.encode("gbk"))) for i, t in enumerate(texts)],
+        "doc_id int, body binary",
+    )
+    return decode_text(df, "GBK").select("doc_id", "text")
+
+
+QUERIES["q_gbk_decode"] = q_gbk_decode

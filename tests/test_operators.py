@@ -241,3 +241,17 @@ def test_phash_hamming_pairs_finds_reencode(spark, images_df):
     out = multimodal.phash_hamming_pairs(images_df, max_hamming=6)
     found = {(r["img_a"], r["img_b"]) for r in out.collect()}
     assert ("img000", "img900") in found
+
+
+def test_decode_text_gbk_roundtrip(spark):
+    from oa_spider_spark.operators.multimodal import decode_text
+
+    texts = ["通知文件公告", "会议培训报告", "第3号批复函"]
+    df = spark.createDataFrame(
+        [(i, bytearray(t.encode("gbk"))) for i, t in enumerate(texts)]
+        + [(99, bytearray(b"\xff\xfe\x81"))],  # undecodable -> NULL
+        "doc_id int, body binary",
+    )
+    rows = {r["doc_id"]: r["text"] for r in decode_text(df, "GBK").collect()}
+    assert [rows[i] for i in range(3)] == texts
+    assert rows[99] is None
