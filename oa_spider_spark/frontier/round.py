@@ -124,7 +124,7 @@ def run_round(
     default_budget: int = DEFAULT_HOST_BUDGET,
     round_limit: int | None = None,
     max_depth: int = 2,
-    use_bloom: bool = True,
+    use_bloom: bool | str = "auto",
     hosts_table: DataFrame | None = None,
     partitions: int | None = None,
     salt: int | None = None,

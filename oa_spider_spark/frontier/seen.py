@@ -74,62 +74,79 @@ def mark_maybe_seen(
     frontier: DataFrame, bloom: DataFrame, n_shards: int, m_bits_per_shard: int, k: int
 ) -> DataFrame:
     """Attach `maybe_seen` to the frontier by probing the co-partitioned
-    Bloom shards. Rows on shards with no bitmap are definitely new."""
+    Bloom shards via **cogrouped applyInPandas**: the frontier's shard
+    group and the (single-row) bitmap group meet in one task, so each
+    shard's bitmap materializes ONCE per task. The earlier join-then-map
+    formulation put a copy of the bitmap on EVERY row — a 4096-row Arrow
+    batch carried ~0.6 GB of repeated bitmap at 1M seen URLs and made the
+    probe slower than the exact join it was gating (measured 601 s vs
+    108 s per round). Rows in shards with no bitmap are definitely new."""
     withshard = frontier.withColumn(
         "shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
     )
-    joined = withshard.join(bloom, "shard", "left")
-
-    def probe(it):
-        # Vectorized per shard group (≤ n_shards iterations per batch, each
-        # an O(rows_in_group × k) numpy gather) — no per-row Python.
-        for pdf in it:
-            out = np.zeros(len(pdf), dtype=bool)
-            if len(pdf):
-                hashes = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
-                pos = _positions(hashes, m_bits_per_shard, k)
-                shards = pdf["shard"].to_numpy()
-                bits_col = pdf["bits"]
-                for s in np.unique(shards):
-                    idx = np.flatnonzero(shards == s)
-                    b = bits_col.iloc[int(idx[0])]
-                    if b is None:
-                        continue
-                    arr = np.frombuffer(b, dtype=np.uint8)
-                    p = pos[idx]
-                    hit = (arr[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
-                    out[idx] = hit.all(axis=1)
-            yield pdf.drop(columns=["bits"]).assign(maybe_seen=out)
-
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in joined.schema.fields if f.name != "bits"
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in withshard.schema.fields
     ) + ", maybe_seen boolean"
-    return joined.mapInPandas(probe, schema=schema)
+
+    def probe(rows: pd.DataFrame, bmp: pd.DataFrame) -> pd.DataFrame:
+        if not len(rows):
+            return rows.assign(maybe_seen=pd.Series([], dtype=bool))
+        if not len(bmp) or bmp["bits"].iloc[0] is None:
+            return rows.assign(maybe_seen=False)
+        arr = np.frombuffer(bmp["bits"].iloc[0], dtype=np.uint8)
+        hashes = rows["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        pos = _positions(hashes, m_bits_per_shard, k)
+        hit = (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return rows.assign(maybe_seen=hit.all(axis=1))
+
+    return (
+        withshard.groupBy("shard")
+        .cogroup(bloom.groupBy("shard"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
+# Below this many seen URLs the plain JVM left_anti wins outright: the
+# whole seen side fits a broadcast/shuffle hash join and the Python probe
+# stage (worker startup + Arrow hops) costs more than it saves. The Bloom
+# shards pay off when the seen table is too big to re-shuffle against the
+# frontier every round (10^8+; the 10^10 design point is the north rule).
+BLOOM_MIN_SEEN = 20_000_000
 
 
 def anti_join_seen(
     frontier: DataFrame,
     seen: DataFrame | None,
-    use_bloom: bool = True,
-    n_shards: int = 8,
+    use_bloom: bool | str = "auto",
+    n_shards: int = 64,
     fpp: float = 0.01,
     est_seen: int | None = None,
 ) -> DataFrame:
     """Frontier rows NOT in the seen set (exact).
 
-    With `use_bloom`, the exact left_anti only processes Bloom
+    With the Bloom path, the exact left_anti only processes Bloom
     maybe-positives; definite-new rows bypass it. Without, it is a plain
     left_anti on url_hash (what Catalyst would row-filter itself with
     `spark.sql.optimizer.runtime.bloomFilter.enabled` inside one round —
     the explicit filter exists because the seen table persists across
     rounds, SURVEY.md §4 item 2).
+
+    `use_bloom="auto"` (default) measures the seen table and enables the
+    sharded probe only above BLOOM_MIN_SEEN — below that the probe is a
+    measured pessimization (extra Python stage > saved join work).
+    False positives can only cost an exact lookup, never drop a URL
+    (SURVEY.md §7 hard-part 2).
     """
     if seen is None:
         return frontier
     seen_keys = seen.select("url_hash")
+    n = est_seen if est_seen is not None else (
+        seen_keys.count() if use_bloom in (True, "auto") else 0
+    )
+    if use_bloom == "auto":
+        use_bloom = n >= BLOOM_MIN_SEEN
     if not use_bloom:
         return frontier.join(seen_keys, "url_hash", "left_anti")
-    n = est_seen if est_seen is not None else seen_keys.count()
     if n == 0:
         return frontier
     m_total, k = bloom_params(n, fpp)
