@@ -22,6 +22,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def md5h60(col):
+    """Portable 60-bit hash: first 15 hex chars of md5, as a non-negative
+    long. Bit-identical in DuckDB via ('0x' || substr(md5(x),1,15))::BIGINT
+    — the trick that lets hash-dependent operators (minhash, simhash,
+    fingerprint) carry full value-level oracles. xxhash64 stays the scale
+    default (one JVM op vs md5's digest + string slice + base conversion)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per distinct content hash; keeper = min doc_id (stable)."""
     return (
@@ -30,34 +39,49 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+def shingles(
+    docs: DataFrame, text_col: str = "text", k: int = 5, portable: bool = False
+) -> DataFrame:
     """Character k-shingles as 64-bit hashes: (doc_id, shingle_hash).
-    Distinct per doc. JVM-side: sequence + substring + xxhash64."""
+    Distinct per doc. JVM-side: sequence + substring + xxhash64
+    (portable=True switches to md5h60 for DuckDB-oracle parity)."""
     n = F.length(F.col(text_col))
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    sh = F.transform(idx, lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(k))))
+    hf = md5h60 if portable else F.xxhash64
+    sh = F.transform(idx, lambda i: hf(F.col(text_col).substr(i, F.lit(k))))
     return (
         docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle_hash"))
     )
 
 
 def minhash_signatures(
-    sh: DataFrame, n_hashes: int = 32, seed: int = 42
+    sh: DataFrame, n_hashes: int = 32, seed: int = 42, portable: bool = False
 ) -> DataFrame:
     """(doc_id, sig array<long>) — n_hashes min-hash values. Each hash i
-    is an affine remix of the shingle hash (splitmix-style constants
-    derived from `seed`), min-aggregated per doc: one shuffle."""
+    is a remix of the shingle hash, min-aggregated per doc: one shuffle.
+    Default remix is xxhash64(shingle XOR splitmix-constant); portable
+    mode remixes via md5h60(shingle || ':' || i) so DuckDB reproduces the
+    exact signature values."""
     def _signed(x: int) -> int:
         x &= 0xFFFFFFFFFFFFFFFF
         return x - (1 << 64) if x >= (1 << 63) else x
 
-    mixers = [
-        _signed(seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) for i in range(n_hashes)
-    ]
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle_hash").bitwiseXOR(F.lit(m)))).alias(f"h{i}")
-        for i, m in enumerate(mixers)
-    ]
+    if portable:
+        aggs = [
+            F.min(
+                md5h60(F.concat(F.col("shingle_hash").cast("string"), F.lit(f":{i}")))
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        mixers = [
+            _signed(seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9)
+            for i in range(n_hashes)
+        ]
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle_hash").bitwiseXOR(F.lit(m)))).alias(f"h{i}")
+            for i, m in enumerate(mixers)
+        ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
@@ -125,31 +149,36 @@ def minhash_dedup(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH blocking → exact
     Jaccard verify → connected pairs above threshold. Returns
-    (doc_a, doc_b, jaccard) survivors."""
-    sh = shingles(docs, text_col, k)
-    sig = minhash_signatures(sh, n_hashes)
+    (doc_a, doc_b, jaccard) survivors. portable=True makes every hash
+    md5-derived so the whole pipeline (candidates included) has a DuckDB
+    value oracle; default xxhash64 is the scale path."""
+    sh = shingles(docs, text_col, k, portable=portable)
+    sig = minhash_signatures(sh, n_hashes, portable=portable)
     pairs = lsh_candidate_pairs(sig, bands, n_hashes // bands)
     return jaccard_pairs(pairs, sh, threshold)
 
 
-def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash64(docs: DataFrame, text_col: str = "text", portable: bool = False) -> DataFrame:
     """64-bit SimHash over word tokens (JVM-only: explode + bit math).
-    Output (doc_id, simhash long)."""
+    Output (doc_id, simhash long). portable=True uses the 60-bit md5
+    token hash (top 4 bits zero) so DuckDB reproduces the fingerprint."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
-    h = F.xxhash64("token")
+    h = md5h60(F.col("token")) if portable else F.xxhash64("token")
+    n_bits = 60 if portable else 64
     bits = tok.groupBy("doc_id").agg(
         *[
             F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     fp = None
-    for b in range(64):
+    for b in range(n_bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return bits.select("doc_id", fp.alias("simhash"))

@@ -73,10 +73,17 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
-    """Rolling-hash document fingerprint (winnowing-style): min xxhash64
-    over all `window`-grams — one long per doc, shift-robust."""
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", window: int = 8, portable: bool = False
+) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): min hash
+    over all `window`-grams — one long per doc, shift-robust. Default
+    xxhash64 (scale path); portable=True uses the md5-60bit hash so the
+    value is reproducible in a DuckDB oracle."""
+    from .dedup import md5h60
+
     t = F.col(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.length(t) - window + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.xxhash64(t.substr(i, F.lit(window))))
+    hf = md5h60 if portable else F.xxhash64
+    grams = F.transform(idx, lambda i: hf(t.substr(i, F.lit(window))))
     return docs.select("doc_id", F.array_min(grams).alias("fingerprint"))

@@ -254,19 +254,21 @@ def q_digest_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     notification.py:22-31): count + deterministic sorted title list."""
     d = _t(spark, sf_dir, "documents")
     title = F.substring(F.col("text"), 1, 20).alias("title")
+    # titles is a scalar (joined string), not array<string>: the driver's
+    # hash canonicalization sorts the pandas frame and cannot hash lists.
     return (
         d.select("source", title)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list("title")).alias("titles"),
+            F.array_join(F.sort_array(F.collect_list("title")), "|").alias("titles"),
         )
     )
 
 
 SQL_DIGEST_COLLECT = """
 SELECT source, count(*) AS n_docs,
-       list_sort(list(substring(text, 1, 20))) AS titles
+       array_to_string(list_sort(list(substring(text, 1, 20))), '|') AS titles
 FROM documents GROUP BY source
 """
 
@@ -784,10 +786,17 @@ def q_running_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0))
     seq = F.row_number().over(w)
+    # exact integer division (Spark `div`) to mirror DuckDB's `//`: a
+    # double `/` + floor disagrees with exact integer division on
+    # boundary quotients (fp rounding). Values are non-negative, so
+    # floor-div and truncating-div semantics coincide.
     return e.select(
         "user_id", "event_id",
         cum.alias("cum_cents"),
-        F.floor(cum * 10 / seq).cast("long").alias("mean_milli"),
+        (cum * 10).alias("_c10"), seq.alias("_seq"),
+    ).select(
+        "user_id", "event_id", "cum_cents",
+        F.expr("_c10 div _seq").cast("long").alias("mean_milli"),
     )
 
 
@@ -993,42 +1002,129 @@ WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.4
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline (xxhash64 shingles → 32-hash
-    signatures → 8 bands → bucket join → exact Jaccard verify ≥ 0.8).
-    Hash-dependent candidate generation → rows-only driver check; the
-    hash-free Jaccard math is oracled by q_ngram_jaccard, and planted-dup
-    recovery is asserted in tests/test_operators.py."""
+    """MinHash+LSH near-dup pipeline (shingles → 32-hash signatures →
+    8 bands → bucket join → exact Jaccard verify ≥ 0.8). Run in portable
+    (md5-derived-hash) mode so the ENTIRE pipeline — candidate generation
+    included — has a DuckDB value oracle; the engine default stays
+    xxhash64 (same structure, cheaper hash), pinned equal-recall in
+    tests/test_operators.py."""
     from .operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.8).select(
+    return minhash_dedup(docs, threshold=0.8, portable=True).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
+# DuckDB twin of the full portable pipeline. Band buckets join on the raw
+# comma-joined signature slice: equality of the slice string is exactly
+# equality of Spark's xxhash64(slice string) bucket key (collisions aside).
+SQL_MINHASH_LSH = """
+WITH ser AS (
+  SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM documents))) AS i
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(substring(text, i, 5)), 1, 15))::BIGINT AS shingle_hash
+  FROM documents JOIN ser ON ser.i <= greatest(length(text) - 4, 1)
+), sig AS (
+  SELECT doc_id, h.i AS hi,
+         min(('0x' || substr(md5(shingle_hash::VARCHAR || ':' || h.i::VARCHAR), 1, 15))::BIGINT) AS mh
+  FROM sh, range(32) h(i)
+  GROUP BY doc_id, h.i
+), bands AS (
+  SELECT doc_id, hi // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY hi) AS bucket
+  FROM sig GROUP BY doc_id, hi // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle_hash = sa.shingle_hash
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (za.sz + zb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE n_inter * 1.0 / (za.sz + zb.sz - n_inter) >= 0.8
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprint (xxhash64 → rows-only check;
-    determinism + shift-robustness asserted in tests)."""
+    """Rolling-hash winnowing fingerprint, portable (md5-60bit) mode →
+    full DuckDB value oracle; xxhash64 default stays the scale path
+    (determinism + shift-robustness pinned in tests)."""
     from .operators.text import fingerprint
 
-    return fingerprint(_t(spark, sf_dir, "documents"))
+    return fingerprint(_t(spark, sf_dir, "documents"), portable=True)
+
+
+SQL_DOC_FINGERPRINT = """
+WITH ser AS (
+  SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM documents))) AS i
+), g AS (
+  SELECT doc_id, ('0x' || substr(md5(substring(text, i, 8)), 1, 15))::BIGINT AS h
+  FROM documents JOIN ser ON ser.i <= greatest(length(text) - 7, 1)
+)
+SELECT doc_id, min(h) AS fingerprint FROM g GROUP BY doc_id
+"""
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs via 16-bit block LSH (rows-only:
-    xxhash64-based)."""
+    """SimHash near-dup pairs via 16-bit block LSH, portable (md5-60bit
+    token hash) mode → full DuckDB oracle over fingerprints, blocking,
+    and Hamming verify alike."""
     from .operators.dedup import simhash64, simhash_near_pairs
 
-    return simhash_near_pairs(simhash64(_t(spark, sf_dir, "documents")), max_hamming=10)
+    pairs = simhash_near_pairs(
+        simhash64(_t(spark, sf_dir, "documents"), portable=True), max_hamming=10
+    )
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+SQL_SIMHASH_NEAR_PAIRS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), tb AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM tok WHERE token <> ''
+), sums AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tb, range(60) b(b)
+  GROUP BY doc_id, b.b
+), sh AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, simhash, i.i AS blk, (simhash >> CAST(i.i * 16 AS INT)) & 65535 AS val
+  FROM sh, range(4) i(i)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sha, b.simhash AS shb
+  FROM blocks a JOIN blocks b USING (blk, val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= 10
+"""
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH buckets +
-    exact cosine ≥ 0.9 inside buckets (rows-only; exact-cosine math is
-    oracled by q_cosine_topk). The real embeddings are mutually distant,
-    so deterministic near-duplicates (vec_id+10^6, scaled by 1.001 —
-    cosine 1.0) are planted for the first 20 vectors; the operator must
-    recover them."""
+    exact cosine ≥ 0.9 inside buckets. Oracled: the hyperplanes are
+    deterministic from seed 7, so SQL_EMBEDDING_NEAR_DUPS embeds the
+    identical plane values as DOUBLE[] literals and reproduces bucketing
+    + verify exactly. Deterministic near-duplicates (vec_id+10^6, scaled
+    by 1.001 — cosine 1.0) are planted for the first 20 vectors; the
+    operator must recover them."""
     from .operators.dedup import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -1042,6 +1138,43 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb.unionByName(planted), threshold=0.9).select(
         "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
     )
+
+
+def _sql_embedding_near_dups(dim: int = 64, n_planes: int = 12, seed: int = 7) -> str:
+    """DuckDB twin of q_embedding_near_dups: the seed-7 hyperplanes are
+    embedded as DOUBLE[] literals (repr() round-trips doubles exactly, so
+    both engines score against bit-identical planes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    bucket = "\n    + ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(float(x)) for x in planes[i])
+        + "]::DOUBLE[]) > 0 THEN " + str(1 << i) + " ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(embedding::DOUBLE[], x -> x * 1.001) AS e
+  FROM embeddings WHERE vec_id < 20
+), bucketed AS (
+  SELECT vec_id, e, {bucket} AS bucket
+  FROM emb
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+FROM bucketed a JOIN bucketed b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+"""
+
+
+SQL_EMBEDDING_NEAR_DUPS = _sql_embedding_near_dups()
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,6 +1237,16 @@ def q_captcha_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return captcha_solve(df)
 
 
+# Ground-truth recomputation: the rendered codes are (i*2467+123) % 10000,
+# so the oracle regenerates what the pixel pipeline must recover. A wrong
+# binarize/segment/match step shows up as a value mismatch.
+SQL_CAPTCHA_PIPELINE = """
+SELECT 'cap' || lpad(i::VARCHAR, 3, '0') AS image_id,
+       lpad(((i * 2467 + 123) % 10000)::VARCHAR, 4, '0') AS code
+FROM range(40) t(i)
+"""
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — Arrow-batch bilinear resize to 32x32 thumbnails
     (rows-only; exactness pinned in tests/test_operators.py)."""
@@ -1157,14 +1300,23 @@ ORACLES.update(
     {
         "q_lang_id": SQL_LANG_ID,
         "q_ngram_jaccard": SQL_NGRAM_JACCARD,
-        # the rest are rows-only (hash-/binary-dependent, non-SQL)
+        "q_minhash_lsh": SQL_MINHASH_LSH,
+        "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "q_simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
+        "q_embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "q_captcha_pipeline": SQL_CAPTCHA_PIPELINE,
+        # rows-only (binary payloads / non-portable numerics, pinned by
+        # pytest instead): q_ivf_ann, q_image_decode_stats,
+        # q_phash_near_dup_images, q_image_resize, q_frame_sample
     }
 )
 
 def q_gbk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F16 — legacy-charset (GBK) decode in the Arrow parse stage
     (reference r.content.decode('GBK'), oa.py:931,963). Binary in, string
-    out; rows-only (DuckDB has no GBK), round-trip pinned in tests."""
+    out. Oracled by ground-truth recomputation: the plaintext is a
+    deterministic function of i, so the oracle regenerates what the
+    decode stage must produce from the GBK bytes."""
     from .operators.multimodal import decode_text
 
     texts = [f"通知文件{i}公告会议第{i % 7}号" for i in range(60)]
@@ -1175,4 +1327,11 @@ def q_gbk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_text(df, "GBK").select("doc_id", "text")
 
 
+SQL_GBK_DECODE = """
+SELECT CAST(i AS INT) AS doc_id,
+       '通知文件' || i::VARCHAR || '公告会议第' || (i % 7)::VARCHAR || '号' AS text
+FROM range(60) t(i)
+"""
+
 QUERIES["q_gbk_decode"] = q_gbk_decode
+ORACLES["q_gbk_decode"] = SQL_GBK_DECODE

@@ -31,8 +31,9 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> str | None:
     if len(sdf) != len(odf):
         return f"rows {len(sdf)} != {len(odf)}"
     cols = sorted(sdf.columns)
-    a = sdf[cols].sort_values(cols, ignore_index=True, key=lambda s: s.astype(str))
-    b = odf[cols].sort_values(cols, ignore_index=True, key=lambda s: s.astype(str))
+    # plain sort_values like the driver — unhashable cells must fail here
+    a = sdf[cols].sort_values(cols, ignore_index=True)
+    b = odf[cols].sort_values(cols, ignore_index=True)
     for c in cols:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":

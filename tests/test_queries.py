@@ -40,8 +40,11 @@ def test_query_matches_oracle(spark, ddb, name):
     assert sorted(sdf.columns) == sorted(odf.columns), f"{name}: column mismatch"
     assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != {len(odf)}"
     cols = sorted(sdf.columns)
-    a = sdf[cols].sort_values(cols, ignore_index=True, key=lambda s: s.astype(str))
-    b = odf[cols].sort_values(cols, ignore_index=True, key=lambda s: s.astype(str))
+    # plain sort_values, exactly like the driver's canonicalization — no
+    # astype(str) escape hatch: a query returning unhashable cells (lists)
+    # must fail HERE, not only in the driver (VERDICT r01 §wrong-1).
+    a = sdf[cols].sort_values(cols, ignore_index=True)
+    b = odf[cols].sort_values(cols, ignore_index=True)
     for c in cols:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
