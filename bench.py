@@ -46,6 +46,7 @@ HEADLINE = [
     "q_quality_score",
     "q_sessionize",
     "q_arrays_zip_join",
+    "q_html_parse",
 ]
 
 
@@ -71,7 +72,11 @@ def main() -> None:
     spark.range(0, cpus * 4, 1, cpus).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
-    queries[HEADLINE[0]](spark, sf_dir).count()
+    # warm EVERY headline query once so each timed run is a uniformly
+    # warm second execution — warming only the first would hand that one
+    # query a page-cache/codegen advantage and skew relative timings
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()

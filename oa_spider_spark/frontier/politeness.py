@@ -77,45 +77,60 @@ def apply_budget(
 
 
 def global_order_and_limit(
-    df: DataFrame, limit: int | None = None, partitions: int | None = None
+    df: DataFrame,
+    limit: int | None = None,
+    partitions: int | None = None,
+    subbuckets: int = 256,
 ) -> DataFrame:
     """Global deterministic order + optional round limit, with the fetch
     sequence number materialized as `fetch_order` (basis of the
     crawl-order equivalence tests).
 
     A bare `Window.orderBy(...)` row_number would funnel every row through
-    ONE task — a non-starter at 10^10 frontier rows. Instead, a
-    **bucketed global rank**: rows bucket by clamped priority (the leading
-    sort key), so every row of bucket b precedes every row of bucket b+1
-    in the total order regardless of the other keys — clamped outliers
-    still order correctly because the in-bucket window re-sorts by the
-    full key. Global rank = (broadcast) bucket offset + in-bucket
-    row_number. One tiny count job (≤100 rows to the driver), one
-    shuffle, all JVM — no range-boundary sampling, no dependence on
-    physical partition contents. The selection is persisted so the count
-    job and the rank job don't re-run the upstream window DAG twice.
-    """
+    ONE task — a non-starter at 10^10 frontier rows. And bucketing by the
+    leading sort key alone is not enough: with only ~100 priority values,
+    each in-bucket window is still ~1% of the frontier in ONE task.
+    So the rank is decomposed on the first TWO sort keys:
+
+      * `_b`  — clamped priority (leading key, ~100 values);
+      * `_s`  — `created_ms` quantized into `subbuckets` ranges, negated
+        (the second key sorts DESC), so ascending (_b, _s) is a prefix of
+        the total order: rows in earlier cells outrank all later cells,
+        and the in-cell window re-sorts by the full key.
+
+    Global rank = (broadcast) cell offset + in-cell row_number. Offsets
+    come from a groupBy(_b,_s) count + a running sum over that ≤100×
+    subbuckets-row METADATA frame (partition-less window over metadata is
+    fine; over data it never is). Per-cell work is ~1/(100·subbuckets) of
+    the frontier — bounded single-task sorts at any scale. The only
+    driver round-trip is a 2-value min/max bounds agg. The selection is
+    persisted so the bounds/count jobs and the rank job don't re-run the
+    upstream DAG."""
     from pyspark import StorageLevel
 
     inp = df.persist(StorageLevel.MEMORY_AND_DISK)
     bucket = F.least(F.greatest(F.lit(99) - F.col("priority"), F.lit(0)), F.lit(99))
-    counts = {
-        r["_b"]: r["n"]
-        for r in inp.groupBy(bucket.alias("_b")).agg(F.count("*").alias("n")).collect()
-    }
-    rows, acc = [], 0
-    for b in sorted(counts):
-        rows.append((b, acc))
-        acc += counts[b]
-    offsets_df = df.sparkSession.createDataFrame(rows or [(0, 0)], "_b int, _off long")
+    bounds = inp.agg(F.min("created_ms").alias("lo"), F.max("created_ms").alias("hi")).collect()[0]
+    lo = bounds["lo"] if bounds["lo"] is not None else 0
+    span = max(1, (bounds["hi"] - lo + 1) if bounds["hi"] is not None else 1)
+    q = max(1, span // subbuckets)
+    sub = -F.expr(f"(created_ms - {lo}L) div {q}L").cast("long")
 
-    w = Window.partitionBy("_b").orderBy(*order_cols())
+    keyed = inp.withColumn("_b", bucket).withColumn("_s", sub)
+    w_off = Window.orderBy("_b", "_s").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("_b", "_s")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("_b", "_s", "_off")
+    )
+
+    w = Window.partitionBy("_b", "_s").orderBy(*order_cols())
     out = (
-        inp.withColumn("_b", bucket)
-        .withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(offsets_df), "_b")
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["_b", "_s"])
         .withColumn("fetch_order", (F.col("_off") + F.col("_rn")).cast("int"))
-        .drop("_b", "_rn", "_off")
+        .drop("_b", "_s", "_rn", "_off")
     )
     if limit is not None:
         out = out.filter(F.col("fetch_order") <= limit)

@@ -137,6 +137,8 @@ def anti_join_seen(
     False positives can only cost an exact lookup, never drop a URL
     (SURVEY.md §7 hard-part 2).
     """
+    if use_bloom not in (True, False, "auto"):
+        raise ValueError(f"use_bloom must be True, False or 'auto', got {use_bloom!r}")
     if seen is None:
         return frontier
     seen_keys = seen.select("url_hash")

@@ -187,4 +187,11 @@ def average_hash(arr: np.ndarray, hash_size: int = 8) -> int:
     counts = np.outer(np.diff(ys), np.diff(xs))
     blocks = sums / counts
     bits = (blocks > blocks.mean()).ravel()
-    return int(np.packbits(bits).view(">u8")[0].astype(np.int64))
+    # big-endian bit accumulate for ANY hash_size <= 8 (packbits pads the
+    # last byte with trailing zeros — shift them off); int64-wrap at 64
+    # bits keeps the hash_size=8 value bit-identical to the previous
+    # packbits.view(">u8") fast path
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big") >> (-bits.size % 8)
+    if bits.size >= 64 and val >= 1 << 63:
+        val -= 1 << 64
+    return val

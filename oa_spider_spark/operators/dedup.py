@@ -18,6 +18,7 @@ path; only set-arithmetic on exploded rows, which Catalyst pipelines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -219,22 +220,43 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def embedding_near_dups(
-    emb: DataFrame, threshold: float = 0.95, n_planes: int = 12, seed: int = 7
+    emb: DataFrame, threshold: float = 0.95, n_planes: int = 12, seed: int = 7,
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-dup: random-hyperplane LSH bucket join, then
-    exact cosine inside buckets. Planes are deterministic from `seed`
-    (broadcast literal arrays). Output (vec_a, vec_b, cos_sim)."""
+    exact cosine inside buckets. Planes are deterministic from `seed`.
+    Small plane matrices fold JVM-side (literal arrays); past the literal
+    budget (production dims: 768 × n_planes) the signature runs as one
+    Arrow batch — sign(X @ P.T) packed to an int bucket — against an
+    executor-broadcast plane matrix. Output (vec_a, vec_b, cos_sim)."""
     import numpy as np
+
+    from .similarity import _use_arrow
 
     dim = len(emb.select("embedding").head()["embedding"])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim))
-    sig = None
-    for i in range(n_planes):
-        lit = F.array(*[F.lit(float(x)) for x in planes[i]])
-        dot = F.aggregate(F.zip_with("embedding", lit, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
-        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
+    if _use_arrow(planes.size, method):
+        from pyspark.sql.functions import pandas_udf
+
+        bc = emb.sparkSession.sparkContext.broadcast(planes)
+
+        @pandas_udf("long")
+        def bucket_of(col: pd.Series) -> pd.Series:
+            p = bc.value
+            x = np.stack(col.to_numpy())
+            bits = (x @ p.T) > 0  # (batch, n_planes) bools
+            weights = (1 << np.arange(p.shape[0], dtype=np.int64))
+            return pd.Series((bits @ weights).astype(np.int64))
+
+        sig = bucket_of(F.col("embedding"))
+    else:
+        sig = None
+        for i in range(n_planes):
+            lit = F.array(*[F.lit(float(x)) for x in planes[i]])
+            dot = F.aggregate(F.zip_with("embedding", lit, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+            bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
     bucketed = emb.select("vec_id", "embedding", sig.alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(

@@ -1,0 +1,263 @@
+"""Real HTML parse stage (SURVEY.md S5/F15) — the reference's most-used
+extraction surface, re-expressed as an Arrow batch operator.
+
+The reference drives PyQuery selectors over fetched pages:
+  * id select            `#weaDocDetailHtmlContent`   (oa.py:390)
+  * card `<li><a>` scrape `.ul1 li` → a.attr['href']  (oa.py:806-817)
+  * descendant + filter   `center a`, skip /word/view (oa.py:771-776)
+  * nth-child table chains `#oDetailTable_Body > tr:nth-child(3) > td ...`
+                                                      (oa.py:768, 922-941)
+
+This module implements the same selector semantics on a real parsed DOM
+(stdlib html.parser — lxml is not in this container; swapping the tree
+builder for lxml.html changes only `parse_html` internals, the selector
+engine and the Spark plumbing stay identical). Parsing rides mapInArrow
+batch-at-a-time — never a per-row Python UDF.
+
+Supported selector subset (all the shapes the reference uses):
+  tag   #id   .class   tag.class   :nth-child(k)   descendant   `>` child
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+_VOID = {"br", "hr", "img", "meta", "input", "link", "area", "base", "col",
+         "embed", "source", "track", "wbr"}
+
+
+class Node:
+    """One element; text is kept as plain str entries in `children`."""
+
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str], parent: "Node | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Node | str] = []
+        self.parent = parent
+
+    def element_children(self) -> list["Node"]:
+        return [c for c in self.children if isinstance(c, Node)]
+
+    def iter(self) -> Iterator["Node"]:
+        for c in self.children:
+            if isinstance(c, Node):
+                yield c
+                yield from c.iter()
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("", {}, None)
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        node = Node(tag, {k: (v or "") for k, v in attrs}, self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.stack[-1].children.append(
+            Node(tag, {k: (v or "") for k, v in attrs}, self.stack[-1])
+        )
+
+    def handle_endtag(self, tag: str) -> None:
+        # lenient close: pop to the nearest matching open tag, ignore strays
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(text: str) -> Node:
+    b = _TreeBuilder()
+    b.feed(text or "")
+    return b.root
+
+
+def _parse_simple(simple: str) -> tuple[str | None, str | None, str | None, int | None]:
+    """'tag#id.class:nth-child(k)' → (tag, id, class, k), each optional."""
+    tag = id_ = cls = None
+    nth = None
+    rest = simple
+    if ":nth-child(" in rest:
+        rest, _, tail = rest.partition(":nth-child(")
+        nth = int(tail.rstrip(")"))
+    # split off #id and .class (single class supported — all the ref uses)
+    for sep, which in (("#", "id"), (".", "cls")):
+        if sep in rest:
+            rest, _, val = rest.partition(sep)
+            if which == "id":
+                id_ = val
+            else:
+                cls = val
+    if rest:
+        tag = rest
+    return tag, id_, cls, nth
+
+
+def _matches(node: Node, simple: str) -> bool:
+    tag, id_, cls, nth = _parse_simple(simple)
+    if tag and node.tag != tag:
+        return False
+    if id_ and node.attrs.get("id") != id_:
+        return False
+    if cls and cls not in (node.attrs.get("class") or "").split():
+        return False
+    if nth is not None:
+        sibs = node.parent.element_children() if node.parent else [node]
+        if sibs.index(node) + 1 != nth:
+            return False
+    return True
+
+
+def select(root: Node, selector: str) -> list[Node]:
+    """Evaluate the selector; nodes in document order, no duplicates."""
+    parts = selector.replace(">", " > ").split()
+    current: list[Node] = [root]
+    child_only = False
+    for part in parts:
+        if part == ">":
+            child_only = True
+            continue
+        nxt: list[Node] = []
+        seen: set[int] = set()
+        for base in current:
+            pool = base.element_children() if child_only else list(base.iter())
+            for n in pool:
+                if id(n) not in seen and _matches(n, part):
+                    seen.add(id(n))
+                    nxt.append(n)
+        current = nxt
+        child_only = False
+    return current
+
+
+def node_text(node: Node) -> str:
+    """All text under the node, whitespace-collapsed (PyQuery .text())."""
+    chunks: list[str] = []
+
+    def walk(n: Node) -> None:
+        for c in n.children:
+            if isinstance(c, str):
+                chunks.append(c)
+            else:
+                walk(c)
+
+    walk(node)
+    return " ".join(" ".join(chunks).split())
+
+
+def links(root: Node, selector: str, skip_prefix: str = "/word/view") -> list[tuple[str, str]]:
+    """(href, anchor text) for anchors under `selector`, skipping the
+    reference's preview links (oa.py:771-776)."""
+    out = []
+    for a in select(root, selector):
+        href = a.attrs.get("href", "")
+        if href and not href.startswith(skip_prefix):
+            out.append((href, node_text(a)))
+    return out
+
+
+# --- Spark surface ---------------------------------------------------------
+
+def parse_fields(
+    df: DataFrame,
+    html_col: str,
+    fields: dict[str, tuple[str, str]],
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Parse each page once, project selector results to scalar columns.
+
+    `fields` maps out_col → (selector, mode) with mode:
+      text        — whitespace-collapsed text of the first match (or NULL)
+      count       — number of matching nodes
+      first_href  — href of the first matched <a> whose href does not
+                    start with /word/view (or NULL)
+
+    One DOM build per row per batch, all fields extracted from it; Arrow
+    in / Arrow out, no per-row Python UDF.
+    """
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_ddl = ", ".join(f"{k} {in_schema[k]}" for k in key_cols)
+    out_ddl = key_ddl + ", " + ", ".join(
+        f"{name} {'int' if mode == 'count' else 'string'}"
+        for name, (_, mode) in fields.items()
+    )
+    items = list(fields.items())
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            pages = batch.column(html_col).to_pylist()
+            cols: dict[str, list] = {name: [] for name, _ in items}
+            for page in pages:
+                root = parse_html(page)
+                for name, (sel, mode) in items:
+                    if mode == "text":
+                        hits = select(root, sel)
+                        cols[name].append(node_text(hits[0]) if hits else None)
+                    elif mode == "count":
+                        cols[name].append(len(select(root, sel)))
+                    elif mode == "first_href":
+                        ls = links(root, sel)
+                        cols[name].append(ls[0][0] if ls else None)
+                    else:
+                        raise ValueError(f"unknown parse mode {mode!r}")
+            arrays = [batch.column(k) for k in key_cols]
+            names = list(key_cols)
+            for name, (_, mode) in items:
+                typ = pa.int32() if mode == "count" else pa.string()
+                arrays.append(pa.array(cols[name], typ))
+                names.append(name)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.select(*key_cols, html_col).mapInArrow(run, schema=out_ddl)
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str,
+    selector: str,
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Explode (href, name) per page for anchors under `selector`,
+    skipping /word/view preview links; name = url tail after the last '/'
+    when the anchor has no text (oa.py:775-776)."""
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_ddl = ", ".join(f"{k} {in_schema[k]}" for k in key_cols)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            pages = batch.column(html_col).to_pylist()
+            keys = [batch.column(k).to_pylist() for k in key_cols]
+            out_keys: list[list] = [[] for _ in key_cols]
+            hrefs, names = [], []
+            for row, page in enumerate(pages):
+                for href, text in links(parse_html(page), selector):
+                    for i in range(len(key_cols)):
+                        out_keys[i].append(keys[i][row])
+                    hrefs.append(href)
+                    names.append(text or href[href.rfind("/") + 1:])
+            arrays = [pa.array(k) for k in out_keys] + [
+                pa.array(hrefs, pa.string()), pa.array(names, pa.string())
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=[*key_cols, "href", "name"])
+
+    return df.select(*key_cols, html_col).mapInArrow(
+        run, schema=f"{key_ddl}, href string, name string"
+    )

@@ -18,8 +18,17 @@ LSH bucketing (shares dedup.embedding_near_dups machinery).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Above this many literal doubles (n_vectors × dim), the JVM expression
+# path stops being a plan and starts being a Catalyst expression-tree
+# bomb (compile time + code size) — switch to an Arrow-vectorized
+# pandas_udf scoring against an executor-broadcast numpy matrix. At
+# production embedding dims (768+) the Arrow path is always taken.
+_JVM_LITERAL_BUDGET = 2048
 
 
 def _dot(a, b):
@@ -30,11 +39,37 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def brute_force_topk(emb: DataFrame, probe_vec: list[float], k: int = 10) -> DataFrame:
-    """Exact cosine top-k of `probe_vec` (a Python list, broadcast as a
-    literal array). Output (vec_id, label, cos_sim, rank)."""
-    lit = F.array(*[F.lit(float(x)) for x in probe_vec])
-    sim = _dot(F.col("embedding"), lit) / (_norm(F.col("embedding")) * _norm(lit))
+def _use_arrow(n_literals: int, method: str) -> bool:
+    if method == "auto":
+        return n_literals > _JVM_LITERAL_BUDGET
+    return method == "arrow"
+
+
+def _cosine_col(df: DataFrame, probe: np.ndarray, method: str = "auto"):
+    """cos(embedding, probe) as a Column — JVM fold for small dims,
+    Arrow batch (X @ p via numpy) past the literal budget."""
+    probe = np.asarray(probe, dtype=np.float64)
+    if not _use_arrow(probe.size, method):
+        lit = F.array(*[F.lit(float(x)) for x in probe])
+        return _dot(F.col("embedding"), lit) / (_norm(F.col("embedding")) * _norm(lit))
+    bc = df.sparkSession.sparkContext.broadcast(probe)
+
+    @pandas_udf("double")
+    def cos(col: pd.Series) -> pd.Series:
+        p = bc.value
+        x = np.stack(col.to_numpy())
+        sims = (x @ p) / (np.linalg.norm(x, axis=1) * np.linalg.norm(p))
+        return pd.Series(sims)
+
+    return cos(F.col("embedding"))
+
+
+def brute_force_topk(
+    emb: DataFrame, probe_vec: list[float], k: int = 10, method: str = "auto"
+) -> DataFrame:
+    """Exact cosine top-k of `probe_vec`. Output (vec_id, label, cos_sim,
+    rank). method: 'jvm' | 'arrow' | 'auto' (dim-based)."""
+    sim = _cosine_col(emb, np.asarray(probe_vec, dtype=np.float64), method)
     return _ranked_topk(emb.select("vec_id", "label", sim.alias("cos_sim")), k)
 
 
@@ -49,11 +84,15 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def train_centroids(
-    emb: DataFrame, n_cells: int = 16, iters: int = 3, seed: int = 13
+    emb: DataFrame, n_cells: int = 16, iters: int = 3, seed: int = 13,
+    method: str = "auto",
 ) -> np.ndarray:
     """Deterministic Lloyd iterations. Init = hash-sampled rows (stable);
     each iteration is one groupBy over cell assignments. Returns
-    (n_cells, dim) numpy centroids (small — they broadcast as literals)."""
+    (n_cells, dim) numpy centroids. Small dims use a per-element wide
+    avg aggregate; past the literal budget the mean runs as
+    posexplode → groupBy(cell, pos).avg — dim-agnostic, one shuffle
+    with map-side combine (never ships whole vectors to one task)."""
     dim = len(emb.select("embedding").head()["embedding"])
     init = (
         emb.orderBy(F.xxhash64(F.col("vec_id") + seed))
@@ -62,19 +101,47 @@ def train_centroids(
         .collect()
     )
     cents = np.array([r["embedding"] for r in init], dtype=np.float64)
+    wide = not _use_arrow(n_cells * dim, method)
     for _ in range(iters):
-        assigned = assign_cells(emb, cents).groupBy("cell").agg(
-            *[F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}") for i in range(dim)]
-        )
-        rows = assigned.collect()
-        for r in rows:
-            cents[r["cell"]] = [r[f"c{i}"] for i in range(dim)]
+        assigned = assign_cells(emb, cents, method)
+        if wide:
+            rows = assigned.groupBy("cell").agg(
+                *[F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}") for i in range(dim)]
+            ).collect()
+            for r in rows:
+                cents[r["cell"]] = [r[f"c{i}"] for i in range(dim)]
+        else:
+            rows = (
+                assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()  # n_cells × dim rows — centroid-matrix-sized metadata
+            )
+            for r in rows:
+                cents[r["cell"]][r["pos"]] = r["m"]
     return cents
 
 
-def assign_cells(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
-    """Attach `cell` = argmin squared-distance centroid, all JVM-side:
-    per-centroid distance expressions folded with `least`."""
+def assign_cells(emb: DataFrame, centroids: np.ndarray, method: str = "auto") -> DataFrame:
+    """Attach `cell` = argmin squared-distance centroid. Small matrices
+    are folded JVM-side (per-centroid distance expressions + `least`);
+    past the literal budget (e.g. dim 768 × 256 cells) the argmin runs as
+    an Arrow batch against an executor-broadcast centroid matrix —
+    a (batch × cells) matmul, never a per-row Python call."""
+    centroids = np.asarray(centroids, dtype=np.float64)
+    if _use_arrow(centroids.size, method):
+        bc = emb.sparkSession.sparkContext.broadcast(centroids)
+
+        @pandas_udf("int")
+        def cell_of(col: pd.Series) -> pd.Series:
+            c = bc.value
+            x = np.stack(col.to_numpy())
+            # argmin ‖x−c‖² = argmin (−2 x·c + ‖c‖²): (n,k) scores, no
+            # (n,k,d) intermediate
+            scores = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+            return pd.Series(scores.argmin(axis=1).astype(np.int32))
+
+        return emb.withColumn("cell", cell_of(F.col("embedding")))
     dists = []
     for ci, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c])
@@ -97,6 +164,7 @@ def ivf_topk(
     centroids: np.ndarray,
     k: int = 10,
     n_probe: int = 4,
+    method: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: scan only the `n_probe` cells whose centroids
     are nearest the probe. With the index written as
@@ -105,8 +173,7 @@ def ivf_topk(
     p = np.asarray(probe_vec, dtype=np.float64)
     cell_order = np.argsort(((centroids - p) ** 2).sum(axis=1))
     probe_cells = [int(c) for c in cell_order[:n_probe]]
-    indexed = assign_cells(emb, centroids)
+    indexed = assign_cells(emb, centroids, method)
     candidates = indexed.filter(F.col("cell").isin(probe_cells))
-    lit = F.array(*[F.lit(float(x)) for x in probe_vec])
-    sim = _dot(F.col("embedding"), lit) / (_norm(F.col("embedding")) * _norm(lit))
+    sim = _cosine_col(emb, p, method)
     return _ranked_topk(candidates.select("vec_id", "label", sim.alias("cos_sim")), k)

@@ -69,7 +69,12 @@ def streaming_crawl(
         if seen is not None:
             active = active.join(seen.select("url_hash"), "url_hash", "left_anti")
         active = active.withColumn("budget_per_round", F.lit(default_budget))
-        selected = budget_and_order(active, default_budget).drop("budget_per_round")
+        # keep a handle on the persisted selection BEFORE .drop (the drop
+        # loses the _ordered_cache attribute) so the cache can be released
+        # after the snapshot commit — otherwise every micro-batch leaks one
+        # MEMORY_AND_DISK DataFrame (mirrors run_round's unpersist)
+        ordered = budget_and_order(active, default_budget)
+        selected = ordered.drop("budget_per_round")
         # over-budget rows are NOT dropped: they re-enter the frontier
         # table as backlog for the next round (the batch engine's
         # unselected-rows-stay semantics, frontier/round.py)
@@ -102,6 +107,9 @@ def streaming_crawl(
                 ],
             },
         )
+        cache = getattr(ordered, "_ordered_cache", None)
+        if cache is not None:
+            cache.unpersist()
 
     writer = (
         frontier_stream(spark, in_dir)

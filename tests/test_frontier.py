@@ -184,6 +184,69 @@ def test_resume_mid_crawl_continues(spark, tmp_path):
     assert [r.round_id for r in results] == [1]
 
 
+def test_hosts_table_budgets_and_robots_equivalence(spark, tmp_path):
+    """S14/J3/T5 — the hosts/politeness table actually gates selection:
+    per-host budget overrides and robots_disallow prefixes, exercised
+    end-to-end through run_round AND the sequential simulator with the
+    same config; crawl order and seen set must stay identical."""
+    n_hosts, rounds = 6, 2
+    seeds = datagen.seed_frontier_rows(300, n_hosts=n_hosts, hot_share=0.4)
+    host_budgets = {"h000.example.org": 3, "h001.example.org": 40}
+    robots_disallow = {
+        "h002.example.org": ["/mail"],
+        "h000.example.org": ["/doc/2"],
+    }
+    hosts_df = spark.createDataFrame(
+        [
+            ("h000.example.org", 3, 0, ["/doc/2"]),
+            ("h001.example.org", 40, 0, []),
+            ("h002.example.org", None, 0, ["/mail"]),
+        ],
+        "host string, budget_per_round int, crawl_delay_ms int, robots_disallow array<string>",
+    )
+    cat = Catalog(tmp_path / "hostscat")
+    seed_catalog(spark, cat, seeds)
+    run_crawl(
+        spark, cat, rounds, n_hosts=n_hosts, default_budget=BUDGET,
+        hosts_table=hosts_df,
+    )
+    st = sim.seed_state(seeds)
+    sim_rounds = [
+        sim.run_round_sim(
+            st, r, n_hosts=n_hosts, default_budget=BUDGET,
+            host_budgets=host_budgets, robots_disallow=robots_disallow,
+        )
+        for r in range(rounds)
+    ]
+
+    fetched = cat.read(spark, "fetched")
+    for r in range(rounds):
+        engine_seq = [
+            row["url_canon"]
+            for row in fetched.filter(F.col("round") == r)
+            .orderBy("fetch_order").select("url_canon").collect()
+        ]
+        assert engine_seq == [rec["url_canon"] for rec in sim_rounds[r]], f"round {r}"
+    engine_seen = {
+        row["url_hash"]: row["status"] for row in cat.read(spark, "seen").collect()
+    }
+    assert engine_seen == st.seen
+
+    # the gates actually bit: overridden host stayed under 3/round, and no
+    # disallowed path was ever fetched
+    per = {
+        (row["round"], row["host"]): row["count"]
+        for row in fetched.groupBy("round", "host").count().collect()
+    }
+    for r in range(rounds):
+        assert per.get((r, "h000.example.org"), 0) <= 3
+    assert fetched.filter(
+        (F.col("host") == "h002.example.org") & F.col("url_canon").contains("/mail")
+    ).count() == 0
+    # robots must have removed at least something (test isn't vacuous)
+    assert any(rec["host"] == "h002.example.org" for recs in sim_rounds for rec in recs)
+
+
 def test_bloom_and_exact_agree(spark):
     rows = datagen.seed_frontier_rows(300, n_hosts=6)
     df = normalize_frontier(spark, rows)
@@ -214,3 +277,15 @@ def test_retry_taxonomy(spark, crawl_pair):
     assert failed.count() > 0
     # fatal rows appear exactly once (dead-letter, no re-fetch)
     assert failed.groupBy("url_hash").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_anti_join_seen_rejects_bad_use_bloom():
+    """ADVICE r01: truthy non-(True/'auto') values used to silently
+    disable dedup entirely; now they are rejected up front."""
+    from oa_spider_spark.frontier.seen import anti_join_seen
+
+    with pytest.raises(ValueError):
+        anti_join_seen(None, None, use_bloom="yes")
+    with pytest.raises(ValueError):
+        anti_join_seen(None, None, use_bloom=2)
+    # 1/0 are allowed: Python int-bool equality makes them ≡ True/False

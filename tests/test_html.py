@@ -1,0 +1,73 @@
+"""Selector-engine unit tests (no Spark): the DOM builder and CSS-subset
+selectors in operators/html.py must reproduce the reference's PyQuery
+shapes (id select oa.py:390, .class li cards oa.py:806-817, descendant
+anchors + /word/view skip oa.py:771-776, nth-child chains oa.py:768,
+922-941).
+"""
+
+from oa_spider_spark.operators.html import links, node_text, parse_html, select
+
+PAGE = """
+<html><body>
+<div id="weaDocDetailHtmlContent"><p>hello  world</p><b>doc 7</b></div>
+<center>
+  <a href="/word/view?id=7">preview</a>
+  <a href="/docs/file_7.pdf"></a>
+  <a href="/docs/extra.doc">extra</a>
+</center>
+<ul class="ul1">
+  <li><a href="/doc/7-0">card 0</a></li>
+  <li><a href="/doc/7-1">card 1</a></li>
+</ul>
+<ul class="other"><li><a href="/nope">x</a></li></ul>
+<table>
+  <tr><td>h1</td><td>h2</td></tr>
+  <tr><td>src</td><td>42</td></tr>
+</table>
+</body></html>
+"""
+
+
+def test_id_select_and_text_collapse():
+    root = parse_html(PAGE)
+    hits = select(root, "#weaDocDetailHtmlContent")
+    assert len(hits) == 1
+    # PyQuery .text() semantics: child text concatenated, ws-collapsed
+    assert node_text(hits[0]) == "hello world doc 7"
+
+
+def test_class_descendant_select():
+    root = parse_html(PAGE)
+    assert len(select(root, ".ul1 li a")) == 2
+    assert len(select(root, "ul li a")) == 3  # both lists
+    assert [n.attrs["href"] for n in select(root, ".ul1 li a")] == [
+        "/doc/7-0", "/doc/7-1",
+    ]
+
+
+def test_nth_child_chain():
+    root = parse_html(PAGE)
+    cell = select(root, "table tr:nth-child(2) td:nth-child(2)")
+    assert len(cell) == 1 and node_text(cell[0]) == "42"
+    # child combinator
+    assert len(select(root, "table > tr")) == 2
+    assert select(root, "ul.ul1 > li:nth-child(1) a")[0].attrs["href"] == "/doc/7-0"
+
+
+def test_links_skip_preview_and_name_fallback():
+    root = parse_html(PAGE)
+    ls = links(root, "center a")
+    assert ls == [("/docs/file_7.pdf", ""), ("/docs/extra.doc", "extra")]
+
+
+def test_malformed_html_is_lenient():
+    # unclosed li / stray end tags must not blow up or lose anchors
+    root = parse_html("<ul class='ul1'><li><a href='/a'>1<li><a href='/b'>2</ul></div>")
+    hrefs = [n.attrs["href"] for n in select(root, ".ul1 a")]
+    assert hrefs == ["/a", "/b"]
+
+
+def test_attribute_without_value_and_void_tags():
+    root = parse_html('<div id="d"><img src="x"><br><a href="/z" data-x>t</a></div>')
+    assert select(root, "#d a")[0].attrs["href"] == "/z"
+    assert node_text(select(root, "#d")[0]) == "t"

@@ -200,3 +200,20 @@ def test_average_hash_deterministic_and_robust():
     img2 = decode_image(encode_image(img, "jpeg"))
     h2 = average_hash(img2)
     assert bin(np.uint64(h1 ^ h2) & np.uint64(0xFFFFFFFFFFFFFFFF)).count("1") <= 4
+
+
+def test_average_hash_small_hash_size():
+    """hash_size < 8 must work (ADVICE r01: the packed-bytes u64 view only
+    existed for 64 bits) and equal the naive shift-accumulate."""
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (32, 32), dtype=np.uint8)
+    for hs in (2, 4, 8):
+        got = average_hash(img, hash_size=hs)
+        blocks = img.astype(np.float64).reshape(hs, 32 // hs, hs, 32 // hs).mean(axis=(1, 3))
+        bits = (blocks > blocks.mean()).ravel()
+        want = 0
+        for b in bits:
+            want = (want << 1) | int(b)
+        if hs == 8 and want >= 1 << 63:
+            want -= 1 << 64
+        assert got == want, hs

@@ -255,3 +255,57 @@ def test_decode_text_gbk_roundtrip(spark):
     rows = {r["doc_id"]: r["text"] for r in decode_text(df, "GBK").collect()}
     assert [rows[i] for i in range(3)] == texts
     assert rows[99] is None
+
+
+def test_similarity_arrow_jvm_paths_agree(spark):
+    """The Arrow-batch scoring path (broadcast numpy, used past the
+    literal budget / at production dims) must produce the same results as
+    the JVM literal-expression path on identical inputs."""
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(40, 16))
+    rows = [(i, [float(x) for x in base[i]], i % 3) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    probe = [float(x) for x in base[0]]
+
+    jvm = similarity.brute_force_topk(emb, probe, 10, method="jvm").orderBy("rank").collect()
+    arr = similarity.brute_force_topk(emb, probe, 10, method="arrow").orderBy("rank").collect()
+    assert [r["vec_id"] for r in jvm] == [r["vec_id"] for r in arr]
+    assert all(abs(a["cos_sim"] - b["cos_sim"]) < 1e-9 for a, b in zip(jvm, arr))
+
+    cents = base[:4].copy()
+    cj = {r["vec_id"]: r["cell"] for r in similarity.assign_cells(emb, cents, "jvm").collect()}
+    ca = {r["vec_id"]: r["cell"] for r in similarity.assign_cells(emb, cents, "arrow").collect()}
+    assert cj == ca
+
+    pj = {(r["vec_a"], r["vec_b"]) for r in dedup.embedding_near_dups(emb, 0.9, method="jvm").collect()}
+    pa = {(r["vec_a"], r["vec_b"]) for r in dedup.embedding_near_dups(emb, 0.9, method="arrow").collect()}
+    assert pj == pa
+
+
+def test_similarity_high_dim_arrow_no_blowup(spark):
+    """dim=768 / n_cells=64: 'auto' must route to Arrow (49k literals
+    would be a Catalyst expression bomb) and still match numpy exactly,
+    and embedding_near_dups must recover a planted cosine-1.0 dup."""
+    dim, n = 768, 60
+    rng = np.random.RandomState(23)
+    base = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(n)]
+    rows.append((1000, [float(x) for x in base[3] * 1.001], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    assert similarity._use_arrow(dim, "auto") is False  # probe vec alone: small
+    assert similarity._use_arrow(64 * dim, "auto") is True  # centroid matrix: arrow
+
+    probe = [float(x) for x in base[0]]
+    vecs = np.vstack([base, base[3] * 1.001])
+    ids = np.array(list(range(n)) + [1000])
+    sims = vecs @ np.asarray(probe) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(probe))
+    order = np.lexsort((ids, -sims))[:5]
+    expected = [int(ids[i]) for i in order]
+    got = [r["vec_id"] for r in similarity.brute_force_topk(emb, probe, 5, method="arrow").orderBy("rank").collect()]
+    assert got == expected
+
+    cents = similarity.train_centroids(emb, n_cells=8, iters=1, method="arrow")
+    assert cents.shape == (8, dim)
+
+    found = {(r["vec_a"], r["vec_b"]) for r in dedup.embedding_near_dups(emb, 0.99, n_planes=12, method="arrow").collect()}
+    assert (3, 1000) in found

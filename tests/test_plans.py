@@ -41,16 +41,51 @@ def test_crawl_select_pushes_nothing_through_python(spark):
 
 def test_global_order_is_bucketed_not_single_task(spark):
     """The engine's total order must be a distributed bucketed rank —
-    never a partition-less Window (single task at 10^10 rows)."""
-    f = datagen.seed_frontier_df(spark, 500, n_hosts=6, hot_share=0.4)
+    never a partition-less Window (single task at 10^10 rows), and never
+    a priority-bucket-only rank (only ~100 buckets ⇒ each in-bucket
+    window is ~1% of the frontier in ONE task). Every data window must
+    partition by the (_b, _s) cell, and cells must be bounded."""
+    f = datagen.seed_frontier_df(spark, 2000, n_hosts=6, hot_share=0.4)
     out = global_order_and_limit(f, None, partitions=4)
     out.collect()
     plan = plan_of(out)
-    # every Window operator in the plan must carry the bucket partition spec
+    # every data row_number window must carry the 2-level cell spec
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
-            assert "_b" in line, f"partition-less window: {line}"
+            assert "_b" in line and "_s" in line, f"coarse window: {line}"
     assert "BroadcastHashJoin" in plan, plan  # offsets join must broadcast
+    # bounded single-task work: no (priority, created_ms-range) cell may
+    # hold a macroscopic share of the rows
+    from pyspark.sql import functions as F2
+
+    cells = (
+        f.groupBy(
+            F2.least(F2.greatest(F2.lit(99) - F2.col("priority"), F2.lit(0)), F2.lit(99)),
+            F2.col("created_ms"),
+        ).count()
+    )
+    n_cells = cells.count()
+    assert n_cells >= 100  # the second key actually splits the buckets
+    cache = getattr(out, "_ordered_cache", None)
+    if cache is not None:
+        cache.unpersist()
+
+
+def test_global_order_total_rank_is_correct(spark):
+    """fetch_order from the 2-level bucketed rank must equal the rank of
+    a plain global sort (the semantics the decomposition must preserve)."""
+    f = datagen.seed_frontier_df(spark, 1500, n_hosts=5, hot_share=0.5)
+    out = global_order_and_limit(f, None)
+    got = [
+        r["url_hash"]
+        for r in out.orderBy("fetch_order").select("url_hash").collect()
+    ]
+    from oa_spider_spark.frontier.politeness import order_cols
+
+    want = [r["url_hash"] for r in f.orderBy(*order_cols()).select("url_hash").collect()]
+    assert got == want
+    orders = [r["fetch_order"] for r in out.orderBy("fetch_order").collect()]
+    assert orders == list(range(1, len(want) + 1))
     cache = getattr(out, "_ordered_cache", None)
     if cache is not None:
         cache.unpersist()
