@@ -18,6 +18,14 @@ THRESHOLD = 135  # captcha.py:15 — manually calibrated binarization threshold
 # partition (status='failed').
 MAX_ATTEMPTS = 3
 
+# Timeout discipline (T3; reference oa.py:22 `requests(..., timeout=)` —
+# ReadTimeout is retryable, run.py:23-27). Every synthetic fetch carries a
+# deterministic simulated service time; past this budget the fetch is
+# abandoned at the deadline (no payload, status='retry', reason='timeout')
+# and rides the same attempt+1 / dead-letter machinery. Expressed as data,
+# not wall-clock sleeps — the engine never blocks on it.
+FETCH_TIMEOUT_MS = 400
+
 # Fake-lossy codec quantization step; q=4 keeps max per-pixel error at 2,
 # i.e. PSNR >= 42 dB — above the BASELINE.json 40 dB invariant.
 LOSSY_QUANT = 4

@@ -34,8 +34,16 @@ GLOBAL_SEED = 42
 
 # deterministic per-URL failure taxonomy (reference run.py:23-39:
 # ReadTimeout -> retry; ConnectionError/LoginFail -> fatal)
-RETRY_MOD = 17  # ~6% of URLs time out on their first attempt
+RETRY_MOD = 17  # ~6% of URLs error transiently on their first attempt
 FATAL_MOD = 97  # ~1% of URLs are permanently broken
+# Timeout discipline (T3, reference oa.py:22 `timeout=` + run.py:23-27
+# ReadTimeout handling): every fetch has a deterministic simulated service
+# time; past config.FETCH_TIMEOUT_MS the fetch is abandoned — no payload,
+# status 'retry', reason 'timeout' — and rides the same attempt+1 /
+# dead-letter machinery as transient errors.
+SLOW_MOD = 23    # ~4%: congested on the FIRST attempt only (recovers on retry)
+STALL_MOD = 211  # ~0.5%: stalls on EVERY attempt -> dead-letter via MAX_ATTEMPTS
+BASE_MS_MOD = 180  # fast-path service time spread: 20..199 ms
 
 _CJK = "通知文件公告会议培训报告批复函"
 _MESSY = ['<', '>', ':', '"', '/', '\\', '|', '?', '*', '\n', '.', '。']
@@ -177,6 +185,8 @@ class FetchResult:
     caption: str
     phash: int
     links: list[str]
+    elapsed_ms: int = 0  # simulated service time, capped at FETCH_TIMEOUT_MS
+    reason: str = ""     # '' (ok) | 'transient' | 'timeout' | 'connect_error'
 
 
 def synth_caption(seed: int) -> str:
@@ -212,17 +222,29 @@ def fetch_url(url_canon: str, attempt: int = 0, n_hosts: int = 20,
     """THE deterministic fetch function (stands in for reference
     oa.py:365-397 detail fetch + oa.py:178-213 download).
 
+    * fatal: seed % FATAL_MOD == 0 always fails (ConnectionError class)
+    * stall: seed % STALL_MOD == 0 exceeds FETCH_TIMEOUT_MS on EVERY
+      attempt -> abandoned at the deadline, dead-letters after
+      MAX_ATTEMPTS (reference server that never answers)
     * transient failure: seed % RETRY_MOD == 0 fails while attempt==0
       (reference ReadTimeout -> try2try retry, run.py:23-27)
-    * fatal: seed % FATAL_MOD == 0 always fails (ConnectionError class)
+    * slow: seed % SLOW_MOD == 0 times out on attempt 0 only (congested
+      server; the retry goes through)
     * otherwise: an image + caption + 0-3 outlinks on mostly the same
       host (link extraction analog of the parser fan-out, oa.py:583-586).
     """
+    from .config import FETCH_TIMEOUT_MS
+
     s = _seed_of(url_canon)
+    base_ms = 20 + (s >> 7) % BASE_MS_MOD
     if s % FATAL_MOD == 0:
-        return FetchResult("failed", None, 0, 0, "", "", 0, [])
+        return FetchResult("failed", None, 0, 0, "", "", 0, [], base_ms, "connect_error")
+    if s % STALL_MOD == 0:
+        return FetchResult("retry", None, 0, 0, "", "", 0, [], FETCH_TIMEOUT_MS, "timeout")
     if s % RETRY_MOD == 0 and attempt == 0:
-        return FetchResult("retry", None, 0, 0, "", "", 0, [])
+        return FetchResult("retry", None, 0, 0, "", "", 0, [], base_ms, "transient")
+    if s % SLOW_MOD == 0 and attempt == 0:
+        return FetchResult("retry", None, 0, 0, "", "", 0, [], FETCH_TIMEOUT_MS, "timeout")
     img = synth_image(s)
     fmt = "png" if s % 2 == 0 else "jpeg"
     payload = encode_image(img, fmt)
@@ -245,7 +267,7 @@ def fetch_url(url_canon: str, attempt: int = 0, n_hosts: int = 20,
         lkind = "doc" if rng.randint(0, 3) else "mail"
         links.append(url_of(lhost, lkind, 1_000_000 + (s % 100_000) * 10 + i))
     h_, w_ = img.shape
-    return FetchResult("ok", payload, int(w_), int(h_), fmt, caption, ph, links)
+    return FetchResult("ok", payload, int(w_), int(h_), fmt, caption, ph, links, base_ms, "")
 
 
 def link_priority(url_canon: str) -> int:

@@ -35,11 +35,14 @@ FETCH_FIELDS = [
     pa.field("caption", pa.string()),
     pa.field("phash", pa.int64()),
     pa.field("links", pa.list_(pa.string())),
+    pa.field("elapsed_ms", pa.int64()),
+    pa.field("reason", pa.string()),
 ]
 
 FETCH_OUT_DDL = (
     "status string, bytes binary, nbytes long, w int, h int, fmt string, "
-    "caption string, phash long, links array<string>"
+    "caption string, phash long, links array<string>, elapsed_ms long, "
+    "reason string"
 )
 
 
@@ -49,6 +52,7 @@ def synthetic_fetch_batch(batch: pa.RecordBatch, n_hosts: int) -> pa.RecordBatch
     urls = batch.column("url_canon").to_pylist()
     attempts = batch.column("attempt").to_pylist()
     status, payload, nbytes, ws, hs, fmts, caps, phs, links = [], [], [], [], [], [], [], [], []
+    elapsed, reasons = [], []
     for uc, att in zip(urls, attempts):
         r = datagen.fetch_url(uc, attempt=att or 0, n_hosts=n_hosts)
         status.append(r.status)
@@ -60,6 +64,8 @@ def synthetic_fetch_batch(batch: pa.RecordBatch, n_hosts: int) -> pa.RecordBatch
         caps.append(r.caption)
         phs.append(r.phash)
         links.append(r.links)
+        elapsed.append(r.elapsed_ms)
+        reasons.append(r.reason)
     arrays = [
         pa.array(status, pa.string()),
         pa.array(payload, pa.binary()),
@@ -70,6 +76,8 @@ def synthetic_fetch_batch(batch: pa.RecordBatch, n_hosts: int) -> pa.RecordBatch
         pa.array(caps, pa.string()),
         pa.array(phs, pa.int64()),
         pa.array(links, pa.list_(pa.string())),
+        pa.array(elapsed, pa.int64()),
+        pa.array(reasons, pa.string()),
     ]
     cols = list(batch.columns) + arrays
     names = batch.schema.names + [f.name for f in FETCH_FIELDS]

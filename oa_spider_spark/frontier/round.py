@@ -190,6 +190,7 @@ def run_round(
             F.count("*").alias("rows_in"),
             F.sum((F.col("status") == "ok").cast("long")).alias("rows_out"),
             F.sum((F.col("status") == "retry").cast("long")).alias("rows_retry"),
+            F.sum((F.col("reason") == "timeout").cast("long")).alias("rows_timeout"),
             F.sum((F.col("status") == "failed").cast("long")).alias("rows_failed"),
             F.coalesce(F.sum("nbytes"), F.lit(0)).alias("bytes_fetched"),
         )

@@ -110,7 +110,7 @@ def run_round_sim(
         rec.update(
             fetch_order=i + 1, round=round_id, status=res.status, bytes=res.bytes,
             w=res.w, h=res.h, fmt=res.fmt, caption=res.caption, phash=res.phash,
-            links=res.links,
+            links=res.links, elapsed_ms=res.elapsed_ms, reason=res.reason,
         )
         records.append(rec)
         if res.status == "ok":

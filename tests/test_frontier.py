@@ -289,3 +289,57 @@ def test_anti_join_seen_rejects_bad_use_bloom():
     with pytest.raises(ValueError):
         anti_join_seen(None, None, use_bloom=2)
     # 1/0 are allowed: Python int-bool equality makes them ≡ True/False
+
+
+def test_timeout_discipline(spark, crawl_pair):
+    """T3: fetches whose simulated service time exceeds FETCH_TIMEOUT_MS
+    are abandoned at the deadline (no payload, elapsed capped, reason
+    'timeout'), re-enter with attempt+1, and recover iff the slowness was
+    first-attempt-only; engine rows carry the identical elapsed_ms/reason
+    the simulator records."""
+    from oa_spider_spark.config import FETCH_TIMEOUT_MS
+
+    cat, results, st, sim_rounds = crawl_pair
+    fetched = cat.read(spark, "fetched")
+
+    tmo = fetched.filter(F.col("reason") == "timeout")
+    assert tmo.count() > 0
+    # abandoned at the deadline: capped elapsed, no payload bytes
+    bad = tmo.filter(
+        (F.col("elapsed_ms") != FETCH_TIMEOUT_MS)
+        | (F.col("status") != "retry")
+        | (F.col("nbytes") != 0)
+    )
+    assert bad.count() == 0
+    # successful fetches always finish inside the budget
+    assert (
+        fetched.filter(
+            (F.col("status") == "ok") & (F.col("elapsed_ms") >= FETCH_TIMEOUT_MS)
+        ).count()
+        == 0
+    )
+
+    # row-level equivalence of the timeout taxonomy vs the simulator
+    for r in range(ROUNDS):
+        eng = [
+            (row["reason"], row["elapsed_ms"])
+            for row in fetched.filter(F.col("round") == r)
+            .orderBy("fetch_order")
+            .select("reason", "elapsed_ms")
+            .collect()
+        ]
+        ref = [(rec["reason"], rec["elapsed_ms"]) for rec in sim_rounds[r]]
+        assert eng == ref, f"round {r}: timeout taxonomy diverges"
+
+    # first-attempt-only slow URLs recover on the retry...
+    slow_ok = (
+        tmo.select("url_hash")
+        .distinct()
+        .join(fetched.filter(F.col("status") == "ok").select("url_hash"), "url_hash")
+        .count()
+    )
+    assert slow_ok > 0
+    # ...and lineage surfaces the per-round timeout counts
+    lineage = cat.read(spark, "lineage")
+    n_lineage = sum(r["t"] for r in lineage.groupBy().agg(F.sum("rows_timeout").alias("t")).collect())
+    assert n_lineage == tmo.count()
