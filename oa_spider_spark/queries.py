@@ -1178,17 +1178,92 @@ SQL_EMBEDDING_NEAR_DUPS = _sql_embedding_near_dups()
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors: deterministic k-means cells,
-    probe scans n_probe cells only (rows-only; brute-force baseline is
-    oracled by q_cosine_topk)."""
-    from .operators.similarity import ivf_topk, train_centroids
+    """IVF approximate nearest neighbors — the PROBE path, fully oracled:
+    assignment to fixed seed-31 cells, probe scans the n_probe=4 nearest
+    cells only, cosine top-20 inside them. Centroids are seed-derived
+    literals (not k-means-trained) precisely so the DuckDB twin can embed
+    the identical values — distributed Lloyd training is fp-accumulation-
+    order-dependent and stays pinned by tests (test_ivf_topk_recall)
+    instead. Assignment/rank tie-breaks are (distance, cell) / (cos_sim
+    desc, vec_id) on both sides."""
+    import numpy as np
+
+    from .operators.similarity import assign_cells
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    probe = emb.filter(F.col("vec_id") == 0).head()["embedding"]
-    cents = train_centroids(emb, n_cells=8, iters=2)
-    return ivf_topk(emb, probe, cents, k=20, n_probe=4)
+    probe_arr = np.asarray(
+        emb.filter(F.col("vec_id") == 0).head()["embedding"], dtype=np.float64
+    )
+    cents = np.random.RandomState(31).normal(size=(8, len(probe_arr)))
+    order = np.argsort(((cents - probe_arr) ** 2).sum(axis=1), kind="stable")
+    probe_cells = [int(c) for c in order[:4]]
+    cand = assign_cells(emb, cents).filter(F.col("cell").isin(probe_cells))
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe"))
+    x = cand.crossJoin(F.broadcast(probe))
+    dot = F.aggregate(
+        F.zip_with("embedding", "probe", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate("probe", F.lit(0.0), lambda acc, v: acc + v * v))
+    sim = F.round(dot / (na * nb), 6)
+    top = (
+        x.select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _sql_ivf_ann(dim: int = 64, n_cells: int = 8, n_probe: int = 4, k: int = 20,
+                 seed: int = 31) -> str:
+    """DuckDB twin of q_ivf_ann with the identical seed-31 centroid
+    literals. list_distance orders cells exactly like Spark's elementwise
+    squared-difference fold (IEEE sqrt is monotone)."""
+    import numpy as np
+
+    cents = np.random.RandomState(seed).normal(size=(n_cells, dim))
+    vals = ",\n".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in cents[i]) + "]::DOUBLE[])"
+        for i in range(n_cells)
+    )
+    return f"""
+WITH cells(cell, c) AS (VALUES {vals}),
+probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label, e.emb, cells.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_distance(e.emb, cells.c), cells.cell) AS rn
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings) e
+  CROSS JOIN cells
+),
+probecells AS (
+  SELECT cells.cell FROM cells, probe
+  ORDER BY list_distance(probe.p, cells.c), cells.cell LIMIT {n_probe}
+),
+cand AS (
+  SELECT vec_id, label, emb FROM scored
+  WHERE rn = 1 AND cell IN (SELECT cell FROM probecells)
+),
+sims AS (
+  SELECT vec_id, label,
+         round(list_dot_product(emb, probe.p)
+               / (sqrt(list_dot_product(emb, emb))
+                  * sqrt(list_dot_product(probe.p, probe.p))), 6) AS cos_sim
+  FROM cand, probe
+)
+SELECT vec_id, label, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+FROM sims ORDER BY rank LIMIT {k}
+"""
+
+
+SQL_IVF_ANN = _sql_ivf_ann()
+ORACLES["q_ivf_ann"] = SQL_IVF_ANN
 
 
 def _synth_images_df(spark: SparkSession, n: int = 60) -> DataFrame:
