@@ -34,6 +34,12 @@ LOSSY_QUANT = 4
 # reference's cron cadence, README_OLD.md:36-42).
 DEFAULT_HOST_BUDGET = 100
 
+# Nominal wall-clock span one round represents (reference cadence:
+# 3 rounds/hour). A host's `crawl_delay_ms` (its robots Crawl-delay)
+# caps its effective budget at ROUND_PERIOD_MS / crawl_delay_ms — the
+# declarative analog of the reference sleeping between requests.
+ROUND_PERIOD_MS = 20 * 60 * 1000
+
 # Hot-host skew defusal at the fetch repartition (SURVEY.md §4 item 1)
 # salts by the partition count (politeness.salted_repartition) so a hot
 # host spreads across every fetch task; no fixed salt constant.

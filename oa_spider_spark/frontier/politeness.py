@@ -59,7 +59,17 @@ def robots_allowed(df: DataFrame, hosts: DataFrame | None) -> DataFrame:
         F.coalesce(F.col("robots_disallow"), F.array().cast("array<string>")),
         lambda p: F.startswith(path, p),
     )
-    return joined.filter(~disallowed)
+    # Crawl-delay → budget cap: a host allowing one fetch per
+    # crawl_delay_ms sustains at most ROUND_PERIOD_MS/crawl_delay_ms
+    # fetches in a round's nominal span (sleeps become data, not time).
+    from ..config import ROUND_PERIOD_MS
+
+    delay_cap = F.floor(F.lit(ROUND_PERIOD_MS) / F.col("crawl_delay_ms")).cast("int")
+    eff_budget = F.when(
+        F.col("crawl_delay_ms") > 0,
+        F.least(F.coalesce(F.col("budget_per_round"), delay_cap), delay_cap),
+    ).otherwise(F.col("budget_per_round"))
+    return joined.filter(~disallowed).withColumn("budget_per_round", eff_budget)
 
 
 def apply_budget(

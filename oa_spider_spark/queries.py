@@ -935,10 +935,19 @@ FROM documents
 """
 
 
+NGRAM_DF_CAP = 50  # grams in more docs than this generate no candidates
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup scoring, hash-free definition so DuckDB
     can oracle it: pairs of docs (doc_id % 17 == 0 subset) sharing ≥1
-    distinct 5-gram, exact Jaccard ≥ 0.4. Deterministic near-dup clones
+    RARE distinct 5-gram (document frequency ≤ NGRAM_DF_CAP), exact
+    Jaccard over ALL shared grams ≥ 0.4. The df cap bounds the
+    candidate self-join: a gram's pair fan-out is ≤ cap², so total
+    candidate volume is ≤ cap × Σ df — linear in corpus size instead of
+    O(freq²) per hot gram (a 0.4-Jaccard pair sharing ONLY >cap-frequent
+    grams is the lone, statistically negligible miss — and the oracle
+    applies the identical cap). Deterministic near-dup clones
     (doc_id+10^6, text truncated by 7 chars) are planted — identically
     in the oracle — so recall is testable at every scale factor. The
     engine's LSH-accelerated variant (same math, xxhash64 shingles +
@@ -954,10 +963,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.array_distinct(F.transform(idx, lambda i: F.col("text").substr(i, F.lit(5))))
     sh = d.select("doc_id", F.explode(grams).alias("gram"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        sh.select(F.col("doc_id").alias("doc_a"), "gram")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
+    rare = sh.join(
+        sh.groupBy("gram").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= NGRAM_DF_CAP).select("gram"),
+        "gram",
+    )
+    cand = (
+        rare.select(F.col("doc_id").alias("doc_a"), "gram")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact intersection over ALL grams, candidates only (minhash-verify shape)
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "gram"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "gram"), ["doc_b", "gram"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -972,7 +993,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NGRAM_JACCARD = """
+SQL_NGRAM_JACCARD = f"""
 WITH d AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0
   UNION ALL
@@ -986,11 +1007,20 @@ WITH d AS (
   FROM d JOIN ser ON ser.i <= greatest(length(text) - 5 + 1, 1)
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b USING (gram)
+), rare AS (
+  SELECT sh.doc_id, sh.gram FROM sh
+  JOIN (SELECT gram FROM sh GROUP BY gram HAVING count(*) <= {NGRAM_DF_CAP}) r
+  USING (gram)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b USING (gram)
   WHERE a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+), inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.gram = sa.gram
+  GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b,
        round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard

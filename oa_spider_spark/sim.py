@@ -71,6 +71,7 @@ def run_round_sim(
     max_depth: int = 2,
     host_budgets: dict[str, int] | None = None,
     robots_disallow: dict[str, list[str]] | None = None,
+    crawl_delays: dict[str, int] | None = None,
 ) -> list[dict]:
     """One sequential crawl round; returns fetch records in crawl order."""
     # dedup by url_hash, latest attempt wins (engine round.py:dedup_frontier)
@@ -92,9 +93,19 @@ def run_round_sim(
     # per-host budget under the total order, then global order + limit
     active.sort(key=order_key)
     taken, per_host = [], {}
+    from .config import ROUND_PERIOD_MS
+
     for r in active:
         c = per_host.get(r["host"], 0)
-        budget = (host_budgets or {}).get(r["host"], default_budget)
+        delay = (crawl_delays or {}).get(r["host"], 0)
+        if delay > 0:
+            # Crawl-delay caps the round budget (politeness.robots_allowed):
+            # min(override, cap) with an override, else the cap itself
+            cap = ROUND_PERIOD_MS // delay
+            hb = (host_budgets or {}).get(r["host"])
+            budget = cap if hb is None else min(hb, cap)
+        else:
+            budget = (host_budgets or {}).get(r["host"], default_budget)
         if c < budget:
             per_host[r["host"]] = c + 1
             taken.append(r)

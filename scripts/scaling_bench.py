@@ -114,9 +114,10 @@ Raw JSON:
   the fetch stage is salted so a hot host spreads over EVERY task. No stage
   collects more than ~100 rows (bucket offsets) or a few KB (Bloom shard
   metadata) to the driver.
-* **The one O(rows) driver interaction** is the bucket-offset collect of the
-  global rank (≤100 rows/round, one per priority bucket) — independent of
-  frontier size.
+* **The one O(rows) driver interaction** of the selection path is a 2-value
+  min/max bounds collect for the rank sub-bucketing; rank offsets are a
+  broadcast METADATA frame (≤100 priority buckets × 256 sub-buckets of
+  counts), independent of frontier size.
 * **10^10-URL frontier math.** At the measured per-core fetch cost (~2.4 ms:
   synthetic decode+hash stands in for HTTP+JPEG decode), a 1000-executor ×
   4-core cluster sustains ~1.7M URLs/sec → a 10^10-URL frontier drains in

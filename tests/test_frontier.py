@@ -196,11 +196,15 @@ def test_hosts_table_budgets_and_robots_equivalence(spark, tmp_path):
         "h002.example.org": ["/mail"],
         "h000.example.org": ["/doc/2"],
     }
+    # h001: Crawl-delay 240 s -> cap ROUND_PERIOD_MS/240000 = 5 < its 40
+    # budget override; h003: delay-only row (no override) -> budget = cap 8
+    crawl_delays = {"h001.example.org": 240_000, "h003.example.org": 150_000}
     hosts_df = spark.createDataFrame(
         [
             ("h000.example.org", 3, 0, ["/doc/2"]),
-            ("h001.example.org", 40, 0, []),
+            ("h001.example.org", 40, 240_000, []),
             ("h002.example.org", None, 0, ["/mail"]),
+            ("h003.example.org", None, 150_000, []),
         ],
         "host string, budget_per_round int, crawl_delay_ms int, robots_disallow array<string>",
     )
@@ -215,6 +219,7 @@ def test_hosts_table_budgets_and_robots_equivalence(spark, tmp_path):
         sim.run_round_sim(
             st, r, n_hosts=n_hosts, default_budget=BUDGET,
             host_budgets=host_budgets, robots_disallow=robots_disallow,
+            crawl_delays=crawl_delays,
         )
         for r in range(rounds)
     ]
@@ -240,6 +245,10 @@ def test_hosts_table_budgets_and_robots_equivalence(spark, tmp_path):
     }
     for r in range(rounds):
         assert per.get((r, "h000.example.org"), 0) <= 3
+        # crawl-delay caps bit: 40-budget h001 held to 5, no-override h003 to 8
+        assert per.get((r, "h001.example.org"), 0) <= 5
+        assert per.get((r, "h003.example.org"), 0) <= 8
+    assert per.get((0, "h001.example.org"), 0) == 5  # cap actually reached
     assert fetched.filter(
         (F.col("host") == "h002.example.org") & F.col("url_canon").contains("/mail")
     ).count() == 0
