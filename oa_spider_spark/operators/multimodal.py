@@ -207,6 +207,72 @@ def synth_video_bytes(frames: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
+AUDIO_MAGIC = b"AUD0"
+
+
+def synth_audio_bytes(seed: int, sample_rate: int = 16000) -> bytes:
+    """Deterministic fake audio container: magic + uint32 sample_rate +
+    uint32 n_samples + int16 little-endian PCM of a quantized sine.
+    freq/amplitude/length all derive from `seed` — the audio analog of
+    synth_video_bytes (real codecs aren't in this container; audio_stats
+    raises NotImplementedError on non-AUD0 payloads)."""
+    import struct
+
+    n_samples = sample_rate * (1 + seed % 3) + seed * 7
+    freq = 200 + (seed * 37) % 1800
+    amp = 8000 + (seed % 8) * 2000
+    t = np.arange(n_samples, dtype=np.float64)
+    pcm = np.round(amp * np.sin(2 * np.pi * freq * t / sample_rate)).astype("<i2")
+    return AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples) + pcm.tobytes()
+
+
+def audio_stats(audios: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Multimodal audio source (binary column + typed metadata out):
+    decode the AUD0 container per Arrow batch and emit header- and
+    sample-level stats. Real formats (wav/mp3/ogg) would slot in behind
+    the same mapInArrow signature with soundfile/ffmpeg — unavailable in
+    this container, so non-AUD0 payloads raise NotImplementedError
+    (documented stub, plumbing is real). Output: (audio_id, sample_rate,
+    n_samples, duration_ms, rms, peak)."""
+    import struct
+
+    def fn(batch: pa.RecordBatch) -> pa.RecordBatch:
+        ids = batch.column("audio_id").to_pylist()
+        datas = batch.column(bytes_col).to_pylist()
+        out = {"audio_id": [], "sample_rate": [], "n_samples": [],
+               "duration_ms": [], "rms": [], "peak": []}
+        for aid, data in zip(ids, datas):
+            if data[:4] != AUDIO_MAGIC:
+                raise NotImplementedError(
+                    "real audio codecs unavailable in this container; "
+                    "only the AUD0 synthetic format decodes"
+                )
+            rate, n = struct.unpack("<II", data[4:12])
+            pcm = np.frombuffer(data, dtype="<i2", offset=12, count=n).astype(np.float64)
+            out["audio_id"].append(aid)
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(n)
+            out["duration_ms"].append(n * 1000 // rate)
+            out["rms"].append(int(np.sqrt(np.mean(pcm * pcm))))
+            out["peak"].append(int(np.max(np.abs(pcm))))
+        return pa.RecordBatch.from_arrays(
+            [pa.array(out["audio_id"], pa.string()),
+             pa.array(out["sample_rate"], pa.int32()),
+             pa.array(out["n_samples"], pa.int64()),
+             pa.array(out["duration_ms"], pa.int64()),
+             pa.array(out["rms"], pa.int32()),
+             pa.array(out["peak"], pa.int32())],
+            names=list(out),
+        )
+
+    return _map_arrow(
+        audios.select("audio_id", bytes_col),
+        fn,
+        "audio_id string, sample_rate int, n_samples long, duration_ms long, "
+        "rms int, peak int",
+    )
+
+
 def phash_hamming_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-duplicate images by phash Hamming distance, blocked on 4×16-bit
     phash blocks (pigeonhole: distance ≤ 6 with 4 blocks ⇒ some block has

@@ -1616,3 +1616,31 @@ FROM range(60) t(i)
 
 QUERIES["q_gbk_decode"] = q_gbk_decode
 ORACLES["q_gbk_decode"] = SQL_GBK_DECODE
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio source — AUD0 container decode in mapInArrow
+    (binary column in, typed metadata out; the audio analog of the image
+    decode stage). Oracled by ground-truth recomputation of the
+    header-derived fields (sample_rate / n_samples / duration_ms are
+    closed-form in i); the sample-level stats (rms/peak) are pinned
+    against a numpy twin in tests/test_operators.py instead."""
+    from .operators.multimodal import audio_stats, synth_audio_bytes
+
+    df = spark.createDataFrame(
+        [(f"aud{i:03d}", bytearray(synth_audio_bytes(i))) for i in range(50)],
+        "audio_id string, bytes binary",
+    )
+    return audio_stats(df).select("audio_id", "sample_rate", "n_samples", "duration_ms")
+
+
+SQL_AUDIO_STATS = """
+SELECT 'aud' || lpad(i::VARCHAR, 3, '0') AS audio_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(16000 * (1 + i % 3) + i * 7 AS BIGINT) AS n_samples,
+       CAST((16000 * (1 + i % 3) + i * 7) * 1000 // 16000 AS BIGINT) AS duration_ms
+FROM range(50) t(i)
+"""
+
+QUERIES["q_audio_stats"] = q_audio_stats
+ORACLES["q_audio_stats"] = SQL_AUDIO_STATS

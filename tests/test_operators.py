@@ -309,3 +309,33 @@ def test_similarity_high_dim_arrow_no_blowup(spark):
 
     found = {(r["vec_a"], r["vec_b"]) for r in dedup.embedding_near_dups(emb, 0.99, n_planes=12, method="arrow").collect()}
     assert (3, 1000) in found
+
+
+def test_audio_stats_match_numpy_twin(spark):
+    """AUD0 decode: header fields exact, rms/peak equal a numpy
+    recomputation of the same quantized sine."""
+    from oa_spider_spark.operators.multimodal import audio_stats, synth_audio_bytes
+
+    rows = [(f"aud{i:03d}", bytearray(synth_audio_bytes(i))) for i in (0, 1, 5, 12)]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    got = {r["audio_id"]: r for r in audio_stats(df).collect()}
+    for i in (0, 1, 5, 12):
+        n = 16000 * (1 + i % 3) + i * 7
+        freq, amp = 200 + (i * 37) % 1800, 8000 + (i % 8) * 2000
+        t = np.arange(n, dtype=np.float64)
+        pcm = np.round(amp * np.sin(2 * np.pi * freq * t / 16000)).astype("<i2").astype(np.float64)
+        r = got[f"aud{i:03d}"]
+        assert (r["sample_rate"], r["n_samples"]) == (16000, n)
+        assert r["duration_ms"] == n * 1000 // 16000
+        assert r["rms"] == int(np.sqrt(np.mean(pcm * pcm)))
+        assert r["peak"] == int(np.max(np.abs(pcm)))
+
+
+def test_audio_stats_rejects_real_formats(spark):
+    from oa_spider_spark.operators.multimodal import audio_stats
+
+    df = spark.createDataFrame(
+        [("x", bytearray(b"RIFF....WAVE"))], "audio_id string, bytes binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|AUD0|unavailable"):
+        audio_stats(df).collect()

@@ -147,3 +147,37 @@ def test_budget_and_order_matches_unfused_pipeline(spark):
     cache = getattr(fused, "_ordered_cache", None)
     if cache is not None:
         cache.unpersist()
+
+
+def test_attachments_join_is_hash_join_not_nested_loop(spark):
+    """J4 child-table equi-join must compile to a hash join (broadcast or
+    shuffled) — a nested-loop/cartesian product would be quadratic."""
+    df = entry_mod.queries()["q_attachments_join"](spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert "HashJoin" in plan, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"{bad} in attachments-join plan"
+
+
+def test_html_parse_is_arrow_and_prunes_scan(spark):
+    """The HTML parse stage must be one Arrow hop (never row Python), and
+    the documents scan must read only the columns the page synth uses."""
+    df = entry_mod.queries()["q_html_parse"](spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert "PythonMapInArrow" in plan or "MapInArrow" in plan, plan
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python in parse path"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text", "source", "n_chars"}, cols
+
+
+def test_topk_queries_use_distributed_topk(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject
+    (per-partition top-k merged on the driver) — never a global sort."""
+    for q in ("q_cosine_topk", "q_ivf_ann"):
+        df = entry_mod.queries()[q](spark, SF_DIR)
+        plan = plan_of(df)
+        assert "TakeOrderedAndProject" in plan, f"{q}: {plan[:800]}"
