@@ -89,6 +89,10 @@ def host_index(host: str) -> int:
     return int(host.split(".", 1)[0][1:])
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
 def hosts(n_hosts: int) -> list[str]:
     return [f"h{i:03d}.example.org" for i in range(n_hosts)]
 
@@ -190,29 +194,33 @@ class FetchResult:
 
 
 def synth_caption(seed: int) -> str:
-    """Caption with CJK + filename-hostile chars (FIXTURES.md §1)."""
-    rng = np.random.RandomState(seed)
-    n = 6 + rng.randint(0, 8)
-    chars = [_CJK[rng.randint(0, len(_CJK))] for _ in range(n)]
+    """Caption with CJK + filename-hostile chars (FIXTURES.md §1).
+
+    PCG64, not RandomState: MT19937's 624-word seeding (~90 µs) dominated
+    the per-URL synthetic fetch — 3 RNG inits per URL were 27% of fetch
+    cost. The char draw is one vectorized integers() call."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 6 + int(rng.integers(0, 8))
+    chars = [_CJK[int(j)] for j in rng.integers(0, len(_CJK), size=n)]
     # sprinkle 0-2 forbidden chars to exercise clean_filename
-    for _ in range(rng.randint(0, 3)):
-        pos = rng.randint(0, len(chars) + 1)
-        chars.insert(pos, _MESSY[rng.randint(0, len(_MESSY))])
+    for _ in range(int(rng.integers(0, 3))):
+        pos = int(rng.integers(0, len(chars) + 1))
+        chars.insert(pos, _MESSY[int(rng.integers(0, len(_MESSY)))])
     return f"doc{seed % 100000} " + "".join(chars)
 
 
 def synth_image(seed: int):
     """Deterministic greyscale test pattern: gradient + sinusoid + noise.
     Smooth enough to quantize within the PSNR gate, unique per seed."""
-    rng = np.random.RandomState(seed)
-    h = 24 + rng.randint(0, 41)
-    w = 24 + rng.randint(0, 41)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    h = 24 + int(rng.integers(0, 41))
+    w = 24 + int(rng.integers(0, 41))
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     img = (
         100
         + 80 * np.sin(xx / (3 + seed % 7) + seed % 11)
         + 60 * (yy / h)
-        + rng.randint(-10, 11, (h, w))
+        + rng.integers(-10, 11, (h, w))
     )
     return np.clip(img, 0, 255).astype(np.uint8)
 
@@ -251,8 +259,8 @@ def fetch_url(url_canon: str, attempt: int = 0, n_hosts: int = 20,
     caption = synth_caption(s)
     ph = average_hash(img)
     # outlinks: pure function of the URL seed; depth capped by caller
-    rng = np.random.RandomState(s ^ 0x5EED)
-    n_links = int(rng.randint(0, 4))
+    rng = np.random.Generator(np.random.PCG64(s ^ 0x5EED))
+    n_links = int(rng.integers(0, 4))
     # parse original host/kind/n out of the canonical url
     try:
         rest = url_canon.split("://", 1)[1]
@@ -262,9 +270,9 @@ def fetch_url(url_canon: str, attempt: int = 0, n_hosts: int = 20,
     hs = hosts(n_hosts)
     links = []
     for i in range(n_links):
-        same_host = rng.randint(0, 10) < 8  # 80% same-host links
-        lhost = host if same_host else hs[int(rng.randint(0, n_hosts))]
-        lkind = "doc" if rng.randint(0, 3) else "mail"
+        same_host = rng.integers(0, 10) < 8  # 80% same-host links
+        lhost = host if same_host else hs[int(rng.integers(0, n_hosts))]
+        lkind = "doc" if rng.integers(0, 3) else "mail"
         links.append(url_of(lhost, lkind, 1_000_000 + (s % 100_000) * 10 + i))
     h_, w_ = img.shape
     return FetchResult("ok", payload, int(w_), int(h_), fmt, caption, ph, links, base_ms, "")
