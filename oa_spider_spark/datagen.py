@@ -215,13 +215,11 @@ def synth_image(seed: int):
     rng = np.random.Generator(np.random.PCG64(seed))
     h = 24 + int(rng.integers(0, 41))
     w = 24 + int(rng.integers(0, 41))
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    img = (
-        100
-        + 80 * np.sin(xx / (3 + seed % 7) + seed % 11)
-        + 60 * (yy / h)
-        + rng.integers(-10, 11, (h, w))
-    )
+    # the sinusoid varies along x only — compute it on one row and
+    # broadcast (same doubles as the full-grid form, w sins not h*w)
+    row = 100.0 + 80.0 * np.sin(np.arange(w, dtype=np.float64) / (3 + seed % 7) + seed % 11)
+    col = 60.0 * (np.arange(h, dtype=np.float64) / h)
+    img = row[None, :] + col[:, None] + rng.integers(-10, 11, (h, w))
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

@@ -51,7 +51,10 @@ def encode_png(arr: np.ndarray) -> bytes:
     # one filter-type byte (0 = None) per scanline
     stream = np.zeros((h, 1 + w * channels), dtype=np.uint8)
     stream[:, 1:] = raw
-    idat = zlib.compress(stream.tobytes(), 6)
+    # level 1: the payloads are synthetic noise-bearing images where
+    # levels 1-9 differ <8% in size but ~3x in CPU; this encoder sits on
+    # the fetch hot path (a real crawler's encode cost is the camera's)
+    idat = zlib.compress(stream.tobytes(), 1)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -123,7 +126,7 @@ def _encode_lossy(arr: np.ndarray, q: int = LOSSY_QUANT) -> bytes:
     c = 1 if arr.ndim == 2 else arr.shape[2]
     h, w = arr.shape[:2]
     quant = ((arr.astype(np.uint16) // q) * q + q // 2).clip(0, 255).astype(np.uint8)
-    return b"FJPG" + struct.pack(">IIBB", w, h, c, q) + zlib.compress(quant.tobytes(), 6)
+    return b"FJPG" + struct.pack(">IIBB", w, h, c, q) + zlib.compress(quant.tobytes(), 1)
 
 
 def _decode_lossy(data: bytes) -> np.ndarray:
