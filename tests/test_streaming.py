@@ -79,3 +79,21 @@ def test_host_rate_metrics_memory_sink(spark, stream_setup):
     out = spark.sql("SELECT * FROM host_rates")
     # append mode only emits closed windows; watermark math is exercised
     assert {"window", "host", "n_urls", "n_distinct"}.issubset(set(out.columns))
+
+
+def test_streaming_releases_selection_caches(spark, tmp_path):
+    """ADVICE r01: each micro-batch persisted budget_and_order's input and
+    never released it — one leaked MEMORY_AND_DISK DataFrame per batch.
+    Draining a fresh stream must leave the persistent-RDD registry exactly
+    where it started."""
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    rows = datagen.seed_frontier_rows(80, n_hosts=4)
+    normalize_frontier(spark, rows).write.parquet(f"{in_dir}/batch0")
+    before = n_persisted()
+    cat = Catalog(tmp_path / "cat")
+    q = streaming_crawl(spark, cat, in_dir + "/*", ckpt, n_hosts=4, default_budget=50)
+    q.awaitTermination(180)
+    assert n_persisted() == before, "streaming batch leaked a persisted DataFrame"
