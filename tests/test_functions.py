@@ -112,3 +112,91 @@ def test_sizeof_fmt_matches_reference_shape():
     assert sizeof_fmt(0) == "0.0B"
     assert sizeof_fmt(1536) == "1.5KB"
     assert sizeof_fmt(104857600) == "100.0MB"
+
+
+# --- F8 RSA auth encryption (functions/rsa.py; JSEncrypt.py:17-19) -------
+
+
+def test_rsa_demo_keypair_valid():
+    from oa_spider_spark.functions.rsa import demo_keypair
+
+    n, e, d = demo_keypair()
+    assert n.bit_length() in (511, 512)
+    assert e == 65537
+    # d really inverts e for a couple of probes
+    for m in (2, 12345, 2**200 + 17):
+        assert pow(pow(m, e, n), d, n) == m
+
+
+def test_rsa_envelope_roundtrip_and_determinism():
+    from oa_spider_spark.functions.rsa import (
+        decrypt_token_bytes,
+        demo_keypair,
+        encrypt_token_bytes,
+    )
+
+    n, e, d = demo_keypair()
+    for tok in [b"userA:rc7", "päss通知:rc7".encode(), b"x"]:
+        c1 = encrypt_token_bytes(tok, n, e)
+        c2 = encrypt_token_bytes(tok, n, e)
+        assert c1 == c2, "padding must be deterministic"
+        assert len(c1) == (n.bit_length() + 7) // 8
+        assert decrypt_token_bytes(c1, n, d) == tok
+    # envelope shape: 00 02 <nonzero PS> 00 M
+    raw = pow(int.from_bytes(encrypt_token_bytes(b"t", n, e), "big"), d, n)
+    eb = raw.to_bytes((n.bit_length() + 7) // 8, "big")
+    assert eb[:2] == b"\x00\x02"
+    sep = eb.index(b"\x00", 2)
+    assert all(b != 0 for b in eb[2:sep]) and sep >= 2 + 8
+
+
+def test_rsa_token_too_long_raises():
+    from oa_spider_spark.functions.rsa import demo_keypair, encrypt_token_bytes
+
+    n, e, _ = demo_keypair()
+    k = (n.bit_length() + 7) // 8
+    with pytest.raises(ValueError):
+        encrypt_token_bytes(b"x" * (k - 10), n, e)
+
+
+def test_rsa_portable_key_and_chain():
+    """The fixed 61-bit key actually decrypts, and the 16-squarings chain
+    the DuckDB oracle replays equals Python pow."""
+    from oa_spider_spark.functions.rsa import (
+        PORTABLE_D,
+        PORTABLE_E,
+        PORTABLE_N,
+        PORTABLE_P,
+        PORTABLE_Q,
+    )
+
+    assert PORTABLE_P * PORTABLE_Q == PORTABLE_N
+    assert PORTABLE_N.bit_length() == 61  # 2*61 < 127: HUGEINT-safe products
+    for m in (0, 1, 123456789, PORTABLE_N - 1):
+        c = pow(m, PORTABLE_E, PORTABLE_N)
+        assert pow(c, PORTABLE_D, PORTABLE_N) == m
+        x = m
+        for _ in range(16):
+            x = x * x % PORTABLE_N
+        assert (x * m) % PORTABLE_N == c
+
+
+def test_rsa_encrypt_column_roundtrips(spark):
+    """Full-width column path: pandas_udf base64 ciphertexts decrypt back
+    to the exact input tokens under the demo private key."""
+    import base64
+
+    from oa_spider_spark.functions.rsa import (
+        decrypt_token_bytes,
+        demo_keypair,
+        rsa_encrypt,
+    )
+
+    n, _, d = demo_keypair()
+    toks = [("userA:rc7",), ("p@ss通知:rc7",), ("c",)]
+    df = spark.createDataFrame(toks, ["tok"]).select(
+        "tok", rsa_encrypt(F.col("tok")).alias("cipher_b64")
+    )
+    for row in df.collect():
+        got = decrypt_token_bytes(base64.b64decode(row["cipher_b64"]), n, d)
+        assert got.decode() == row["tok"]
