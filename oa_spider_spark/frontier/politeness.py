@@ -102,11 +102,18 @@ def global_order_and_limit(
     each in-bucket window is still ~1% of the frontier in ONE task.
     So the rank is decomposed on the first TWO sort keys:
 
-      * `_b`  — clamped priority (leading key, ~100 values);
+      * `_b`  — the EXACT negated priority (ascending `_b` ≡ priority
+        DESC for any int domain — a clamped bucket would let an
+        out-of-range priority share a bucket with several values, and
+        the `_s` split below would then interleave them out of order);
       * `_s`  — `created_ms` quantized into `subbuckets` ranges, negated
         (the second key sorts DESC), so ascending (_b, _s) is a prefix of
         the total order: rows in earlier cells outrank all later cells,
         and the in-cell window re-sorts by the full key.
+
+    The offsets metadata frame is O(distinct priorities × subbuckets)
+    rows (~100 × 256 in practice — priorities are small ints by
+    convention, but correctness no longer depends on that).
 
     Global rank = (broadcast) cell offset + in-cell row_number. Offsets
     come from a groupBy(_b,_s) count + a running sum over that ≤100×
@@ -119,7 +126,7 @@ def global_order_and_limit(
     from pyspark import StorageLevel
 
     inp = df.persist(StorageLevel.MEMORY_AND_DISK)
-    bucket = F.least(F.greatest(F.lit(99) - F.col("priority"), F.lit(0)), F.lit(99))
+    bucket = (-F.col("priority")).cast("long")
     bounds = inp.agg(F.min("created_ms").alias("lo"), F.max("created_ms").alias("hi")).collect()[0]
     lo = bounds["lo"] if bounds["lo"] is not None else 0
     span = max(1, (bounds["hi"] - lo + 1) if bounds["hi"] is not None else 1)

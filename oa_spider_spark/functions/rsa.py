@@ -69,7 +69,8 @@ def rsa_encrypt_portable(tokens: Column) -> Column:
     @pandas_udf("long")
     def _modpow(ms: pd.Series) -> pd.Series:
         n, e = PORTABLE_N, PORTABLE_E
-        return ms.map(lambda m_: pow(int(m_), e, n))
+        # NULL token → NULL cipher (nullable long arrives as NaN/NA)
+        return ms.map(lambda m_: pow(int(m_), e, n), na_action="ignore")
 
     return _modpow(m)
 
@@ -171,10 +172,12 @@ def rsa_encrypt(tokens: Column, n: int | None = None, e: int = 65537) -> Column:
 
     @pandas_udf("string")
     def _enc(ts: pd.Series) -> pd.Series:
+        # NULL token → NULL cipher (not the ciphertext of the string "None")
         return ts.map(
             lambda t: base64.b64encode(
                 encrypt_token_bytes(str(t).encode(), n, e)
-            ).decode()
+            ).decode(),
+            na_action="ignore",
         )
 
     return _enc(tokens)

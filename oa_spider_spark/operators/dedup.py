@@ -61,8 +61,9 @@ def minhash_signatures(
     """(doc_id, sig array<long>) — n_hashes min-hash values. Each hash i
     is a remix of the shingle hash, min-aggregated per doc: one shuffle.
     Default remix is xxhash64(shingle XOR splitmix-constant); portable
-    mode remixes via md5h60(shingle || ':' || i) so DuckDB reproduces the
-    exact signature values."""
+    mode remixes via md5h60(shingle || ':' || seed || ':' || i) so DuckDB
+    reproduces the exact signature values (and distinct seeds give
+    independent signature families in BOTH modes)."""
     def _signed(x: int) -> int:
         x &= 0xFFFFFFFFFFFFFFFF
         return x - (1 << 64) if x >= (1 << 63) else x
@@ -70,7 +71,7 @@ def minhash_signatures(
     if portable:
         aggs = [
             F.min(
-                md5h60(F.concat(F.col("shingle_hash").cast("string"), F.lit(f":{i}")))
+                md5h60(F.concat(F.col("shingle_hash").cast("string"), F.lit(f":{seed}:{i}")))
             ).alias(f"h{i}")
             for i in range(n_hashes)
         ]

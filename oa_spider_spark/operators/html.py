@@ -20,6 +20,7 @@ Supported selector subset (all the shapes the reference uses):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from html.parser import HTMLParser
 
@@ -94,16 +95,16 @@ def _parse_simple(simple: str) -> tuple[str | None, str | None, str | None, int 
     if ":nth-child(" in rest:
         rest, _, tail = rest.partition(":nth-child(")
         nth = int(tail.rstrip(")"))
-    # split off #id and .class (single class supported — all the ref uses)
-    for sep, which in (("#", "id"), (".", "cls")):
-        if sep in rest:
-            rest, _, val = rest.partition(sep)
-            if which == "id":
-                id_ = val
+    # leading tag, then any number of #id / .class tokens in either order
+    # (single class supported — all the ref uses)
+    m = re.match(r"([^#.]*)((?:[#.][^#.]+)*)$", rest)
+    if m:
+        tag = m.group(1) or None
+        for tok in re.findall(r"[#.][^#.]+", m.group(2)):
+            if tok[0] == "#":
+                id_ = tok[1:]
             else:
-                cls = val
-    if rest:
-        tag = rest
+                cls = tok[1:]
     return tag, id_, cls, nth
 
 
@@ -244,16 +245,18 @@ def extract_links(
             if not batch.num_rows:
                 continue
             pages = batch.column(html_col).to_pylist()
-            keys = [batch.column(k).to_pylist() for k in key_cols]
-            out_keys: list[list] = [[] for _ in key_cols]
+            rows: list[int] = []
             hrefs, names = [], []
             for row, page in enumerate(pages):
                 for href, text in links(parse_html(page), selector):
-                    for i in range(len(key_cols)):
-                        out_keys[i].append(keys[i][row])
+                    rows.append(row)
                     hrefs.append(href)
                     names.append(text or href[href.rfind("/") + 1:])
-            arrays = [pa.array(k) for k in out_keys] + [
+            # take() on the ORIGINAL columns keeps their exact Arrow types
+            # (int32 keys etc.) — rebuilding via pa.array() type inference
+            # would re-type them and crash the JVM-side accessor
+            idx = pa.array(rows, pa.int64())
+            arrays = [batch.column(k).take(idx) for k in key_cols] + [
                 pa.array(hrefs, pa.string()), pa.array(names, pa.string())
             ]
             yield pa.RecordBatch.from_arrays(arrays, names=[*key_cols, "href", "name"])

@@ -1058,7 +1058,7 @@ WITH ser AS (
   FROM documents JOIN ser ON ser.i <= greatest(length(text) - 4, 1)
 ), sig AS (
   SELECT doc_id, h.i AS hi,
-         min(('0x' || substr(md5(shingle_hash::VARCHAR || ':' || h.i::VARCHAR), 1, 15))::BIGINT) AS mh
+         min(('0x' || substr(md5(shingle_hash::VARCHAR || ':42:' || h.i::VARCHAR), 1, 15))::BIGINT) AS mh
   FROM sh, range(32) h(i)
   GROUP BY doc_id, h.i
 ), bands AS (
@@ -1410,9 +1410,10 @@ ORACLES.update(
         "q_simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
         "q_embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "q_captcha_pipeline": SQL_CAPTCHA_PIPELINE,
-        # rows-only (binary payloads / non-portable numerics, pinned by
-        # pytest instead): q_ivf_ann, q_image_decode_stats,
-        # q_phash_near_dup_images, q_image_resize, q_frame_sample
+        # rows-only (binary payloads, pinned by pytest instead):
+        # q_image_decode_stats, q_phash_near_dup_images, q_image_resize,
+        # q_frame_sample. (q_ivf_ann gained a full value oracle —
+        # ORACLES["q_ivf_ann"] = SQL_IVF_ANN, assigned above.)
     }
 )
 

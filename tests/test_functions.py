@@ -200,3 +200,19 @@ def test_rsa_encrypt_column_roundtrips(spark):
     for row in df.collect():
         got = decrypt_token_bytes(base64.b64decode(row["cipher_b64"]), n, d)
         assert got.decode() == row["tok"]
+
+
+def test_rsa_null_tokens_stay_null(spark):
+    """Code-review r02: NULL tokens crashed the portable path and became
+    the ciphertext of the string 'None' in the full-width path."""
+    from oa_spider_spark.functions.rsa import rsa_encrypt, rsa_encrypt_portable
+
+    df = spark.createDataFrame([("a:rc7",), (None,)], "t: string")
+    out = df.select(
+        "t",
+        rsa_encrypt_portable(F.col("t")).alias("pc"),
+        rsa_encrypt(F.col("t")).alias("fc"),
+    ).collect()
+    by_tok = {r["t"]: r for r in out}
+    assert by_tok["a:rc7"]["pc"] is not None and by_tok["a:rc7"]["fc"] is not None
+    assert by_tok[None]["pc"] is None and by_tok[None]["fc"] is None

@@ -339,3 +339,41 @@ def test_audio_stats_rejects_real_formats(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|AUD0|unavailable"):
         audio_stats(df).collect()
+
+
+def test_extract_links_preserves_int32_key_type(spark):
+    """Code-review r02: extract_links rebuilt key columns via pa.array()
+    type inference, crashing the JVM accessor on non-int64 keys."""
+    from oa_spider_spark.operators.html import extract_links
+
+    df = spark.createDataFrame(
+        [(7, '<ul class="ul1"><li><a href="/doc/7-0">card</a></li></ul>')],
+        "doc_id int, page string",
+    )
+    rows = extract_links(df, "page", ".ul1 li a").collect()
+    assert [(r["doc_id"], r["href"], r["name"]) for r in rows] == [(7, "/doc/7-0", "card")]
+
+
+def test_selector_combined_tag_id_class_both_orders():
+    """Code-review r02: 'tag#id.class' absorbed '.class' into the id."""
+    from oa_spider_spark.operators.html import parse_html, select
+
+    root = parse_html('<div id="main" class="active"><p>x</p></div><div id="main2"></div>')
+    for sel in ("div#main.active", "div.active#main", "#main.active"):
+        hits = select(root, sel)
+        assert len(hits) == 1 and hits[0].attrs.get("id") == "main", sel
+    assert select(root, "div#main2.active") == []
+
+
+def test_minhash_portable_seed_gives_distinct_families(spark):
+    """Code-review r02: portable mode ignored `seed` — distinct seeds must
+    yield distinct signature families in BOTH modes."""
+    from oa_spider_spark.operators.dedup import minhash_signatures, shingles
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    sh = shingles(docs, portable=True)
+    a = minhash_signatures(sh, n_hashes=8, seed=42, portable=True).collect()[0]["sig"]
+    b = minhash_signatures(sh, n_hashes=8, seed=7, portable=True).collect()[0]["sig"]
+    assert a != b

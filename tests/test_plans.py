@@ -181,3 +181,29 @@ def test_topk_queries_use_distributed_topk(spark):
         df = entry_mod.queries()[q](spark, SF_DIR)
         plan = plan_of(df)
         assert "TakeOrderedAndProject" in plan, f"{q}: {plan[:800]}"
+
+
+def test_global_order_correct_for_out_of_range_priorities(spark):
+    """Code-review r02: the old clamped `_b` let priority 150 share a
+    bucket with priority 99, and the created_ms sub-split then interleaved
+    them out of order. `_b` is now the exact negated priority — the rank
+    must equal a plain full sort for ANY priority domain."""
+    base = datagen.seed_frontier_df(spark, 400, n_hosts=4, hot_share=0.3)
+    f = base.withColumn(
+        "priority",
+        F.when(F.col("url_hash") % 7 == 0, F.col("priority") + 120)
+        .when(F.col("url_hash") % 7 == 1, F.col("priority") - 150)
+        .otherwise(F.col("priority")),
+    )
+    out = global_order_and_limit(f, None)
+    got = [
+        r["url_hash"]
+        for r in out.orderBy("fetch_order").select("url_hash").collect()
+    ]
+    from oa_spider_spark.frontier.politeness import order_cols
+
+    want = [r["url_hash"] for r in f.orderBy(*order_cols()).select("url_hash").collect()]
+    assert got == want
+    cache = getattr(out, "_ordered_cache", None)
+    if cache is not None:
+        cache.unpersist()
