@@ -104,6 +104,28 @@ def captcha_solve(images: DataFrame) -> DataFrame:
     return _map_arrow(images.select("image_id", "bytes"), fn, "image_id string, code string")
 
 
+def captcha_solve_nn(images: DataFrame) -> DataFrame:
+    """K10 — learned-model OCR backend (reference ddddocr path,
+    oa.py:300-303) as a batch stage. The seeded closed-form classifier
+    (kernels/nn_ocr.py) materializes once per executor process via its
+    module cache — the deployment shape of any pretrained model: weights
+    resident per worker, inference vectorized over Arrow batches."""
+    from ..kernels.nn_ocr import glyph_classifier, hack_captcha_nn
+
+    def fn(batch: pa.RecordBatch) -> pa.RecordBatch:
+        glyph_classifier()  # warm the per-process weight cache once
+        ids = batch.column("image_id").to_pylist()
+        codes = []
+        for data in batch.column("bytes").to_pylist():
+            try:
+                codes.append(hack_captcha_nn(decode_image(data)))
+            except Exception:
+                codes.append(None)
+        return pa.RecordBatch.from_pydict({"image_id": ids, "code": codes})
+
+    return _map_arrow(images.select("image_id", "bytes"), fn, "image_id string, code string")
+
+
 def _bilinear(arr: np.ndarray, oh: int, ow: int) -> np.ndarray:
     h, w = arr.shape[:2]
     ys = (np.arange(oh) + 0.5) * h / oh - 0.5

@@ -1696,3 +1696,37 @@ FROM ({inner})
 
 QUERIES["q_rsa_auth"] = q_rsa_auth
 ORACLES["q_rsa_auth"] = _sql_rsa_auth()
+
+
+def q_captcha_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 — learned-model OCR (reference ddddocr path, oa.py:300-303)
+    over the same rendered captcha set as q_captcha_pipeline, via the
+    seeded closed-form classifier (kernels/nn_ocr.py). Ground-truth
+    oracle: codes are (i*2467+987) % 10000 by construction, so a wrong
+    feature grid / weight solve / argmax shows up as a value mismatch."""
+    import numpy as np
+
+    from .kernels.codec import encode_image
+    from .kernels.image_ops import digit_templates, render_captcha
+    from .operators.multimodal import captcha_solve_nn
+
+    t = digit_templates()
+    rng = np.random.RandomState(47)
+    rows = []
+    for i in range(40):
+        code = f"{(i * 2467 + 987) % 10000:04d}"
+        rows.append(
+            (f"nn{i:03d}", bytearray(encode_image(render_captcha(code, t, noise=5, rng=rng), "png")))
+        )
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return captcha_solve_nn(df)
+
+
+SQL_CAPTCHA_NN = """
+SELECT 'nn' || lpad(i::VARCHAR, 3, '0') AS image_id,
+       lpad(((i * 2467 + 987) % 10000)::VARCHAR, 4, '0') AS code
+FROM range(40) t(i)
+"""
+
+QUERIES["q_captcha_nn"] = q_captcha_nn
+ORACLES["q_captcha_nn"] = SQL_CAPTCHA_NN

@@ -217,3 +217,34 @@ def test_average_hash_small_hash_size():
         if hs == 8 and want >= 1 << 63:
             want -= 1 << 64
         assert got == want, hs
+
+
+# --- K10 learned-OCR backend (kernels/nn_ocr.py; ddddocr stand-in) -------
+
+
+def test_nn_ocr_deterministic_weights():
+    import numpy as np
+
+    from oa_spider_spark.kernels import nn_ocr
+
+    W1 = nn_ocr.glyph_classifier()
+    nn_ocr.glyph_classifier.cache_clear()
+    W2 = nn_ocr.glyph_classifier()
+    assert W1.shape == (nn_ocr.GRID_H * nn_ocr.GRID_W + 1, 10)
+    assert np.array_equal(W1, W2), "closed-form training must be bit-deterministic"
+
+
+def test_nn_ocr_recovers_codes_all_scales():
+    """The learned backend must match the template backend's exact-recovery
+    bar on clean and speckled renders, at train and held-out scales."""
+    import numpy as np
+
+    from oa_spider_spark.kernels.image_ops import digit_templates, render_captcha
+    from oa_spider_spark.kernels.nn_ocr import hack_captcha_nn
+
+    rng = np.random.RandomState(99)
+    for scale in ((2, 2), (3, 3), (5, 4)):  # (5,4) never seen in training
+        t = digit_templates(*scale)
+        for i in range(0, 10000, 1111):
+            code = f"{i:04d}"
+            assert hack_captcha_nn(render_captcha(code, t, noise=4, rng=rng)) == code
