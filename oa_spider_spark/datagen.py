@@ -200,21 +200,28 @@ def synth_caption(seed: int) -> str:
     the per-URL synthetic fetch — 3 RNG inits per URL were 27% of fetch
     cost. The char draw is one vectorized integers() call."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    n = 6 + int(rng.integers(0, 8))
-    chars = [_CJK[int(j)] for j in rng.integers(0, len(_CJK), size=n)]
+    # ONE raw draw covers every decision (each integers() call costs
+    # ~10 µs of Generator overhead — they were ~15% of fetch cost):
+    # [0]=len, [1]=messy count, [2:4]=messy picks, [4:6]=positions,
+    # [6:]=caption chars
+    raw = rng.integers(0, 1 << 32, size=6 + 13)
+    n = 6 + int(raw[0] % 8)
+    chars = [_CJK[int(j % len(_CJK))] for j in raw[6 : 6 + n]]
     # sprinkle 0-2 forbidden chars to exercise clean_filename
-    for _ in range(int(rng.integers(0, 3))):
-        pos = int(rng.integers(0, len(chars) + 1))
-        chars.insert(pos, _MESSY[int(rng.integers(0, len(_MESSY)))])
+    for k in range(int(raw[1] % 3)):
+        pos = int(raw[4 + k] % (len(chars) + 1))
+        chars.insert(pos, _MESSY[int(raw[2 + k] % len(_MESSY))])
     return f"doc{seed % 100000} " + "".join(chars)
 
 
 def synth_image(seed: int):
     """Deterministic greyscale test pattern: gradient + sinusoid + noise.
     Smooth enough to quantize within the PSNR gate, unique per seed."""
+    # h/w from the seed directly (no Generator overhead), noise in ONE
+    # vector draw
+    h = 24 + (seed >> 3) % 41
+    w = 24 + (seed >> 9) % 41
     rng = np.random.Generator(np.random.PCG64(seed))
-    h = 24 + int(rng.integers(0, 41))
-    w = 24 + int(rng.integers(0, 41))
     # the sinusoid varies along x only — compute it on one row and
     # broadcast (same doubles as the full-grid form, w sins not h*w)
     row = 100.0 + 80.0 * np.sin(np.arange(w, dtype=np.float64) / (3 + seed % 7) + seed % 11)
@@ -256,9 +263,11 @@ def fetch_url(url_canon: str, attempt: int = 0, n_hosts: int = 20,
     payload = encode_image(img, fmt)
     caption = synth_caption(s)
     ph = average_hash(img)
-    # outlinks: pure function of the URL seed; depth capped by caller
+    # outlinks: pure function of the URL seed; depth capped by caller.
+    # ONE raw draw covers the count and all per-link decisions.
     rng = np.random.Generator(np.random.PCG64(s ^ 0x5EED))
-    n_links = int(rng.integers(0, 4))
+    raw = rng.integers(0, 1 << 32, size=1 + 3 * 3)
+    n_links = int(raw[0] % 4)
     # parse original host/kind/n out of the canonical url
     try:
         rest = url_canon.split("://", 1)[1]
@@ -268,9 +277,9 @@ def fetch_url(url_canon: str, attempt: int = 0, n_hosts: int = 20,
     hs = hosts(n_hosts)
     links = []
     for i in range(n_links):
-        same_host = rng.integers(0, 10) < 8  # 80% same-host links
-        lhost = host if same_host else hs[int(rng.integers(0, n_hosts))]
-        lkind = "doc" if rng.integers(0, 3) else "mail"
+        same_host = raw[1 + 3 * i] % 10 < 8  # 80% same-host links
+        lhost = host if same_host else hs[int(raw[2 + 3 * i] % n_hosts)]
+        lkind = "doc" if raw[3 + 3 * i] % 3 else "mail"
         links.append(url_of(lhost, lkind, 1_000_000 + (s % 100_000) * 10 + i))
     h_, w_ = img.shape
     return FetchResult("ok", payload, int(w_), int(h_), fmt, caption, ph, links, base_ms, "")
