@@ -217,10 +217,13 @@ def synth_caption(seed: int) -> str:
 def synth_image(seed: int):
     """Deterministic greyscale test pattern: gradient + sinusoid + noise.
     Smooth enough to quantize within the PSNR gate, unique per seed."""
-    # h/w from the seed directly (no Generator overhead), noise in ONE
-    # vector draw
-    h = 24 + (seed >> 3) % 41
-    w = 24 + (seed >> 9) % 41
+    # h/w from mixed seed bits directly (no Generator overhead), noise in
+    # ONE vector draw. The multiplicative mix matters: raw low bits of
+    # SMALL SEQUENTIAL seeds (test fixtures) are correlated — unmixed,
+    # every fixture image collapsed to one width.
+    m = (seed * 2654435761) & 0xFFFFFFFF
+    h = 24 + m % 41
+    w = 24 + (m >> 8) % 41
     rng = np.random.Generator(np.random.PCG64(seed))
     # the sinusoid varies along x only — compute it on one row and
     # broadcast (same doubles as the full-grid form, w sins not h*w)

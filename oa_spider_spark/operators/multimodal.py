@@ -114,14 +114,17 @@ def captcha_solve_nn(images: DataFrame) -> DataFrame:
 
     def fn(batch: pa.RecordBatch) -> pa.RecordBatch:
         glyph_classifier()  # warm the per-process weight cache once
-        ids = batch.column("image_id").to_pylist()
         codes = []
         for data in batch.column("bytes").to_pylist():
             try:
                 codes.append(hack_captcha_nn(decode_image(data)))
             except Exception:
                 codes.append(None)
-        return pa.RecordBatch.from_pydict({"image_id": ids, "code": codes})
+        # pass the key column through untouched (no pa.array re-inference)
+        return pa.RecordBatch.from_arrays(
+            [batch.column("image_id"), pa.array(codes, pa.string())],
+            names=["image_id", "code"],
+        )
 
     return _map_arrow(images.select("image_id", "bytes"), fn, "image_id string, code string")
 

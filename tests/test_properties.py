@@ -73,6 +73,7 @@ def test_envelope_bounds_all_runs(seg):
     """envelope() is the outer hull of continuous_runs."""
     runs = continuous_runs(np.asarray(seg))
     if not runs:
+        assert list(envelope(np.asarray(seg))) == [0, 0]  # documented contract
         return
     lo, hi = envelope(np.asarray(seg))
     assert lo == runs[0][0] and hi == runs[-1][1]
