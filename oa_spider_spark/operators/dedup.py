@@ -220,6 +220,93 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over near-dup pairs: the step that turns
+    pairwise LSH candidates into dedup clusters (keeper = component min).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — converges in O(log² n)
+    rounds regardless of component diameter, each round a constant
+    number of key-partitioned shuffles on node id. Never materializes
+    a component in one task and never iterates to graph diameter, so a
+    10^10-node pair graph with a few billion edges is ~30 rounds of
+    hash-aggregate + equi-join. Plan lineage is truncated per round
+    (localCheckpoint; on a real cluster set a checkpoint dir and swap
+    in .checkpoint() if lineage-free fault recovery matters more than
+    the extra write).
+
+    Returns (doc_id, component_id) for every node appearing in `pairs`,
+    component_id = min doc_id of the component. Raises if not converged
+    within max_iter (silent wrong labels are worse than failing).
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    nodes = (
+        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    )
+
+    def checksum(edges: DataFrame):
+        # decimal(38,0) accumulator: 10^10 edges × 2^63 ≈ 10^29 « 10^38,
+        # so the sum never overflows (ANSI mode makes long-sum throw)
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("s"),
+        ).head()
+        return (row["n"], row["s"])
+
+    prev = None
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        # large-star: every strictly-larger neighbor points at the
+        # neighborhood min (incl. self) — breaks long chains
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the large-star output: orient edges max→min,
+        # then every small neighbor AND the center point at the min
+        oriented = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            ).distinct()
+        )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # converged e is a star forest: (node → component min) for every
+    # non-root node; roots label themselves
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
+    return (
+        nodes.select(F.col("u").alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+        )
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95, n_planes: int = 12, seed: int = 7,
     method: str = "auto",

@@ -1086,6 +1086,47 @@ WHERE n_inter * 1.0 / (za.sz + zb.sz - n_inter) >= 0.8
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH survivor pairs → connected
+    components (alternating large-star/small-star, O(log² n) rounds) →
+    (doc_id, component_id = min doc of cluster, n_members). This is the
+    step that turns pairwise candidates into an actual deduplicated
+    corpus — keep component_id, drop the rest. Oracle: recursive-CTE
+    transitive closure over the same portable-hash pair pipeline."""
+    from .operators.dedup import connected_components, minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, threshold=0.8, portable=True)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))
+    return comp.join(sizes, "component_id").select(
+        "doc_id", "component_id", "n_members"
+    )
+
+
+# Recursive closure is oracle-only (fine on dozens of pairs at sf0.01);
+# the Spark side never computes reachability row-by-row.
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(u, x) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.x = e.u
+), lbl AS (
+  SELECT u AS doc_id, least(u, min(x)) AS component_id FROM reach GROUP BY u
+)
+SELECT l.doc_id, l.component_id, s.n_members
+FROM lbl l
+JOIN (
+  SELECT component_id, count(*) AS n_members FROM lbl GROUP BY component_id
+) s USING (component_id)
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprint, portable (md5-60bit) mode →
     full DuckDB value oracle; xxhash64 default stays the scale path
@@ -1389,6 +1430,7 @@ QUERIES.update(
         "q_lang_id": q_lang_id,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_dedup_components": q_dedup_components,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_simhash_near_pairs": q_simhash_near_pairs,
         "q_embedding_near_dups": q_embedding_near_dups,
@@ -1406,6 +1448,7 @@ ORACLES.update(
         "q_lang_id": SQL_LANG_ID,
         "q_ngram_jaccard": SQL_NGRAM_JACCARD,
         "q_minhash_lsh": SQL_MINHASH_LSH,
+        "q_dedup_components": SQL_DEDUP_COMPONENTS,
         "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
         "q_simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
         "q_embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

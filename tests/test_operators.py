@@ -63,6 +63,60 @@ def test_jaccard_exact_dup_is_one(spark, docs_with_dups):
     assert vals and all(v == 1.0 for v in vals)
 
 
+def _union_find_labels(edges):
+    """Python oracle: component label = min node id, via union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_structured(spark):
+    """Chain, triangle+tail, isolated pair — exact labels."""
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain → all label 1
+        (10, 11), (11, 12), (10, 12), (12, 13),  # triangle + tail → 10
+        (20, 21),                                 # pair → 20
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == set(_union_find_labels(edges).items())
+
+
+def test_connected_components_random_graph(spark):
+    """Seeded random graph (200 edges / 120 nodes, mixed direction and
+    duplicate edges) vs the union-find oracle — exercises multi-round
+    large-star/small-star convergence on long chains."""
+    rng = np.random.RandomState(1234)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 120, size=(200, 2)) if a != b]
+    # add one long path to force chain contraction across rounds
+    edges += [(1000 + i, 1001 + i) for i in range(40)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == set(_union_find_labels(edges).items())
+
+
+def test_connected_components_empty(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.connected_components(df).count() == 0
+
+
 def test_simhash_near_pairs(spark, docs_with_dups):
     sim = dedup.simhash64(docs_with_dups)
     pairs = dedup.simhash_near_pairs(sim, max_hamming=3)
