@@ -241,9 +241,18 @@ def connected_components(
     component_id = min doc_id of the component. Raises if not converged
     within max_iter (silent wrong labels are worse than failing).
     """
-    e = pairs.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    ).filter(F.col("u") != F.col("v"))
+    # materialize the input ONCE: every round's sym references e twice
+    # (union + swap) and `nodes` is reused after the loop — without this,
+    # an expensive upstream (e.g. the full minhash pipeline) re-executes
+    # per reference, and a nondeterministic source could hand `nodes` a
+    # different edge set than the one the labels were computed from
+    e = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     )
@@ -269,16 +278,12 @@ def connected_components(
             sym.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # small-star on the large-star output: orient edges max→min,
-        # then every small neighbor AND the center point at the min
-        oriented = (
-            large.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            ).distinct()
-        )
+        # small-star on the large-star output. large's edges are already
+        # oriented max→min and loop-free (emitted (v, m) has
+        # m ≤ center < v), so no re-orientation pass is needed
+        oriented = large
         mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             oriented.join(mins2, "u")

@@ -1097,7 +1097,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_dedup(docs, threshold=0.8, portable=True)
-    comp = connected_components(pairs)
+    # comp feeds both join sides below — materialize it once
+    comp = connected_components(pairs).localCheckpoint(eager=True)
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))
     return comp.join(sizes, "component_id").select(
         "doc_id", "component_id", "n_members"
