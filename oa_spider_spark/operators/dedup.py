@@ -89,11 +89,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate (doc_a, doc_b) pairs that
     collide in ≥1 band. Join happens per-bucket — a self-equi-join on
-    (band, bucket_hash), never a cross join."""
+    (band, bucket_hash), never a cross join.
+
+    `max_bucket` guards the one quadratic hazard at 100-TB scale: a
+    degenerate bucket (boilerplate/empty docs collapsing to one
+    signature slice) of k members emits k² pairs inside a single join
+    task. Capped mode drops buckets larger than `max_bucket` before the
+    self-join (one extra count-aggregate on the banded keys — no data
+    shuffle beyond the join's own): near-dups that lost one band this
+    way still collide in another, and a doc group big enough to blow
+    every band is boilerplate an exact-dedup pass catches first. None
+    (default) keeps exhaustive candidates — the oracled small-scale
+    semantics."""
     assert bands * rows_per_band <= 64
     banded = sig.select(
         "doc_id",
@@ -110,6 +122,14 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        sizes = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(sizes, ["band", "bucket"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -152,15 +172,18 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.8,
     portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH blocking → exact
     Jaccard verify → connected pairs above threshold. Returns
     (doc_a, doc_b, jaccard) survivors. portable=True makes every hash
     md5-derived so the whole pipeline (candidates included) has a DuckDB
-    value oracle; default xxhash64 is the scale path."""
+    value oracle; default xxhash64 is the scale path. `max_bucket` caps
+    degenerate LSH buckets (see lsh_candidate_pairs) — leave None for
+    the exhaustive oracled semantics."""
     sh = shingles(docs, text_col, k, portable=portable)
     sig = minhash_signatures(sh, n_hashes, portable=portable)
-    pairs = lsh_candidate_pairs(sig, bands, n_hashes // bands)
+    pairs = lsh_candidate_pairs(sig, bands, n_hashes // bands, max_bucket=max_bucket)
     return jaccard_pairs(pairs, sh, threshold)
 
 

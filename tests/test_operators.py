@@ -63,6 +63,30 @@ def test_jaccard_exact_dup_is_one(spark, docs_with_dups):
     assert vals and all(v == 1.0 for v in vals)
 
 
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark, docs_with_dups):
+    """max_bucket kills the quadratic hot bucket (30 identical docs →
+    435 pairs) while small planted near-dup groups keep colliding."""
+    clones = spark.createDataFrame(
+        [(900000 + i, "the same boilerplate text repeated here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    docs = docs_with_dups.union(clones)
+    uncapped = dedup.minhash_dedup(docs, threshold=0.5)
+    capped = dedup.minhash_dedup(docs, threshold=0.5, max_bucket=10)
+    big = lambda df: df.filter(  # noqa: E731
+        (F.col("doc_a") >= 900000) & (F.col("doc_b") >= 900000)
+    ).count()
+    assert big(uncapped) == 30 * 29 // 2
+    assert big(capped) == 0
+    # the size-2 planted groups are untouched by the cap
+    small_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in capped.filter(F.col("doc_a") < 900000).collect()
+    }
+    exact_pairs = {(i, i + 100000) for (i, _t) in _first(docs_with_dups, 10)}
+    assert exact_pairs <= small_pairs
+
+
 def _union_find_labels(edges):
     """Python oracle: component label = min node id, via union-find."""
     parent = {}
