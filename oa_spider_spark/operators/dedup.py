@@ -88,6 +88,22 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
+def _cap_groups(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Drop rows whose blocking-key group exceeds `cap` members — the
+    shared hot-bucket guard for every candidate-generation self-join
+    (k members ⇒ k² pairs in ONE task otherwise). One count-aggregate
+    on the keys; None disables."""
+    if cap is None:
+        return df
+    small = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_gsz"))
+        .filter(F.col("_gsz") <= cap)
+        .select(*keys)
+    )
+    return df.join(small, keys)
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, bands: int = 8, rows_per_band: int = 4,
     max_bucket: int | None = None,
@@ -122,14 +138,7 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    if max_bucket is not None:
-        sizes = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("_bsz"))
-            .filter(F.col("_bsz") <= max_bucket)
-            .select("band", "bucket")
-        )
-        banded = banded.join(sizes, ["band", "bucket"])
+    banded = _cap_groups(banded, ["band", "bucket"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -209,10 +218,15 @@ def simhash64(docs: DataFrame, text_col: str = "text", portable: bool = False) -
     return bits.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3, max_block: int | None = None
+) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ k over 64-bit simhash.
     Blocking: split into 4 16-bit blocks; any pair within distance 3
-    shares ≥1 exact block (pigeonhole) → self-join per block value."""
+    shares ≥1 exact block (pigeonhole) → self-join per block value.
+    `max_block` is the hot-block guard (see _cap_groups) for the scale
+    path — a block value shared by k docs is k² candidates in one task;
+    None keeps the exhaustive oracled semantics."""
     blocks = sim.select(
         "doc_id", "simhash",
         F.explode(
@@ -225,6 +239,7 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
             ])
         ).alias("b"),
     ).select("doc_id", "simhash", "b.blk", "b.val")
+    blocks = _cap_groups(blocks, ["blk", "val"], max_block)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, ["blk", "val"])
@@ -337,14 +352,17 @@ def connected_components(
 
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95, n_planes: int = 12, seed: int = 7,
-    method: str = "auto",
+    method: str = "auto", max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: random-hyperplane LSH bucket join, then
     exact cosine inside buckets. Planes are deterministic from `seed`.
     Small plane matrices fold JVM-side (literal arrays); past the literal
     budget (production dims: 768 × n_planes) the signature runs as one
     Arrow batch — sign(X @ P.T) packed to an int bucket — against an
-    executor-broadcast plane matrix. Output (vec_a, vec_b, cos_sim)."""
+    executor-broadcast plane matrix. Output (vec_a, vec_b, cos_sim).
+    `max_bucket` is the hot-bucket guard (see _cap_groups) for the scale
+    path (e.g. zero/constant embeddings collapsing to one bucket); None
+    keeps the exhaustive oracled semantics."""
     import numpy as np
 
     from .similarity import _use_arrow
@@ -373,7 +391,9 @@ def embedding_near_dups(
             dot = F.aggregate(F.zip_with("embedding", lit, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
             bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
             sig = bit if sig is None else sig + bit
-    bucketed = emb.select("vec_id", "embedding", sig.alias("bucket"))
+    bucketed = _cap_groups(
+        emb.select("vec_id", "embedding", sig.alias("bucket")), ["bucket"], max_bucket
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),

@@ -87,6 +87,35 @@ def test_lsh_bucket_cap_drops_degenerate_bucket(spark, docs_with_dups):
     assert exact_pairs <= small_pairs
 
 
+def test_simhash_and_embedding_caps(spark, docs_with_dups):
+    """The shared hot-group guard works on simhash blocks and embedding
+    buckets exactly as on LSH band buckets."""
+    clones = spark.createDataFrame(
+        [(900000 + i, "the same boilerplate text repeated here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sim = dedup.simhash64(docs_with_dups.union(clones))
+    capped = dedup.simhash_near_pairs(sim, max_hamming=3, max_block=10)
+    assert capped.filter(
+        (F.col("doc_a") >= 900000) & (F.col("doc_b") >= 900000)
+    ).count() == 0
+    # identical-text planted pairs survive (their block groups are size 2)
+    found = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    exact_pairs = {(i, i + 100000) for (i, _t) in _first(docs_with_dups, 10)}
+    assert exact_pairs <= found
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]
+        + [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.01, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    uncapped = dedup.embedding_near_dups(emb, threshold=0.9)
+    assert uncapped.filter(F.col("vec_a") < 100).count() == 20 * 19 // 2
+    capped_e = dedup.embedding_near_dups(emb, threshold=0.9, max_bucket=5)
+    assert capped_e.filter(F.col("vec_a") < 100).count() == 0
+    assert capped_e.filter(F.col("vec_a") == 100).count() == 1  # (100,101) kept
+
+
 def _union_find_labels(edges):
     """Python oracle: component label = min node id, via union-find."""
     parent = {}
