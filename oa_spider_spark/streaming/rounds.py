@@ -18,10 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_HOST_BUDGET
+from ..config import DEFAULT_HOST_BUDGET, MAX_ATTEMPTS
 from ..frontier.fetch import fetch_stage
 from ..frontier.politeness import budget_and_order, salted_repartition
-from ..frontier.round import FRONTIER_COLS, dedup_frontier
+from ..frontier.round import FRONTIER_COLS, dedup_frontier, links_to_frontier
 from ..tables import Catalog
 
 FRONTIER_DDL = (
@@ -49,13 +49,22 @@ def streaming_crawl(
     n_hosts: int = 20,
     default_budget: int = DEFAULT_HOST_BUDGET,
     available_now: bool = True,
+    max_depth: int = 2,
+    links_out_dir: str | None = None,
 ):
     """Run the crawl as a streaming query; returns the StreamingQuery.
 
     Each micro-batch: dedup (within batch) → anti-join committed seen →
     budget window → order → Arrow fetch → commit fetched+seen under
     round_id = 10_000 + epoch (offset to never collide with batch-mode
-    rounds in the same catalog)."""
+    rounds in the same catalog). Extracted links are committed to the
+    catalog frontier (durability parity with the batch engine) and, when
+    `links_out_dir` points inside the stream's input glob, ALSO written
+    there — the self-feeding shape of a production crawl stream
+    (discovered URLs go back onto the topic), so the next drain crawls
+    one hop deeper. The per-epoch link file path is deterministic and
+    overwritten on replay, so a crash between the link write and the
+    commit duplicates nothing and loses nothing."""
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         round_id = 10_000 + int(epoch_id)
@@ -64,7 +73,7 @@ def streaming_crawl(
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
-        active = dedup_frontier(batch_df)
+        active = dedup_frontier(batch_df).filter(F.col("depth") <= max_depth)
         seen = catalog.read(sess, "seen")
         if seen is not None:
             active = active.join(seen.select("url_hash"), "url_hash", "left_anti")
@@ -89,13 +98,26 @@ def streaming_crawl(
         )
         staged_path = catalog.stage(fetched, "fetched", round_id)
         staged = sess.read.parquet(staged_path)
-        seen_append = staged.filter(F.col("status") != "retry").select(
-            "url_hash", "url_canon", "status", F.lit(round_id).alias("round_seen")
-        )
-        retries = staged.filter(F.col("status") == "retry").select(
+        # seen = processed-and-done, matching the batch engine: ok, fatal,
+        # and retry-exhausted (dead-letter) rows
+        seen_append = staged.filter(
+            (F.col("status") != "retry")
+            | (F.col("attempt") + 1 >= MAX_ATTEMPTS)
+        ).select("url_hash", "url_canon", "status", F.lit(round_id).alias("round_seen"))
+        retries = staged.filter(
+            (F.col("status") == "retry") & (F.col("attempt") + 1 < MAX_ATTEMPTS)
+        ).select(
             *[c for c in FRONTIER_COLS if c not in ("attempt",)],
             (F.col("attempt") + 1).alias("attempt"),
         ).select(*FRONTIER_COLS)
+        new_links = links_to_frontier(
+            staged.select("status", "links", "depth"), round_id
+        ).filter(F.col("depth") <= max_depth)
+        if links_out_dir is not None:
+            # deterministic per-epoch path: replay overwrites, never dupes
+            new_links.write.mode("overwrite").parquet(
+                f"{links_out_dir}/links_epoch_{round_id}"
+            )
         catalog.commit_round(
             round_id,
             {
@@ -104,6 +126,7 @@ def streaming_crawl(
                 "frontier": [
                     catalog.stage(backlog, "frontier", round_id),
                     catalog.stage(retries, "frontier", round_id),
+                    catalog.stage(new_links, "frontier", round_id),
                 ],
             },
         )

@@ -41,15 +41,17 @@ def test_streaming_crawl_processes_all(spark, stream_setup):
         fetched.filter(F.col("status") != "retry")
         .groupBy("url_hash").count().filter(F.col("count") > 1).count() == 0
     )
-    # nothing is lost: processed ∪ frontier-backlog covers every URL
+    # nothing is lost: processed ∪ frontier-backlog covers every SEED URL
+    # (the frontier also gains extracted-link URLs — durability parity
+    # with the batch engine — so compare against the seed set, not counts)
     backlog = cat.read(spark, "frontier")
     covered = (
         fetched.select("url_hash")
         .union(backlog.select("url_hash") if backlog is not None else fetched.limit(0).select("url_hash"))
         .distinct()
-        .count()
     )
-    assert covered == n_urls
+    missing = df.select("url_hash").distinct().join(covered, "url_hash", "left_anti")
+    assert missing.count() == 0
     assert done >= int(n_urls * 0.7)
 
 
@@ -79,6 +81,37 @@ def test_host_rate_metrics_memory_sink(spark, stream_setup):
     out = spark.sql("SELECT * FROM host_rates")
     # append mode only emits closed windows; watermark math is exercised
     assert {"window", "host", "n_urls", "n_distinct"}.issubset(set(out.columns))
+
+
+def test_streaming_self_feeding_links(spark, tmp_path):
+    """links_out_dir inside the input glob makes the stream self-feeding:
+    the next AvailableNow drain (the next "cron round") crawls one hop
+    deeper, exactly like consecutive batch rounds."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    rows = datagen.seed_frontier_rows(60, n_hosts=4)
+    normalize_frontier(spark, rows).write.parquet(f"{in_dir}/batch0")
+    cat = Catalog(tmp_path / "cat")
+    q = streaming_crawl(
+        spark, cat, in_dir + "/*", ckpt,
+        n_hosts=4, default_budget=100, links_out_dir=in_dir,
+    )
+    q.awaitTermination(180)
+    f1 = cat.read(spark, "fetched")
+    assert f1.filter(F.col("depth") >= 1).count() == 0  # drain 1: seeds only
+    q2 = streaming_crawl(
+        spark, cat, in_dir + "/*", ckpt,
+        n_hosts=4, default_budget=100, links_out_dir=in_dir,
+    )
+    q2.awaitTermination(180)
+    f2 = cat.read(spark, "fetched")
+    # drain 2 picked up the written-back links and fetched depth-1 URLs
+    assert f2.filter(F.col("depth") >= 1).count() > 0
+    # and never re-fetched a seed (cross-drain seen-set held)
+    dupes = (
+        f2.filter(F.col("status") != "retry")
+        .groupBy("url_hash").count().filter(F.col("count") > 1)
+    )
+    assert dupes.count() == 0
 
 
 def test_streaming_releases_selection_caches(spark, tmp_path):
