@@ -119,14 +119,19 @@ def test_streaming_releases_selection_caches(spark, tmp_path):
     never released it — one leaked MEMORY_AND_DISK DataFrame per batch.
     Draining a fresh stream must leave the persistent-RDD registry exactly
     where it started."""
-    def n_persisted() -> int:
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def persisted_ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
 
     in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
     rows = datagen.seed_frontier_rows(80, n_hosts=4)
     normalize_frontier(spark, rows).write.parquet(f"{in_dir}/batch0")
-    before = n_persisted()
+    # compare RDD-id SETS, not counts: unrelated earlier tests'
+    # localCheckpoint RDDs get context-cleaned asynchronously, so a
+    # count can legitimately DROP mid-test; a leak can only ADD ids
+    before = persisted_ids()
     cat = Catalog(tmp_path / "cat")
     q = streaming_crawl(spark, cat, in_dir + "/*", ckpt, n_hosts=4, default_budget=50)
     q.awaitTermination(180)
-    assert n_persisted() == before, "streaming batch leaked a persisted DataFrame"
+    leaked = persisted_ids() - before
+    assert not leaked, f"streaming batch leaked persisted RDDs: {leaked}"
