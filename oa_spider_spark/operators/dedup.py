@@ -91,17 +91,23 @@ def minhash_signatures(
 def _cap_groups(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
     """Drop rows whose blocking-key group exceeds `cap` members — the
     shared hot-bucket guard for every candidate-generation self-join
-    (k members ⇒ k² pairs in ONE task otherwise). One count-aggregate
-    on the keys; None disables."""
+    (k members ⇒ k² pairs in ONE task otherwise). None disables.
+
+    A count-over-window on the keys, NOT a groupBy+semi-join: the join
+    form evaluates the (expensive, uncached) upstream pipeline twice more
+    — once for the aggregate, once for the probe — on top of the two
+    evaluations the candidate self-join already pays. The window adds one
+    keys-shuffle and zero extra upstream passes; its partitions are the
+    blocking groups themselves (high-cardinality, and linear in the hot
+    group's size — the k² it exists to prevent is the join's, not its own)."""
     if cap is None:
         return df
-    small = (
-        df.groupBy(*keys)
-        .agg(F.count("*").alias("_gsz"))
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_gsz", F.count(F.lit(1)).over(w))
         .filter(F.col("_gsz") <= cap)
-        .select(*keys)
+        .drop("_gsz")
     )
-    return df.join(small, keys)
 
 
 def lsh_candidate_pairs(
@@ -279,21 +285,40 @@ def connected_components(
     component_id = min doc_id of the component. Raises if not converged
     within max_iter (silent wrong labels are worse than failing).
     """
-    # materialize the input ONCE: every round's sym references e twice
-    # (union + swap) and `nodes` is reused after the loop — without this,
-    # an expensive upstream (e.g. the full minhash pipeline) re-executes
-    # per reference, and a nondeterministic source could hand `nodes` a
-    # different edge set than the one the labels were computed from
-    e = (
-        pairs.select(
-            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=True)
-    )
+    # materialize the input ONCE: every round's sym references the edge
+    # set twice (union + swap) and `nodes` is reused after the loop —
+    # without this, an expensive upstream (e.g. the full minhash pipeline)
+    # re-executes per reference, and a nondeterministic source could hand
+    # `nodes` a different edge set than the one the labels were computed
+    # from. Checkpointed BEFORE the self-loop filter so nodes appearing
+    # only in (x, x) pairs still get an output row (labeled themselves),
+    # per the contract above.
+    raw = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).localCheckpoint(eager=True)
+    e = raw.filter(F.col("u") != F.col("v"))
     nodes = (
-        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
     )
+
+    # localCheckpoint pins each round's edge set in executor storage and
+    # the ContextCleaner only releases it after the DRIVER garbage-collects
+    # the Dataset — across ~30 rounds that can pin dozens of full edge-set
+    # copies before GC runs. Explicitly unpersist round k-1's checkpoint
+    # RDD once round k is materialized, bounding live copies to raw + two
+    # rounds. (`raw` and the final round stay pinned: the returned lazy
+    # plan references them, and an unpersisted localCheckpoint cannot be
+    # recomputed.)
+    sc = pairs.sparkSession.sparkContext
+
+    def _pids() -> set:
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids: set) -> None:
+        m = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            if m.containsKey(i):
+                m.get(i).unpersist(False)
 
     def checksum(edges: DataFrame):
         # decimal(38,0) accumulator: 10^10 edges × 2^63 ≈ 10^29 « 10^38,
@@ -307,6 +332,7 @@ def connected_components(
         return (row["n"], row["s"])
 
     prev = None
+    releasable: set = set()
     for _ in range(max_iter):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
         # large-star: every strictly-larger neighbor points at the
@@ -330,8 +356,14 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
+        before = _pids()
         e = small.localCheckpoint(eager=True)
+        new_ids = _pids() - before
         cur = checksum(e)
+        # the previous round's checkpoint is dead once the new one is
+        # materialized and checksummed — nothing lazy references it
+        _release(releasable)
+        releasable = new_ids
         if cur == prev:
             break
         prev = cur

@@ -15,6 +15,8 @@ host per 10-second window, tolerating 30 s of event-time lateness.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,9 +64,10 @@ def streaming_crawl(
     `links_out_dir` points inside the stream's input glob, ALSO written
     there — the self-feeding shape of a production crawl stream
     (discovered URLs go back onto the topic), so the next drain crawls
-    one hop deeper. The per-epoch link file path is deterministic and
-    overwritten on replay, so a crash between the link write and the
-    commit duplicates nothing and loses nothing."""
+    one hop deeper. The per-epoch link directory is written once via a
+    hidden staging dir + atomic rename and left untouched on replay, so a
+    crash between the link write and the commit duplicates nothing, loses
+    nothing, and never deletes files a restarted source already listed."""
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         round_id = 10_000 + int(epoch_id)
@@ -104,20 +107,40 @@ def streaming_crawl(
             (F.col("status") != "retry")
             | (F.col("attempt") + 1 >= MAX_ATTEMPTS)
         ).select("url_hash", "url_canon", "status", F.lit(round_id).alias("round_seen"))
+        # round_added bumps to round_id + 1 exactly like the batch engine
+        # (frontier/round.py retries): a re-queued URL must carry the round
+        # it was re-queued IN, or frontier audits and dedup_frontier's
+        # (attempt, round_added, priority) tie-break diverge between modes
         retries = staged.filter(
             (F.col("status") == "retry") & (F.col("attempt") + 1 < MAX_ATTEMPTS)
         ).select(
-            *[c for c in FRONTIER_COLS if c not in ("attempt",)],
+            *[c for c in FRONTIER_COLS if c not in ("attempt", "round_added")],
             (F.col("attempt") + 1).alias("attempt"),
-        ).select(*FRONTIER_COLS)
+        ).withColumn("round_added", F.lit(round_id + 1)).select(*FRONTIER_COLS)
         new_links = links_to_frontier(
             staged.select("status", "links", "depth"), round_id
         ).filter(F.col("depth") <= max_depth)
         if links_out_dir is not None:
-            # deterministic per-epoch path: replay overwrites, never dupes
-            new_links.write.mode("overwrite").parquet(
-                f"{links_out_dir}/links_epoch_{round_id}"
-            )
+            dest = f"{links_out_dir}/links_epoch_{round_id}"
+            if not os.path.exists(dest):
+                # write under a '_'-prefixed dir (hidden to Spark file
+                # listings, so the stream source never snapshots the parts)
+                # then atomically rename into the input glob. Overwriting
+                # `dest` in place on replay would DELETE part files a
+                # restarted AvailableNow source may already have listed as
+                # pending input, failing the whole drain on missing files;
+                # with the rename, a replay finds `dest` complete and skips
+                # the rewrite (content is deterministic per epoch). Local-fs
+                # rename; an object-store deployment would use a manifest
+                # commit instead.
+                staging = f"{links_out_dir}/_staging/links_epoch_{round_id}"
+                new_links.write.mode("overwrite").parquet(staging)
+                os.rename(staging, dest)
+            # read the written links back for the catalog append instead of
+            # recomputing them — the second evaluation would re-run the
+            # staged-fetch scan + explode/canonicalize pass, violating the
+            # one-staged-pass doctrine (frontier/round.py module docstring)
+            new_links = sess.read.schema(FRONTIER_DDL).parquet(dest)
         catalog.commit_round(
             round_id,
             {

@@ -170,6 +170,38 @@ def test_connected_components_empty(spark):
     assert dedup.connected_components(df).count() == 0
 
 
+def test_connected_components_self_loop_only_node(spark):
+    """A node appearing only in (x, x) pairs still gets an output row
+    (labeled itself) — 'every node appearing in pairs' means every node,
+    including ones whose every edge is a self-loop."""
+    edges = [(1, 2), (7, 7), (2, 2)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == {(1, 1), (2, 1), (7, 7)}
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """Each round localCheckpoints a new edge set; the previous round's
+    checkpoint RDD must be explicitly unpersisted (the ContextCleaner only
+    fires after driver GC — unbounded storage pinning across ~30 rounds at
+    scale otherwise). Live copies after collect: raw + final round + the
+    result's own consumers — a handful, never O(rounds)."""
+    def persisted_ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    # long chain → many large-star/small-star rounds
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    before = persisted_ids()
+    dedup.connected_components(df).collect()
+    leaked = persisted_ids() - before
+    assert len(leaked) <= 3, f"O(rounds) checkpoint RDDs left pinned: {leaked}"
+
+
 def test_simhash_near_pairs(spark, docs_with_dups):
     sim = dedup.simhash64(docs_with_dups)
     pairs = dedup.simhash_near_pairs(sim, max_hamming=3)
