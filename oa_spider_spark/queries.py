@@ -1406,16 +1406,61 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — every-Nth frame sampling from synthetic video
-    containers (rows-only; frame math pinned in tests)."""
+    containers, then a PNG decode of each sampled frame's dimensions.
+    Fully value-oracled by ground-truth recomputation: vid i holds
+    6 + i%5 frames of synth_image(9000 + i*31 + j), whose h/w are pure
+    integer arithmetic on the seed (datagen.synth_image), so the oracle
+    regenerates (image_id, frame_idx, frame_w, frame_h) relationally —
+    a wrong container split, sample stride, or decode shows up as a
+    value mismatch."""
+    import pyarrow as pa
+
     from . import datagen
-    from .operators.multimodal import frame_sample, synth_video_bytes
+    from .kernels.codec import decode_image
+    from .operators.multimodal import _map_arrow, frame_sample, synth_video_bytes
 
     rows = []
     for i in range(12):
         frames = [datagen.synth_image(9000 + i * 31 + j) for j in range(6 + i % 5)]
         rows.append((f"vid{i:03d}", bytearray(synth_video_bytes(frames))))
     df = spark.createDataFrame(rows, "image_id string, bytes binary")
-    return frame_sample(df, every_n=3)
+    sampled = frame_sample(df, every_n=3)
+
+    def dims(batch: pa.RecordBatch) -> pa.RecordBatch:
+        shapes = [decode_image(bytes(d)).shape for d in batch.column("frame_bytes").to_pylist()]
+        # key columns pass through from the ORIGINAL batch (pa.array
+        # re-inference would re-type int32 → int64, CLAUDE.md invariant)
+        return pa.RecordBatch.from_arrays(
+            [batch.column("image_id"), batch.column("frame_idx"),
+             pa.array([s[1] for s in shapes], pa.int32()),
+             pa.array([s[0] for s in shapes], pa.int32())],
+            names=["image_id", "frame_idx", "frame_w", "frame_h"],
+        )
+
+    return _map_arrow(
+        sampled, dims, "image_id string, frame_idx int, frame_w int, frame_h int"
+    )
+
+
+# Ground-truth recomputation (the captcha-oracle pattern): vid i has
+# 6 + i%5 frames; sampling stride 3 keeps j*3 < n; frame seed is
+# 9000 + i*31 + idx and synth_image dims are
+#   m = (seed * 2654435761) & 0xFFFFFFFF;  h = 24 + m%41;  w = 24 + (m>>8)%41
+SQL_FRAME_SAMPLE = """
+WITH f AS (
+  SELECT i, 3 * j AS idx
+  FROM range(12) v(i), range(4) s(j)
+  WHERE 3 * j < 6 + i % 5
+), m AS (
+  SELECT i, idx, ((9000 + i * 31 + idx) * 2654435761) & 4294967295 AS mm
+  FROM f
+)
+SELECT 'vid' || lpad(i::VARCHAR, 3, '0') AS image_id,
+       idx::INT AS frame_idx,
+       (24 + (mm >> 8) % 41)::INT AS frame_w,
+       (24 + mm % 41)::INT AS frame_h
+FROM m
+"""
 
 
 def q_phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,9 +1499,10 @@ ORACLES.update(
         "q_simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
         "q_embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "q_captcha_pipeline": SQL_CAPTCHA_PIPELINE,
+        "q_frame_sample": SQL_FRAME_SAMPLE,
         # rows-only (binary payloads, pinned by pytest instead):
-        # q_image_decode_stats, q_phash_near_dup_images, q_image_resize,
-        # q_frame_sample. (q_ivf_ann gained a full value oracle —
+        # q_image_decode_stats, q_phash_near_dup_images, q_image_resize.
+        # (q_ivf_ann gained a full value oracle —
         # ORACLES["q_ivf_ann"] = SQL_IVF_ANN, assigned above.)
     }
 )
