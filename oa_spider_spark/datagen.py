@@ -93,8 +93,11 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=32)
-def hosts(n_hosts: int) -> list[str]:
-    return [f"h{i:03d}.example.org" for i in range(n_hosts)]
+def hosts(n_hosts: int) -> tuple[str, ...]:
+    # tuple, not list: lru_cache returns the SAME object to every caller,
+    # so a mutable list would let one caller's sort/append corrupt every
+    # subsequent fetch_url host assignment process-wide.
+    return tuple(f"h{i:03d}.example.org" for i in range(n_hosts))
 
 
 def seed_frontier_rows(n_urls: int, n_hosts: int = 20, hot_share: float = 0.5):

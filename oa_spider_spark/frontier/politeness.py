@@ -131,7 +131,13 @@ def global_order_and_limit(
     lo = bounds["lo"] if bounds["lo"] is not None else 0
     span = max(1, (bounds["hi"] - lo + 1) if bounds["hi"] is not None else 1)
     q = max(1, span // subbuckets)
-    sub = -F.expr(f"(created_ms - {lo}L) div {q}L").cast("long")
+    # NULL created_ms must not yield _s = NULL: the offsets equi-join would
+    # silently drop the row (null keys never match). Coalesce to `lo` — the
+    # row lands in the LAST ascending _s cell, and the in-cell full-key
+    # window sorts it after the real lo values (desc ⇒ nulls last), so the
+    # total order is preserved. Unreachable from normalize_frontier today,
+    # but a silent-data-loss trap for new frontier sources otherwise.
+    sub = -F.expr(f"(coalesce(created_ms, {lo}L) - {lo}L) div {q}L").cast("long")
 
     keyed = inp.withColumn("_b", bucket).withColumn("_s", sub)
     w_off = Window.orderBy("_b", "_s").rowsBetween(Window.unboundedPreceding, -1)

@@ -64,15 +64,19 @@ def rsa_encrypt_portable(tokens: Column) -> Column:
     """
     from ..operators.dedup import md5h60
 
-    m = md5h60(tokens) % F.lit(PORTABLE_N)
+    # Keep NULLs OUT of the udf input: a nullable long column crosses
+    # Arrow as float64, and m values reach ~1.15e18 > 2^53, so every
+    # non-null row in a batch containing one NULL would silently round
+    # to a wrong ciphertext. Hash a coalesced token (series stays
+    # int64), then mask the NULL rows back JVM-side.
+    m = md5h60(F.coalesce(tokens, F.lit(""))) % F.lit(PORTABLE_N)
 
     @pandas_udf("long")
     def _modpow(ms: pd.Series) -> pd.Series:
         n, e = PORTABLE_N, PORTABLE_E
-        # NULL token → NULL cipher (nullable long arrives as NaN/NA)
-        return ms.map(lambda m_: pow(int(m_), e, n), na_action="ignore")
+        return ms.map(lambda m_: pow(int(m_), e, n))
 
-    return _modpow(m)
+    return F.when(tokens.isNull(), F.lit(None).cast("long")).otherwise(_modpow(m))
 
 
 # --- full-width engine path (PKCS#1 v1.5 envelope, 512-bit demo key) ----

@@ -802,8 +802,8 @@ def q_running_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RUNNING_BYTES = """
 SELECT user_id, event_id,
-       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS cum_cents,
-       sum(CAST(floor(value * 100) AS BIGINT)) OVER w * 10 // row_number() OVER w AS mean_milli
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cum_cents,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w * 10 // row_number() OVER w AS BIGINT) AS mean_milli
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -36,6 +36,12 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> str | None:
     b = odf[cols].sort_values(cols, ignore_index=True)
     for c in cols:
         av, bv = a[c], b[c]
+        if (av.dtype.kind == "f") != (bv.dtype.kind == "f"):
+            # the driver hashes STRINGIFIED values: int64 123 vs float64
+            # 123.0 is a hash mismatch even when values agree (this is
+            # exactly how q_running_bytes shipped red in r02 — DuckDB
+            # HUGEINT materializes as float64). Fail loud on kind skew.
+            return f"col {c}: dtype kind mismatch spark={av.dtype} oracle={bv.dtype}"
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             try:
                 pd.testing.assert_series_equal(

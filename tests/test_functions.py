@@ -216,3 +216,35 @@ def test_rsa_null_tokens_stay_null(spark):
     by_tok = {r["t"]: r for r in out}
     assert by_tok["a:rc7"]["pc"] is not None and by_tok["a:rc7"]["fc"] is not None
     assert by_tok[None]["pc"] is None and by_tok[None]["fc"] is None
+
+
+def test_rsa_portable_values_unchanged_by_null_rows(spark):
+    """Advisor r02: a nullable long column crosses Arrow as float64, and
+    m ~ 1.15e18 > 2^53, so int(m) silently ROUNDED every non-null row in
+    a batch containing one NULL. Pin the non-null ciphertexts equal with
+    and without a NULL row in the batch, and equal to pure-Python modpow."""
+    import hashlib
+
+    from oa_spider_spark.functions.rsa import (
+        PORTABLE_E,
+        PORTABLE_N,
+        rsa_encrypt_portable,
+    )
+
+    def md5h60_py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = [f"user{i}:rc7" for i in range(8)]
+    clean = spark.createDataFrame([(t,) for t in toks], "t: string").coalesce(1)
+    dirty = spark.createDataFrame(
+        [(t,) for t in toks] + [(None,)], "t: string"
+    ).coalesce(1)  # one partition ⇒ NULL shares the Arrow batch
+
+    def ciphers(df):
+        rows = df.select("t", rsa_encrypt_portable(F.col("t")).alias("c")).collect()
+        return {r["t"]: r["c"] for r in rows if r["t"] is not None}
+
+    got_clean, got_dirty = ciphers(clean), ciphers(dirty)
+    expect = {t: pow(md5h60_py(t) % PORTABLE_N, PORTABLE_E, PORTABLE_N) for t in toks}
+    assert got_clean == expect
+    assert got_dirty == expect
