@@ -59,6 +59,13 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", min(16, os.cpu_count() or 8)))
     sf = infer_sf(sf_dir)
 
+    # Host-capacity probe BEFORE and AFTER (VERDICT r02 item 2): this is a
+    # shared VM with bursty CPU steal; a degraded number must carry its
+    # own evidence inside the artifact. ~1.0 = healthy window.
+    from oa_spider_spark.hostcap import capacity_probe
+
+    probe_before = capacity_probe(cpus)
+
     from oa_spider_spark.session import get_spark
 
     spark = get_spark(cores=cpus, app_name=f"bench_{cpus}", shuffle_partitions=cpus)
@@ -127,10 +134,12 @@ def main() -> None:
         seed_catalog(spark, cat, datagen.seed_frontier_df(
             spark, n_seeds, n_hosts=n_hosts, hot_share=0.4, partitions=cpus * 2))
         t0 = time.perf_counter()
+        phases: dict[str, float] = {}
         res = run_round(
             spark, cat, 0, n_hosts=n_hosts,
             default_budget=max(200, n_seeds // n_hosts),
             partitions=cpus * 2,
+            timings=phases,
         )
         crawl_sec = time.perf_counter() - t0
     timings["crawl_round"] = round(crawl_sec, 3)
@@ -144,6 +153,7 @@ def main() -> None:
     }
 
     total = round(time.perf_counter() - t_total0, 3)
+    probe_after = capacity_probe(cpus)
     print(
         json.dumps(
             {
@@ -153,6 +163,18 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "throughput": throughput,
+                # per-phase seconds of the crawl round (select = eager
+                # budget/rank metadata work; fetch_stage = Arrow fetch +
+                # staging write; derived_stage = links/retries/seen/
+                # lineage writes; commit_totals = commit + lineage agg)
+                "crawl_phases": phases,
+                # ~1.0 = healthy host window; << 1.0 = hypervisor steal,
+                # interpret wall-clock accordingly (CLAUDE.md gotchas)
+                "capacity_probe": {
+                    "before": probe_before,
+                    "after": probe_after,
+                    "procs": cpus,
+                },
             }
         )
     )

@@ -128,7 +128,25 @@ def run_round(
     hosts_table: DataFrame | None = None,
     partitions: int | None = None,
     salt: int | None = None,
+    timings: dict | None = None,
 ) -> RoundResult:
+    """`timings`, when a dict is passed, is filled with per-phase wall
+    seconds (select/fetch_stage/derived_stage/commit_totals) so bench
+    regressions are attributable without a separate profiling session
+    (VERDICT r02 item 6). Phases are split at the EAGER points — plan
+    building is lazy, so each phase's number is the materialization it
+    triggers, which is also how a cluster would account it."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _mark(key: str) -> None:
+        nonlocal _t0
+        if timings is not None:
+            now = _time.perf_counter()
+            timings[key] = round(now - _t0, 3)
+            _t0 = now
+
     frontier = catalog.read(spark, "frontier")
     if frontier is None:
         raise ValueError("frontier is empty — seed it before round 0")
@@ -142,6 +160,7 @@ def run_round(
     selected = selected_full.drop(
         "budget_per_round", "crawl_delay_ms", "robots_disallow", "proxy"
     )
+    _mark("select")  # eager part: budget_and_order's persist-fill + bounds
 
     # --- fetch (single materialization) ----------------------------------
     nparts = partitions or spark.sparkContext.defaultParallelism
@@ -154,6 +173,7 @@ def run_round(
     if cache is not None:
         cache.unpersist()
     staged = spark.read.parquet(staged_fetch_path)
+    _mark("fetch_stage")
 
     # --- derived appends (column-pruned reads of the staged output) ------
     new_frontier = links_to_frontier(
@@ -213,6 +233,7 @@ def run_round(
         "seen": [catalog.stage(seen_append, "seen", round_id)],
         "lineage": [catalog.stage(lineage, "lineage", round_id)],
     }
+    _mark("derived_stage")
     catalog.commit_round(round_id, staged_paths)
 
     totals = (
@@ -226,6 +247,7 @@ def run_round(
         )
         .collect()[0]
     )
+    _mark("commit_totals")
     return RoundResult(
         round_id,
         totals["selected"] or 0,

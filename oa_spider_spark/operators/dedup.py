@@ -88,6 +88,39 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
+def hamming_blocks(hash_col: str, radius: int):
+    """Pigeonhole blocking for Hamming radius k over a 64-bit hash: k+1
+    DISJOINT blocks whose widths split 64 as evenly as possible — any
+    pair at distance ≤ k has more blocks than differing bits, so it
+    agrees EXACTLY on ≥ 1 block and the per-block equi-join candidate
+    set is complete for the requested radius. (The previous fixed 4×16
+    split was sound only for k ≤ 3; a pair with 1+ differing bit in each
+    of the 4 blocks was silently missed — VERDICT r02 item 3.)
+
+    Returns the list of (blk, val) structs to explode. Radius is capped
+    at 31 (32×2-bit blocks): past that each block carries < 2 bits and
+    candidate generation approaches the cross join it exists to avoid —
+    large radii additionally want the `_cap_groups` hot-block guard.
+    """
+    if not 0 <= radius <= 31:
+        raise ValueError(f"hamming radius must be in [0, 31], got {radius}")
+    nb = radius + 1
+    base, rem = divmod(64, nb)
+    structs, off = [], 0
+    for i in range(nb):
+        width = base + (1 if i < rem else 0)
+        structs.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(hash_col, off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+        )
+        off += width
+    return structs
+
+
 def _cap_groups(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
     """Drop rows whose blocking-key group exceeds `cap` members — the
     shared hot-bucket guard for every candidate-generation self-join
@@ -228,22 +261,15 @@ def simhash_near_pairs(
     sim: DataFrame, max_hamming: int = 3, max_block: int | None = None
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ k over 64-bit simhash.
-    Blocking: split into 4 16-bit blocks; any pair within distance 3
-    shares ≥1 exact block (pigeonhole) → self-join per block value.
+    Blocking: k+1 disjoint blocks (see `hamming_blocks`) — sound for the
+    REQUESTED radius, not just the default 3 (at k=3 this is the same
+    4×16 split as before, so oracled results are unchanged).
     `max_block` is the hot-block guard (see _cap_groups) for the scale
     path — a block value shared by k docs is k² candidates in one task;
     None keeps the exhaustive oracled semantics."""
     blocks = sim.select(
         "doc_id", "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("blk"),
-                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
-                )
-                for i in range(4)
-            ])
-        ).alias("b"),
+        F.explode(F.array(*hamming_blocks("simhash", max_hamming))).alias("b"),
     ).select("doc_id", "simhash", "b.blk", "b.val")
     blocks = _cap_groups(blocks, ["blk", "val"], max_block)
     a, b = blocks.alias("a"), blocks.alias("b")

@@ -1175,17 +1175,16 @@ WITH tok AS (
 ), sh AS (
   SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
   FROM sums GROUP BY doc_id
-), blocks AS (
-  SELECT doc_id, simhash, i.i AS blk, (simhash >> CAST(i.i * 16 AS INT)) & 65535 AS val
-  FROM sh, range(4) i(i)
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  a.simhash AS sha, b.simhash AS shb
-  FROM blocks a JOIN blocks b USING (blk, val)
-  WHERE a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sha, shb)) <= 10
+-- EXHAUSTIVE pair ground truth (r03): the Spark side blocks on k+1
+-- pigeonhole pieces, which is candidate-COMPLETE for the requested
+-- radius, so its output must equal the all-pairs answer — the oracle no
+-- longer mirrors the blocking (the r02 oracle replicated the old 4×16
+-- scheme, recall gap included). O(n²) is fine at oracle scale only.
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
 """
 
 
@@ -1358,8 +1357,9 @@ def _synth_images_df(spark: SparkSession, n: int = 60) -> DataFrame:
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — Arrow-batch decode + stats + PSNR re-encode verify
-    over the deterministic synthetic images table (binary payloads are
-    not SQL-expressible → rows-only; invariants pinned in tests)."""
+    over the deterministic synthetic images table. Fully value-oracled
+    (r03): dims/flag recomputed relationally from the seed arithmetic,
+    float stats via generated repr-literal twins."""
     from .operators.multimodal import decode_stats
 
     return decode_stats(_synth_images_df(spark))
@@ -1395,8 +1395,10 @@ FROM range(40) t(i)
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal — Arrow-batch bilinear resize to 32x32 thumbnails
-    (rows-only; exactness pinned in tests/test_operators.py)."""
+    """Multimodal — Arrow-batch bilinear resize to 32x32 thumbnails.
+    Fully value-oracled (r03) via generated literals from the Python
+    twin (payload length + resized phash); exactness of the pixel path
+    additionally pinned in tests/test_operators.py."""
     from .operators.multimodal import resize_images
 
     return resize_images(_synth_images_df(spark, 40), out_w=32, out_h=32).select(
@@ -1465,10 +1467,108 @@ FROM m
 
 def q_phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — perceptual-hash Hamming near-dup image pairs via
-    16-bit block LSH + bit_count verify (rows-only)."""
+    sound k+1-block pigeonhole LSH + bit_count verify. Fully oracled:
+    the phashes are deterministic (average_hash of synth_image), so the
+    oracle embeds them as literals and recomputes the PAIR JOIN
+    relationally (bit_count(xor) in DuckDB matches Spark's
+    two's-complement semantics) — a missed candidate pair shows up as a
+    row-count mismatch, which is exactly the r02 recall bug class."""
     from .operators.multimodal import phash_hamming_pairs
 
     return phash_hamming_pairs(_synth_images_df(spark), max_hamming=16)
+
+
+def _image_twin_rows(n: int = 60):
+    """Python twin of `_synth_images_df` → decode/stats/resize, used ONLY
+    to generate literal ground-truth oracles (the IVF/captcha pattern:
+    `repr(float)` literals in generated SQL — CLAUDE.md oracle trick).
+    Everything here is deterministic: synth_image is pure seed
+    arithmetic + PCG64 noise, the codecs are the repo's own."""
+    from . import datagen
+    from .kernels.codec import average_hash, decode_image, encode_image, psnr
+    from .operators.multimodal import _bilinear
+
+    rows = []
+    for i in range(n):
+        arr = datagen.synth_image(5000 + i)
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        dec = decode_image(encode_image(arr, fmt))
+        re_dec = decode_image(encode_image(dec, fmt))
+        thumb = _bilinear(dec, 32, 32)
+        rows.append({
+            "image_id": f"img{i:04d}",
+            "dec_w": int(dec.shape[1]), "dec_h": int(dec.shape[0]),
+            "mean_px": float(dec.mean()), "std_px": float(dec.std()),
+            "reencode_psnr": float(min(psnr(dec, re_dec), 1e6)),
+            "phash": int(average_hash(arr)),
+            "thumb_bytes": len(encode_image(thumb, "png")),
+            "thumb_phash": int(average_hash(thumb)),
+        })
+    return rows
+
+
+def _sql_image_decode_stats() -> str:
+    """Hybrid ground-truth oracle: dec_w/dec_h/decode_ok recomputed
+    RELATIONALLY from the seed arithmetic (the q_frame_sample pattern —
+    synth_image dims are pure integer ops on the seed), float stats as
+    generated repr literals joined on image_id."""
+    vals = ",\n".join(
+        f"('{r['image_id']}', {r['mean_px']!r}, {r['std_px']!r}, {r['reencode_psnr']!r})"
+        for r in _image_twin_rows(60)
+    )
+    return f"""
+WITH m AS (
+  SELECT 'img' || lpad(i::VARCHAR, 4, '0') AS image_id,
+         ((5000 + i) * 2654435761) & 4294967295 AS mm
+  FROM range(60) t(i)
+), px(image_id, mean_px, std_px, reencode_psnr) AS (VALUES
+{vals}
+)
+SELECT m.image_id,
+       (24 + (mm >> 8) % 41)::INT AS dec_w,
+       (24 + mm % 41)::INT AS dec_h,
+       mean_px::DOUBLE AS mean_px,
+       std_px::DOUBLE AS std_px,
+       reencode_psnr::DOUBLE AS reencode_psnr,
+       true AS decode_ok
+FROM m JOIN px ON px.image_id = m.image_id
+"""
+
+
+def _sql_image_resize() -> str:
+    """Generated-literal oracle for the resize stage: 32×32 dims are
+    relational constants; payload length and resized phash come from the
+    Python twin (deterministic bilinear + PNG encoder)."""
+    vals = ",\n".join(
+        f"('{r['image_id']}', {r['thumb_bytes']}, {r['thumb_phash']})"
+        for r in _image_twin_rows(40)
+    )
+    return f"""
+SELECT image_id, 32::INT AS w, 32::INT AS h,
+       thumb_bytes::INT AS thumb_bytes, phash::BIGINT AS phash
+FROM (VALUES
+{vals}
+) t(image_id, thumb_bytes, phash)
+"""
+
+
+def _sql_phash_near_dups() -> str:
+    """Literal phashes + RELATIONAL pair recomputation: DuckDB bit_count
+    over xor of two's-complement BIGINTs matches Spark's F.bit_count, so
+    the oracle independently derives every pair at Hamming ≤ 16 — the
+    blocking scheme on the Spark side must lose no candidate."""
+    vals = ",\n".join(
+        f"('{r['image_id']}', {r['phash']})" for r in _image_twin_rows(60)
+    )
+    return f"""
+WITH p(image_id, phash) AS (VALUES
+{vals}
+)
+SELECT a.image_id AS img_a, b.image_id AS img_b,
+       bit_count(xor(a.phash::BIGINT, b.phash::BIGINT))::INT AS hamming
+FROM p a JOIN p b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash::BIGINT, b.phash::BIGINT)) <= 16
+"""
 
 
 QUERIES.update(
@@ -1500,10 +1600,13 @@ ORACLES.update(
         "q_embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "q_captcha_pipeline": SQL_CAPTCHA_PIPELINE,
         "q_frame_sample": SQL_FRAME_SAMPLE,
-        # rows-only (binary payloads, pinned by pytest instead):
-        # q_image_decode_stats, q_phash_near_dup_images, q_image_resize.
-        # (q_ivf_ann gained a full value oracle —
-        # ORACLES["q_ivf_ann"] = SQL_IVF_ANN, assigned above.)
+        # r03: the last three rows-only queries gained full ground-truth
+        # oracles (relational dims + generated repr literals for the
+        # codec-dependent values; relational pair join for phash) — the
+        # no_oracle set is now empty.
+        "q_image_decode_stats": _sql_image_decode_stats(),
+        "q_image_resize": _sql_image_resize(),
+        "q_phash_near_dup_images": _sql_phash_near_dups(),
     }
 )
 

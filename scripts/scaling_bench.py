@@ -34,28 +34,8 @@ def run_bench_once(cpus: int, sf_dir: str) -> dict:
     return json.loads(lines[-1])
 
 
-def _burn(_):
-    import time
-
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(20_000_000):
-        x += i
-    return time.perf_counter() - t0
-
-
-def capacity_probe(n_proc: int) -> float:
-    """Worst-process fraction of single-process CPU baseline when n_proc
-    plain-Python burners run at once. ~1.0 on a healthy host; well below
-    when the hypervisor is stealing cycles. Recorded per pair so a
-    degraded efficiency number carries its own exculpatory evidence."""
-    import multiprocessing as mp
-
-    with mp.Pool(1) as p:
-        base = min(p.map(_burn, range(2)))
-    with mp.Pool(n_proc) as p:
-        times = p.map(_burn, range(n_proc))
-    return round(base / max(times), 3)
+sys.path.insert(0, REPO)
+from oa_spider_spark.hostcap import capacity_probe  # noqa: E402
 
 
 def main() -> None:
