@@ -114,6 +114,82 @@ def test_streaming_self_feeding_links(spark, tmp_path):
     assert dupes.count() == 0
 
 
+def test_streaming_batch_round_equivalence(spark, tmp_path):
+    """VERDICT r02 item 7 — cross-mode equivalence: the streaming drain
+    must produce the SAME fetched rows, crawl order, seen appends, retry
+    re-queues, and extracted links as `run_crawl` on the same seeds.
+
+    Mode-semantic difference (documented in streaming/rounds.py): retry
+    and backlog rows go to the CATALOG frontier, not back onto the
+    stream, so drain 2 fetches only the written-back links while batch
+    round 1 fetches retries + links. The depth≥1 subsequence of batch
+    round 1, in fetch_order, must therefore equal drain 2's link fetches
+    — removing retry rows preserves the relative order of the rest."""
+    from oa_spider_spark.frontier.round import run_crawl, seed_catalog
+
+    seeds = normalize_frontier(spark, datagen.seed_frontier_rows(300, n_hosts=5))
+    budget = 1000  # covers every host: round 0 selects ALL seeds in both modes
+
+    cat_b = Catalog(tmp_path / "cat_b")
+    seed_catalog(spark, cat_b, seeds)
+    run_crawl(spark, cat_b, 2, n_hosts=5, default_budget=budget)
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    seeds.write.parquet(f"{in_dir}/batch0")
+    cat_s = Catalog(tmp_path / "cat_s")
+    for _ in range(2):  # two AvailableNow drains = two cron rounds
+        q = streaming_crawl(
+            spark, cat_s, in_dir + "/*", ckpt,
+            n_hosts=5, default_budget=budget, links_out_dir=in_dir,
+        )
+        q.awaitTermination(180)
+
+    fb = cat_b.read(spark, "fetched")
+    fs = cat_s.read(spark, "fetched")
+
+    def ordered_rows(df, *extra):
+        return [
+            (r["url_hash"], r["status"], r["attempt"], *[r[c] for c in extra])
+            for r in df.select(
+                "url_hash", "status", "attempt", "fetch_order", *extra
+            ).orderBy("fetch_order").collect()
+        ]
+
+    # round 0 ⇔ epoch 10000: identical rows in the identical crawl order
+    b0 = ordered_rows(fb.filter(F.col("round") == 0), "fetch_order")
+    s0 = ordered_rows(fs.filter(F.col("round") == 10_000), "fetch_order")
+    assert b0 == s0 and len(b0) == 300
+
+    # seen parity per round (status taxonomy included)
+    seen_b = cat_b.read(spark, "seen").filter(F.col("round_seen") == 0)
+    seen_s = cat_s.read(spark, "seen").filter(F.col("round_seen") == 10_000)
+    assert sorted((r["url_hash"], r["status"]) for r in seen_b.collect()) == sorted(
+        (r["url_hash"], r["status"]) for r in seen_s.collect()
+    )
+
+    # retry re-queue parity: same urls, same bumped attempt
+    front_b = cat_b.read(spark, "frontier")
+    front_s = cat_s.read(spark, "frontier")
+    retry_b = front_b.filter((F.col("attempt") == 1) & (F.col("round_added") == 1))
+    retry_s = front_s.filter((F.col("attempt") == 1) & (F.col("round_added") == 10_001))
+    assert sorted(r["url_hash"] for r in retry_b.collect()) == sorted(
+        r["url_hash"] for r in retry_s.collect()
+    )
+
+    # extracted-link parity from round 0 (same staged fetch ⇒ same links)
+    links_b = front_b.filter((F.col("depth") == 1) & (F.col("round_added") == 0))
+    links_s = front_s.filter((F.col("depth") == 1) & (F.col("round_added") == 10_000))
+    assert sorted(r["url_canon"] for r in links_b.collect()) == sorted(
+        r["url_canon"] for r in links_s.collect()
+    )
+
+    # round 1 ⇔ epoch 10001: the link subsequence, in order
+    b1_links = ordered_rows(fb.filter((F.col("round") == 1) & (F.col("depth") >= 1)))
+    s1 = ordered_rows(fs.filter(F.col("round") == 10_001).filter(F.col("depth") >= 1))
+    assert [r[:3] for r in b1_links] == [r[:3] for r in s1]
+    assert len(s1) > 0
+
+
 def test_streaming_releases_selection_caches(spark, tmp_path):
     """ADVICE r01: each micro-batch persisted budget_and_order's input and
     never released it — one leaked MEMORY_AND_DISK DataFrame per batch.
