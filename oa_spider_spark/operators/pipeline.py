@@ -1,0 +1,308 @@
+"""Training-data pipeline operators: the corpus-curation steps that sit
+downstream of crawl + dedup when the crawled pages become an LLM training
+set. Everything is native column expressions / partitioned windows — no
+Python in any hot path, no global windows, no driver-side data loops.
+
+Reference tie-in: the reference crawler materializes documents and
+attachments (oa-spider `oa.py` download paths); these operators are the
+standard post-processing a 100-TB crawl needs before training: pick one
+representative per near-dup cluster, stratify the language mix, chunk to
+context windows, screen for benchmark contamination, scrub PII, and
+aggregate per-language embedding statistics.
+
+Scale notes (100 TB):
+* cluster_representatives — windows partitioned by component_id; a
+  component is a near-dup cluster (bounded small by construction — LSH
+  threshold 0.8), so no single task ever sees more than one cluster.
+* stratified_sample — pure column expressions, zero shuffle: the sample
+  decision is a deterministic hash of the row key, so the same row is
+  kept or dropped on any cluster size (no sampling RNG, no seed drift
+  across retries — retry-safe by construction).
+* doc_frequency_topk — one groupBy shuffle with map-side combine, then
+  TakeOrderedAndProject (never a global sort of the token table).
+* chunk_documents — per-row array arithmetic + one explode; output rows
+  ≈ input tokens / stride, linear, no shuffle.
+* contamination_check — the benchmark shingle set is tiny relative to
+  the corpus (benchmarks are thousands of docs, the corpus billions), so
+  it is broadcast; the probe side streams map-side, no shuffle of corpus
+  shingles.
+* redact_pii — regexp_replace / regexp_extract_all are JVM codegen'd.
+* lang_centroid_quantized — embeddings are quantized to integer
+  micro-units BEFORE the sum so the aggregation is exact integer math:
+  bit-identical on any partitioning / AQE re-plan (float sums are
+  accumulation-order-dependent and would not survive a value oracle).
+* sessionize — windows partitioned by user_id: per-user event streams
+  are bounded, billions of users spread across tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5h60
+
+
+def cluster_representatives(
+    docs: DataFrame, components: DataFrame, prefer_col: str = "n_chars"
+) -> DataFrame:
+    """Deduplicated corpus: one representative per near-dup cluster.
+
+    `components` is (doc_id, component_id) from connected_components over
+    near-dup pairs; docs absent from it are singletons (their own
+    component). Keep policy: max `prefer_col`, tie → min doc_id —
+    deterministic, so the kept corpus is reproducible run-to-run.
+
+    Returns one row per KEPT doc: (doc_id, component_id, n_members,
+    rep_len) — the post-dedup training corpus with cluster lineage.
+    """
+    labeled = (
+        docs.join(components, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("component_id")
+    ranked = labeled.select(
+        "doc_id",
+        "component_id",
+        F.col(prefer_col).alias("rep_len"),
+        F.count("*").over(w).alias("n_members"),
+        F.row_number()
+        .over(w.orderBy(F.col(prefer_col).desc(), F.col("doc_id").asc()))
+        .alias("_rk"),
+    )
+    return ranked.filter(F.col("_rk") == 1).drop("_rk")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int = 100,
+    strat_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling for training-mix control.
+
+    The keep decision is md5h60('strat:' || key) % 1000 < rate[stratum]:
+    a pure function of the row key, so it needs no RNG state, commutes
+    with any repartition, and is stable under retries/speculative tasks
+    (a property sample(fraction=) does NOT have across stage re-runs).
+    Filter is evaluated at the scan — prunes before any downstream work.
+    """
+    key = md5h60(F.concat(F.lit("strat:"), F.col(key_col).cast("string")))
+    rate = F.lit(default_permille)
+    for stratum, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(strat_col) == stratum, permille).otherwise(rate)
+    return docs.withColumn("strat_key", (key % 1000).cast("int")).filter(
+        F.col("strat_key") < rate
+    )
+
+
+def doc_frequency_topk(
+    docs: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Corpus-level document frequency → top-k tokens (stopword
+    discovery / vocab stats). array_distinct BEFORE explode keeps the
+    shuffle to one row per (doc, distinct token); the top-k is a
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    tok = F.explode(
+        F.array_distinct(F.split(F.col(text_col), " "))
+    ).alias("token")
+    return (
+        docs.select(tok)
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """Split documents into overlapping token windows (context-window
+    packing for training). Chunk i covers tokens [i*stride, i*stride +
+    chunk_tokens); the last chunk may be short. Per-row array arithmetic
+    + one explode — linear output, no shuffle, no Python.
+
+    Returns (doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text,
+    chunk_hash)."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n_tok - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("int").alias("chunk_idx"),
+                s.cast("int").alias("start_tok"),
+                F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias(
+                    "chunk_text"
+                ),
+                F.size(F.slice(toks, s + 1, chunk_tokens)).alias(
+                    "n_chunk_tokens"
+                ),
+            ),
+        )
+    ).alias("c")
+    hf = md5h60 if portable_hash else F.xxhash64
+    return docs.select("doc_id", chunk).select(
+        "doc_id",
+        "c.chunk_idx",
+        "c.start_tok",
+        "c.n_chunk_tokens",
+        "c.chunk_text",
+        hf(F.col("c.chunk_text")).alias("chunk_hash"),
+    )
+
+
+def contamination_check(
+    probe: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    gram_words: int = 5,
+    flag_ratio: float = 0.1,
+) -> DataFrame:
+    """Benchmark-contamination screen: fraction of a doc's word n-grams
+    that appear anywhere in the benchmark set (the standard train-set
+    decontamination check before an eval release).
+
+    The benchmark shingle set is distinct-collapsed and BROADCAST — at
+    100 TB the corpus side streams map-side against it; corpus shingles
+    are never shuffled. Returns every probe doc: (doc_id, n_shingles,
+    n_overlap, contam_ratio, contaminated)."""
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - gram_words + 1, F.lit(1))
+        )
+        g = F.transform(
+            idx, lambda i: md5h60(F.array_join(F.slice(toks, i, gram_words), " "))
+        )
+        return df.select(
+            "doc_id", F.explode(F.array_distinct(g)).alias("gram_hash")
+        )
+
+    bench_set = F.broadcast(
+        grams(benchmark).select("gram_hash").distinct().withColumn(
+            "_hit", F.lit(1)
+        )
+    )
+    joined = grams(probe).join(bench_set, "gram_hash", "left")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(ratio, 6).alias("contam_ratio"),
+        (ratio >= flag_ratio).alias("contaminated"),
+    )
+
+
+# PII patterns kept to a regex subset with identical semantics in Java
+# (Spark codegen) and RE2-ish engines (DuckDB oracle): character classes,
+# bounded repetition — no backrefs, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+PHONE_RE = "1[0-9]{10}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails and CN-style 11-digit phone numbers (the reference's
+    user-directory pages carry both; oa.py address-book scrape). Counts
+    come from the raw text, the redaction replaces emails first (emails
+    contain digit runs; phones never contain '@'). Pure JVM regex —
+    codegen'd, no Python."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        redacted.alias("redacted"),
+    )
+
+
+def lang_centroid_quantized(
+    docs: DataFrame,
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-language embedding centroid in integer micro-units.
+
+    Each float is quantized floor(x * scale) BEFORE aggregation, so the
+    per-(lang, dim) sum is exact integer arithmetic — bit-identical
+    under any partitioning, AQE re-plan, or retry. (A float sum's value
+    depends on accumulation order; quantize-then-sum is how you make a
+    distributed centroid reproducible AND value-oracle-able.)
+
+    Returns (lang, dim, n, sum_q, mean_q) with mean_q =
+    floor(sum_q / n) still in micro-units."""
+    q = F.floor(F.col("x").cast("double") * scale).cast("long")
+    exploded = (
+        docs.select("doc_id", "lang")
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select("lang", F.posexplode(vec_col).alias("dim", "x"))
+        .select("lang", "dim", q.alias("q"))
+    )
+    agg = exploded.groupBy("lang", "dim").agg(
+        F.count("*").alias("n"), F.sum("q").alias("sum_q")
+    )
+    return agg.select(
+        "lang",
+        "dim",
+        "n",
+        "sum_q",
+        F.floor(F.col("sum_q") / F.col("n")).cast("long").alias("mean_q"),
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_s: int = 21600, user_col: str = "user_id"
+) -> DataFrame:
+    """Gap-based sessionization of the event log (crawl telemetry →
+    per-user activity sessions). A new session starts when the gap to
+    the previous event exceeds `gap_s`. Timestamps compared in integer
+    MICROseconds (unix_micros) — no float time math, no truncation
+    ambiguity against the oracle's epoch_us. Parquet TIMESTAMP_NTZ is
+    cast to timestamp first (wall time read in the session zone; the
+    engine pins spark.sql.session.timeZone=UTC, matching the oracle's
+    naive epoch_us).
+
+    Windows are partitioned by user — per-user streams are bounded, so
+    this scales by user count, not log size. Returns (user_id,
+    session_seq, n_events, start_us, end_us, duration_us)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(us, "event_id")
+    new_sess = (
+        F.when(F.lag(us).over(w).isNull(), 1)
+        .when(us - F.lag(us).over(w) > gap_s * 1_000_000, 1)
+        .otherwise(0)
+    )
+    seq = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = events.select(
+        F.col(user_col).alias("user_id"), us.alias("us"), seq.alias("session_seq")
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )

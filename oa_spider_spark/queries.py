@@ -1923,3 +1923,13 @@ FROM range(40) t(i)
 
 QUERIES["q_captcha_nn"] = q_captcha_nn
 ORACLES["q_captcha_nn"] = SQL_CAPTCHA_NN
+
+
+# Training-pipeline queries (corpus curation: dedup keep-policy,
+# stratified sampling, vocab stats, chunking, contamination, PII scrub,
+# quantized centroids, sessionization) live in queries_pipeline.py;
+# SQL_MINHASH_LSH is passed in so the dedup-keep oracle reuses the pair
+# pipeline without a circular import.
+from .queries_pipeline import register as _register_pipeline  # noqa: E402
+
+_register_pipeline(QUERIES, ORACLES, SQL_MINHASH_LSH)

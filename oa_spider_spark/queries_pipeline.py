@@ -1,0 +1,334 @@
+"""Training-pipeline query registrations (operators/pipeline.py) —
+corpus curation over `documents`/`embeddings`/`events`: dedup keep-policy,
+stratified sampling, vocab stats, chunking, contamination screen, PII
+scrub, quantized centroids, sessionization. Every query carries a full
+DuckDB value oracle (portable md5h60 for hash-dependent ops, integer
+quantization for float aggregation).
+
+Registered into the main QUERIES/ORACLES maps by
+`queries.py::_register_pipeline` (which passes SQL_MINHASH_LSH in so the
+dedup-keep oracle can reuse the pair-pipeline CTE without a circular
+import).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- X20: dedup keep-policy (cluster representatives) ---------------------
+
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: MinHash-LSH pairs → connected components
+    → one representative per cluster (max n_chars, tie min doc_id);
+    singletons keep themselves. This is the actual "drop the dups"
+    step a training pipeline runs after q_dedup_components."""
+    from .operators.dedup import connected_components, minhash_dedup
+    from .operators.pipeline import cluster_representatives
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, threshold=0.8, portable=True)
+    comp = connected_components(pairs)
+    return cluster_representatives(docs, comp, prefer_col="n_chars")
+
+
+def _sql_dedup_keep(sql_minhash_lsh: str) -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({sql_minhash_lsh}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(u, x) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.x = e.u
+), lbl AS (
+  SELECT u AS doc_id, least(u, min(x)) AS component_id FROM reach GROUP BY u
+), labeled AS (
+  SELECT d.doc_id, coalesce(l.component_id, d.doc_id) AS component_id,
+         d.n_chars
+  FROM documents d LEFT JOIN lbl l USING (doc_id)
+), ranked AS (
+  SELECT doc_id, component_id, n_chars AS rep_len,
+         count(*) OVER (PARTITION BY component_id) AS n_members,
+         row_number() OVER (
+           PARTITION BY component_id ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk
+  FROM labeled
+)
+SELECT doc_id, component_id, rep_len, n_members FROM ranked WHERE rk = 1
+"""
+
+
+# --- X21: deterministic stratified sampling -------------------------------
+
+STRAT_RATES = {"en": 500, "zh": 300}
+STRAT_DEFAULT = 100
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix control: keep 50% of en, 30% of zh, 10% of the rest,
+    decided by a pure hash of doc_id (retry-safe, partition-invariant —
+    no RNG; see operators/pipeline.py scale notes)."""
+    from .operators.pipeline import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, STRAT_RATES, default_permille=STRAT_DEFAULT
+    ).select("doc_id", "lang", "strat_key")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT
+            % 1000 AS INT) AS strat_key
+FROM documents
+WHERE ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+      < (CASE lang WHEN 'en' THEN {STRAT_RATES['en']}
+                   WHEN 'zh' THEN {STRAT_RATES['zh']}
+                   ELSE {STRAT_DEFAULT} END)
+"""
+
+
+# --- X22: document-frequency top-k (vocab / stopword stats) ---------------
+
+def q_df_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document frequency, top 20 tokens — TakeOrderedAndProject,
+    never a global sort (guardrailed in tests/test_plans.py)."""
+    from .operators.pipeline import doc_frequency_topk
+
+    return doc_frequency_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
+SQL_DF_STOPWORDS = """
+SELECT token, count(*) AS df FROM (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+) GROUP BY token
+ORDER BY df DESC, token ASC
+LIMIT 20
+"""
+
+
+# --- X23: context-window chunking -----------------------------------------
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token windows, stride 24 — context-window packing.
+    Portable chunk hash so the oracle checks the text bytes too."""
+    from .operators.pipeline import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+SQL_DOC_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS st
+  FROM t
+), c AS (
+  SELECT doc_id,
+         CAST(st // 24 AS INT) AS chunk_idx,
+         CAST(st AS INT) AS start_tok,
+         CAST(len(list_slice(toks, st + 1, st + 32)) AS INT) AS n_chunk_tokens,
+         array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text
+  FROM s
+)
+SELECT doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text,
+       ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS chunk_hash
+FROM c
+"""
+
+
+# --- X24: benchmark-contamination screen ----------------------------------
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: docs with doc_id % 23 == 0 play the benchmark
+    set; every other doc is scored by the fraction of its word 5-grams
+    that appear anywhere in the benchmark (broadcast shingle set)."""
+    from .operators.pipeline import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 23 != 0)
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    return contamination_check(probe, bench, gram_words=5, flag_ratio=0.1)
+
+
+SQL_CONTAMINATION = """
+WITH grams AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram_hash
+  FROM (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         LATERAL unnest(generate_series(1, greatest(len(toks) - 4, 1))) u(i)
+  )
+), bench AS (
+  SELECT DISTINCT gram_hash FROM grams WHERE doc_id % 23 = 0
+), scored AS (
+  SELECT g.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.gram_hash IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+  FROM grams g LEFT JOIN bench b USING (gram_hash)
+  WHERE g.doc_id % 23 <> 0
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       round(n_overlap * 1.0 / n_shingles, 6) AS contam_ratio,
+       n_overlap * 1.0 / n_shingles >= 0.1 AS contaminated
+FROM scored
+"""
+
+
+# --- X25: PII redaction ----------------------------------------------------
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically augmented text (each doc gets a
+    synthetic 'contact <email> tel <11-digit phone>' footer — the
+    corpus itself is plain words, so the footer is the planted PII the
+    scrub must find). Counts from the raw text; emails replaced before
+    phones."""
+    from .operators.pipeline import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@mail"),
+        (did % 10).cast("string"),
+        F.lit(".example.com tel 13"),
+        F.lpad(((did * 7919) % 1000000000).cast("string"), 9, "0"),
+    )
+    return redact_pii(d.withColumn("aug", aug), text_col="aug")
+
+
+SQL_PII_REDACT = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@mail'
+              || (doc_id % 10)::VARCHAR || '.example.com tel 13'
+              || lpad(((doc_id * 7919) % 1000000000)::VARCHAR, 9, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(t, '1[0-9]{10}')) AS INT) AS n_phones,
+       regexp_replace(
+         regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+         '1[0-9]{10}', '<PHONE>', 'g'
+       ) AS redacted
+FROM aug
+"""
+
+
+# --- X26: quantized per-language embedding centroid -----------------------
+
+def q_lang_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language centroid in integer micro-units: quantize-then-sum
+    makes a distributed float aggregation exact and value-oracle-able
+    (float sums are accumulation-order-dependent; integer sums are not)."""
+    from .operators.pipeline import lang_centroid_quantized
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return lang_centroid_quantized(docs, emb)
+
+
+SQL_LANG_CENTROID = """
+WITH x AS (
+  SELECT d.lang,
+         CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
+         CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS q
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT lang, dim, count(*) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(floor(CAST(sum(q) AS BIGINT) * 1.0 / count(*)) AS BIGINT) AS mean_q
+FROM x GROUP BY lang, dim
+"""
+
+
+# --- X27: sessionization (per-session granularity; the summary-level
+# q_sessionize in queries.py predates this and stays) ---------------------------------------------------
+
+SESSION_GAP_S = 21600
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (6 h) over the event log, integer-microsecond
+    time math, per-user partitioned windows."""
+    from .operators.pipeline import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_s=SESSION_GAP_S)
+
+
+SQL_SESSIONIZE = f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT user_id, us,
+         CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS session_seq
+  FROM t
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       max(us) - min(us) AS duration_us
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def register(
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]],
+    oracles: dict[str, str],
+    sql_minhash_lsh: str,
+) -> None:
+    queries.update(
+        {
+            "q_dedup_keep": q_dedup_keep,
+            "q_stratified_sample": q_stratified_sample,
+            "q_df_stopwords": q_df_stopwords,
+            "q_doc_chunks": q_doc_chunks,
+            "q_contamination": q_contamination,
+            "q_pii_redact": q_pii_redact,
+            "q_lang_centroid": q_lang_centroid,
+            "q_user_sessions": q_sessionize,
+        }
+    )
+    oracles.update(
+        {
+            "q_dedup_keep": _sql_dedup_keep(sql_minhash_lsh),
+            "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
+            "q_df_stopwords": SQL_DF_STOPWORDS,
+            "q_doc_chunks": SQL_DOC_CHUNKS,
+            "q_contamination": SQL_CONTAMINATION,
+            "q_pii_redact": SQL_PII_REDACT,
+            "q_lang_centroid": SQL_LANG_CENTROID,
+            "q_user_sessions": SQL_SESSIONIZE,
+        }
+    )

@@ -1,0 +1,230 @@
+"""Training-pipeline operators (operators/pipeline.py): semantic
+invariants the DuckDB oracles can't express — partition-invariance of
+the deterministic sampler and quantized centroid, chunk coverage of the
+token stream, planted-contamination recall, PII scrub completeness,
+session boundary placement — plus the plan guardrails (distributed
+top-k, no Python evals in any pipeline plan)."""
+
+import datetime
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from oa_spider_spark.operators.pipeline import (
+    chunk_documents,
+    cluster_representatives,
+    contamination_check,
+    doc_frequency_topk,
+    lang_centroid_quantized,
+    redact_pii,
+    sessionize,
+    stratified_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", 22),
+            (2, "alpha beta gamma delta epsilon", "en", 30),
+            (3, "totally different words here", "zh", 28),
+            (4, "alpha beta gamma", "en", 16),
+            (5, "lone document", "de", 13),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+
+
+def test_cluster_representatives_keep_policy(spark):
+    docs = _docs(spark)
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 1)], "doc_id long, component_id long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cluster_representatives(docs, comp).collect()
+    }
+    # cluster {1,2,4}: rep = doc 2 (longest); singletons 3 and 5 kept
+    assert set(out) == {2, 3, 5}
+    assert out[2]["n_members"] == 3 and out[2]["rep_len"] == 30
+    assert out[3]["n_members"] == 1 and out[3]["component_id"] == 3
+
+
+def test_cluster_representatives_tie_breaks_min_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(7, "x", "en", 10), (9, "y", "en", 10)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    comp = spark.createDataFrame(
+        [(7, 7), (9, 7)], "doc_id long, component_id long"
+    )
+    kept = cluster_representatives(docs, comp).collect()
+    assert [r["doc_id"] for r in kept] == [7]
+
+
+def test_stratified_sample_is_partition_invariant(spark):
+    """The keep set must be a pure function of the key — identical under
+    any repartitioning (the property fraction-sampling lacks)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rates = {"en": 500, "zh": 300}
+    a = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(13), rates).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_stratified_sample_rate_bounds(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept = stratified_sample(docs, {"en": 1000, "zh": 0}).collect()
+    langs = {r["lang"] for r in kept}
+    assert "zh" not in langs
+    n_en_total = docs.filter(F.col("lang") == "en").count()
+    n_en_kept = sum(1 for r in kept if r["lang"] == "en")
+    assert n_en_kept == n_en_total  # permille 1000 keeps everything
+
+
+def test_chunks_cover_token_stream_with_stride_overlap(spark):
+    docs = _docs(spark)
+    chunks = chunk_documents(docs, chunk_tokens=3, stride=2).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, rows in by_doc.items():
+        toks = texts[doc_id].split(" ")
+        rows.sort(key=lambda r: r["chunk_idx"])
+        seen = set()
+        for r in rows:
+            s = r["start_tok"]
+            expect = toks[s : s + 3]
+            assert r["chunk_text"].split(" ") == expect
+            assert r["n_chunk_tokens"] == len(expect)
+            seen.update(range(s, min(s + 3, len(toks))))
+        # every token lands in at least one chunk
+        assert seen == set(range(len(toks)))
+
+
+def test_contamination_flags_planted_copy(spark):
+    bench = spark.createDataFrame(
+        [(0, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight"),  # exact copy
+            (2, "completely unrelated words appear in this row"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_check(probe, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["contam_ratio"] == 1.0
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+
+
+def test_redact_pii_leaves_no_matches(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b_c9@x.example.com or call 13912345678 now"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "@" not in out[1]["redacted"].replace("<EMAIL>", "")
+    assert "13912345678" not in out[1]["redacted"]
+    assert out[2]["redacted"] == "no pii here at all"
+
+
+def test_lang_centroid_matches_numpy_and_is_partition_invariant(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = lang_centroid_quantized(docs, emb).collect()
+    # numpy twin on the same quantization
+    joined = (
+        docs.select("doc_id", "lang")
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select("lang", "embedding")
+        .collect()
+    )
+    sums, counts = {}, {}
+    for r in joined:
+        q = np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1_000_000)
+        key = r["lang"]
+        sums[key] = sums.get(key, 0) + q
+        counts[key] = counts.get(key, 0) + 1
+    for row in out:
+        expect = int(sums[row["lang"]][row["dim"]])
+        assert row["sum_q"] == expect, (row, expect)
+        assert row["n"] == counts[row["lang"]]
+    # exact integer math ⇒ identical under repartitioning
+    out2 = lang_centroid_quantized(docs.repartition(7), emb.repartition(5)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_sessionize_boundaries(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    events = spark.createDataFrame(
+        [
+            (1, ts(0), 10),
+            (2, ts(30), 10),       # same session (gap 30m < 60m)
+            (3, ts(120), 10),      # new session (gap 90m > 60m)
+            (4, ts(125), 10),
+            (5, ts(0), 20),        # other user: own session numbering
+        ],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    out = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize(events, gap_s=3600).collect()
+    }
+    assert out[(10, 1)]["n_events"] == 2
+    assert out[(10, 2)]["n_events"] == 2
+    assert out[(20, 1)]["n_events"] == 1
+    assert out[(10, 1)]["duration_us"] == 30 * 60 * 1_000_000
+    # sessions don't bleed across users
+    assert len(out) == 3
+
+
+def test_df_topk_is_distributed_topk_and_jvm_only(spark):
+    """Top-k must compile to TakeOrderedAndProject (per-partition heaps),
+    and no pipeline query may evaluate Python in its plan."""
+    df = doc_frequency_topk(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    for name in (
+        "q_dedup_keep",
+        "q_stratified_sample",
+        "q_df_stopwords",
+        "q_doc_chunks",
+        "q_contamination",
+        "q_pii_redact",
+        "q_lang_centroid",
+        "q_sessionize",
+    ):
+        p = (
+            entry_mod.queries()[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in p, f"{marker} in {name}"
+
+
+def test_contamination_bench_side_is_broadcast(spark):
+    """The benchmark shingle set must broadcast — corpus shingles are
+    never shuffled for the join."""
+    df = entry_mod.queries()["q_contamination"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
