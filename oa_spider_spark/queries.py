@@ -1478,6 +1478,82 @@ def q_phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_hamming_pairs(_synth_images_df(spark), max_hamming=16)
 
 
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup clusters end-to-end (the image-axis twin of
+    q_dedup_keep): phash Hamming pairs (sound k+1-block LSH, radius 12)
+    → connected components → one representative per cluster (max pixel
+    count, tie min image_id); singleton images keep themselves. Oracle:
+    literal phashes → relational pair join → recursive-CTE closure →
+    the same window — every stage of the composition is value-checked."""
+    from .operators.dedup import connected_components
+    from .operators.multimodal import phash_hamming_pairs
+
+    imgs = _synth_images_df(spark)
+    pairs = phash_hamming_pairs(imgs, max_hamming=12)
+    num = lambda c: F.substring(c, 4, 10).cast("long")  # noqa: E731
+    comp = connected_components(
+        pairs.select(num("img_a").alias("a"), num("img_b").alias("b")),
+        src="a",
+        dst="b",
+    )
+    labeled = (
+        imgs.select("image_id", num("image_id").alias("_nid"), "w", "h")
+        .join(comp, F.col("_nid") == F.col("doc_id"), "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("_nid")))
+    )
+    cw = Window.partitionBy("component_id")
+    ranked = labeled.select(
+        "image_id",
+        F.concat(
+            F.lit("img"), F.lpad(F.col("component_id").cast("string"), 4, "0")
+        ).alias("cluster_id"),
+        (F.col("w") * F.col("h")).cast("long").alias("rep_px"),
+        F.count("*").over(cw).alias("n_members"),
+        F.row_number()
+        .over(cw.orderBy((F.col("w") * F.col("h")).desc(), F.col("image_id").asc()))
+        .alias("_rk"),
+    )
+    return ranked.filter(F.col("_rk") == 1).drop("_rk")
+
+
+def _sql_image_dedup_clusters() -> str:
+    vals = ",\n".join(
+        f"({int(r['image_id'][3:])}, {r['phash']}, {r['dec_w']}, {r['dec_h']})"
+        for r in _image_twin_rows(60)
+    )
+    return f"""
+WITH RECURSIVE p(i, phash, w, h) AS (VALUES
+{vals}
+), pairs AS (
+  SELECT a.i AS u, b.i AS v
+  FROM p a JOIN p b ON a.i < b.i
+  WHERE bit_count(xor(a.phash::BIGINT, b.phash::BIGINT)) <= 12
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(u, x) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.x = e.u
+), lbl AS (
+  SELECT u AS i, least(u, min(x)) AS component_id FROM reach GROUP BY u
+), labeled AS (
+  SELECT p.i, coalesce(l.component_id, p.i) AS component_id,
+         p.w * p.h AS px
+  FROM p LEFT JOIN lbl l USING (i)
+), ranked AS (
+  SELECT 'img' || lpad(i::VARCHAR, 4, '0') AS image_id,
+         'img' || lpad(component_id::VARCHAR, 4, '0') AS cluster_id,
+         CAST(px AS BIGINT) AS rep_px,
+         count(*) OVER (PARTITION BY component_id) AS n_members,
+         row_number() OVER (
+           PARTITION BY component_id ORDER BY px DESC, i ASC
+         ) AS rk
+  FROM labeled
+)
+SELECT image_id, cluster_id, rep_px, n_members FROM ranked WHERE rk = 1
+"""
+
+
 def _image_twin_rows(n: int = 60):
     """Python twin of `_synth_images_df` → decode/stats/resize, used ONLY
     to generate literal ground-truth oracles (the IVF/captcha pattern:
@@ -1584,6 +1660,7 @@ QUERIES.update(
         "q_image_decode_stats": q_image_decode_stats,
         "q_captcha_pipeline": q_captcha_pipeline,
         "q_phash_near_dup_images": q_phash_near_dup_images,
+        "q_image_dedup_clusters": q_image_dedup_clusters,
         "q_image_resize": q_image_resize,
         "q_frame_sample": q_frame_sample,
     }
@@ -1607,6 +1684,7 @@ ORACLES.update(
         "q_image_decode_stats": _sql_image_decode_stats(),
         "q_image_resize": _sql_image_resize(),
         "q_phash_near_dup_images": _sql_phash_near_dups(),
+        "q_image_dedup_clusters": _sql_image_dedup_clusters(),
     }
 )
 
