@@ -47,6 +47,10 @@ HEADLINE = [
     "q_sessionize",
     "q_arrays_zip_join",
     "q_html_parse",
+    "q_pricing_summary",
+    "q_top_revenue",
+    "q_pii_redact",
+    "q_doc_chunks",
 ]
 
 

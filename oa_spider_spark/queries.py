@@ -2011,3 +2011,9 @@ ORACLES["q_captcha_nn"] = SQL_CAPTCHA_NN
 from .queries_pipeline import register as _register_pipeline  # noqa: E402
 
 _register_pipeline(QUERIES, ORACLES, SQL_MINHASH_LSH)
+
+# Analytics/reporting queries over the TPC-H-shaped tables (exact
+# integer-unit numerics; see queries_analytics.py module doc).
+from .queries_analytics import register as _register_analytics  # noqa: E402
+
+_register_analytics(QUERIES, ORACLES)

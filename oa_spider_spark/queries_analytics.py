@@ -1,0 +1,240 @@
+"""Analytics queries over the TPC-H-shaped tables (lineitem / orders /
+customer / events) — the reporting layer a crawl+curation deployment
+runs over its own telemetry and billing-grade tables.
+
+Numeric discipline: every money/measure column is quantized to exact
+integer units (cents, cent-percent) BEFORE aggregation — distributed
+float sums are accumulation-order-dependent and cannot carry a value
+oracle; integer sums are exact under any partitioning/AQE re-plan
+(same rule as operators/pipeline.py::lang_centroid_quantized). The
+source doubles are 2-decimal by construction (verified |x*100 -
+round(x*100)| < 1e-9 at every SF), so the quantization is lossless.
+
+Scale notes (100 TB):
+* q_pricing_summary — single groupBy on a 6-value key: map-side partial
+  aggregation collapses each scan task to ≤6 rows before the shuffle.
+* q_top_revenue — dimension side (filtered customer) broadcast, fact
+  tables hash-join on orderkey, then TakeOrderedAndProject for the
+  top-k (per-partition heaps; no global sort).
+* q_event_outliers — per-type moment aggregates (5 rows) broadcast back
+  onto the event stream: two scans, one tiny shuffle, no window over
+  the full log.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100, 0).cast("long")
+
+
+# --- A-PRC: pricing summary (TPC-H Q1 twin, exact integer units) ----------
+
+PRICING_CUTOFF = "1998-12-01 00:00:00"
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """Pricing summary report per (returnflag, linestatus) over shipped
+    lineitems: quantities, base price, discounted price, charge — all in
+    exact integer units (cents / cent-percent / cent-percent-percent),
+    so the distributed sums are reproducible and value-oracled.
+    avg_price_cents uses floor(sum/count) in double (both operands exact
+    and < 2^53)."""
+    li = lineitem.filter(
+        F.col("l_shipdate") <= F.expr(f"TIMESTAMP_NTZ '{PRICING_CUTOFF}'")
+    )
+    cents = _cents(F.col("l_extendedprice"))
+    disc_pct = _cents(F.col("l_discount"))  # 0..10 (percent, exact)
+    tax_pct = _cents(F.col("l_tax"))
+    qty = F.col("l_quantity").cast("long")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            qty.alias("qty"),
+            cents.alias("base_c"),
+            (cents * (100 - disc_pct)).alias("disc_cp"),
+            (cents * (100 - disc_pct) * (100 + tax_pct)).alias("charge_cpp"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sum_qty"),
+            F.sum("base_c").alias("sum_base_cents"),
+            F.sum("disc_cp").alias("sum_disc_cp"),
+            F.sum("charge_cpp").alias("sum_charge_cpp"),
+            F.count("*").alias("count_order"),
+            F.floor(F.sum("base_c") / F.count("*")).cast("long").alias(
+                "avg_price_cents"
+            ),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(base_c) AS BIGINT) AS sum_base_cents,
+       CAST(sum(disc_cp) AS BIGINT) AS sum_disc_cp,
+       CAST(sum(charge_cpp) AS BIGINT) AS sum_charge_cpp,
+       count(*) AS count_order,
+       CAST(floor(CAST(sum(base_c) AS BIGINT) * 1.0 / count(*)) AS BIGINT)
+           AS avg_price_cents
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS base_c,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS disc_cp,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100, 0) AS BIGINT)) AS charge_cpp
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- A-REV: top revenue orders (TPC-H Q3 twin) ----------------------------
+
+REV_SEGMENT = "BUILDING"
+REV_DATE = "1998-01-01 00:00:00"
+REV_TOPK = 10
+
+
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped-revenue orders for one market segment: broadcast
+    the filtered customer dim, hash-join orders→lineitem on orderkey,
+    aggregate exact cent-percent revenue, distributed top-k."""
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == REV_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{REV_DATE}'")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr(f"TIMESTAMP_NTZ '{REV_DATE}'")
+    )
+    cents = _cents(F.col("l_extendedprice"))
+    disc_pct = _cents(F.col("l_discount"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents * (100 - disc_pct)).alias("revenue_cp"))
+        .orderBy(F.col("revenue_cp").desc(), F.col("l_orderkey").asc())
+        .limit(REV_TOPK)
+    )
+
+
+SQL_TOP_REVENUE = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_cp
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{REV_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{REV_DATE}'
+  AND l_shipdate > TIMESTAMP '{REV_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cp DESC, l_orderkey ASC
+LIMIT {REV_TOPK}
+"""
+
+
+# --- A-OUT: per-type z-score outliers -------------------------------------
+
+OUTLIER_Z_MILLI = 2500  # |z| >= 2.5
+
+
+def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry outlier flagging: per-event-type z-score of the value
+    column. Moments are exact integer sums (value quantized to cents),
+    z derived via the numerically-order-free form
+    z = (v - mu)/sigma = (n*v - s1) / sqrt(n*s2 - s1^2) — every double
+    op consumes exact integers, so Spark and the oracle compute
+    bit-identical doubles. The 5-row moment table broadcasts back onto
+    the stream. Emits only the flagged rows (|z| >= 2.5)."""
+    e = _t(spark, sf_dir, "events")
+    v = _cents(F.col("value"))
+    base = e.select("event_id", "event_type", v.alias("v"))
+    stats = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    j = base.join(F.broadcast(stats), "event_type")
+    num = F.col("n") * F.col("v") - F.col("s1")
+    den = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    )
+    z_milli = F.floor(num.cast("double") * 1000.0 / den).cast("long")
+    return (
+        j.select(
+            "event_id",
+            "event_type",
+            F.col("v").alias("value_cents"),
+            z_milli.alias("z_milli"),
+        )
+        .filter((F.col("z_milli") >= OUTLIER_Z_MILLI) | (F.col("z_milli") < -OUTLIER_Z_MILLI))
+    )
+
+
+SQL_EVENT_OUTLIERS = f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(v * v) AS BIGINT) AS s2
+  FROM base GROUP BY event_type
+), scored AS (
+  SELECT b.event_id, b.event_type, b.v AS value_cents,
+         CAST(floor(CAST(s.n * b.v - s.s1 AS DOUBLE) * 1000.0
+                    / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)))
+              AS BIGINT) AS z_milli
+  FROM base b JOIN stats s USING (event_type)
+)
+SELECT event_id, event_type, value_cents, z_milli
+FROM scored
+WHERE z_milli >= {OUTLIER_Z_MILLI} OR z_milli < -{OUTLIER_Z_MILLI}
+"""
+
+
+def register(
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]],
+    oracles: dict[str, str],
+) -> None:
+    queries.update(
+        {
+            "q_pricing_summary": q_pricing_summary,
+            "q_top_revenue": q_top_revenue,
+            "q_event_outliers": q_event_outliers,
+        }
+    )
+    oracles.update(
+        {
+            "q_pricing_summary": SQL_PRICING_SUMMARY,
+            "q_top_revenue": SQL_TOP_REVENUE,
+            "q_event_outliers": SQL_EVENT_OUTLIERS,
+        }
+    )
