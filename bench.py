@@ -51,6 +51,8 @@ HEADLINE = [
     "q_top_revenue",
     "q_pii_redact",
     "q_doc_chunks",
+    "q_bm25_topk",
+    "q_value_percentiles",
 ]
 
 

@@ -306,3 +306,50 @@ def sessionize(
         F.max("us").alias("end_us"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    permilles: tuple[int, ...] = (500, 950, 990),
+) -> DataFrame:
+    """Exact per-group percentiles via value-domain compression — the
+    scalable EXACT alternative to percentile_approx when the value
+    domain is bounded (here: telemetry quantized to integer cents).
+
+    Phase 1 collapses the stream to a (key, value) histogram — one
+    groupBy shuffle with map-side combine, output rows ≤ |keys|·|domain|
+    regardless of input size. Phase 2 windows over the HISTOGRAM
+    (thousands of rows per key, not billions — windowing the raw stream
+    by a low-cardinality key would funnel whole groups into single
+    tasks; see CLAUDE.md window guardrails) for cumulative counts, then
+    one conditional agg picks each nearest-rank value.
+
+    Rank math is all-integer (r_p = (n-1)*permille DIV 1000 + 1,
+    nearest-rank/type-1), so the DuckDB oracle is bit-trivial.
+    """
+    k, v = F.col(key_col), F.col(value_col)
+    hist = df.groupBy(k.alias("k"), v.alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("k")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("k")
+    scored = hist.select(
+        "k",
+        "v",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for pm in permilles:
+        rank = (F.col("n") - 1) * pm / F.lit(1000)
+        rank = F.floor(rank).cast("long") + 1
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("v"))).alias(f"p{pm}")
+        )
+    return scored.groupBy("k").agg(*aggs).withColumnRenamed("k", key_col)

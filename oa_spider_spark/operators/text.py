@@ -87,3 +87,96 @@ def fingerprint(
     hf = md5h60 if portable else F.xxhash64
     grams = F.transform(idx, lambda i: hf(t.substr(i, F.lit(window))))
     return docs.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+# BM25 constants. K1P1 is spelled as its own decimal literal (not computed
+# k1+1): 1.2+1.0 rounds to a DIFFERENT double than the literal 2.2, and the
+# DuckDB oracle interpolates these exact literals — both engines must parse
+# the same decimal string to get bit-identical IEEE doubles.
+BM25_K1 = 1.2
+BM25_K1P1 = 2.2
+BM25_B = 0.75
+
+
+def _bm25_tokens(text_col: F.Column) -> F.Column:
+    return F.filter(
+        F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda w: w != F.lit("")
+    )
+
+
+def bm25_score(
+    docs: DataFrame, terms: list[str], text_col: str = "text"
+) -> DataFrame:
+    """BM25 relevance of every document against a small query-term set,
+    entirely JVM-side and value-oracle-able.
+
+    Numeric discipline (same rule as queries_analytics.py): the standard
+    BM25 idf is ln((N-df+0.5)/(df+0.5)+1), but ln is NOT guaranteed
+    correctly rounded and java.lang.Math vs libm differ in the last ulp —
+    so this uses the monotone *rational* idf variant
+    (N-df+0.5)/(df+0.5) directly (same ranking order; documented
+    deviation). Every remaining op is IEEE +,-,*,/ over exact integers
+    (all correctly rounded, so Spark and DuckDB produce bit-identical
+    doubles given the identical expression tree), and each term's
+    contribution is floored to integer micro-units BEFORE the cross-term
+    sum, so the final score is exact integer math.
+
+    Scale (100 TB): per-term tf is an array filter inside the row — no
+    token explode, no shuffle of the corpus. Corpus stats (N, sum_dl,
+    per-term df) collapse to ONE row via map-side combine and are
+    broadcast back; two scans of the text column total (cache `base`
+    to make it one on a real cluster).
+    """
+    toks = _bm25_tokens(F.col(text_col))
+
+    def _eq(term: str):
+        # single-arg lambda: a 2-arg lambda (e.g. `lambda w, t=t: ...`)
+        # makes F.filter pass the ARRAY INDEX as the second argument,
+        # silently rebinding the default
+        return lambda w: w == F.lit(term)
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        idf = (
+            (F.col("n_docs") - df).cast("double") + F.lit(0.5)
+        ) / (df.cast("double") + F.lit(0.5))
+        denom = tf.cast("double") + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+        contrib = F.floor(
+            idf * (tf.cast("double") * F.lit(BM25_K1P1)) / denom
+            * F.lit(1000000.0)
+        )
+        contribs.append(F.when(tf > 0, contrib).otherwise(F.lit(0)))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    n_matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(terms))
+    )
+    return j.select(
+        "doc_id",
+        score.alias("score_micro"),
+        n_matched.alias("n_terms"),
+    ).filter(F.col("score_micro") > 0)

@@ -220,6 +220,128 @@ WHERE z_milli >= {OUTLIER_Z_MILLI} OR z_milli < -{OUTLIER_Z_MILLI}
 """
 
 
+# --- A-BM25: relevance scoring (rational-idf BM25, exact micro-units) -----
+
+BM25_TERMS = ["hash", "join", "vector", "stream"]
+BM25_TOPK = 25
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 documents by BM25 relevance to a fixed query-term set.
+    See operators/text.py::bm25_score for the numeric discipline (rational
+    idf — no ln, which is not correctly-rounded-identical across JVM libm
+    and DuckDB — and per-term micro-unit flooring before the sum)."""
+    from .operators.text import bm25_score
+
+    scored = bm25_score(_t(spark, sf_dir, "documents"), BM25_TERMS)
+    return scored.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(BM25_TOPK)
+
+
+def _sql_bm25() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    contribs = "\n       + ".join(
+        f"""CASE WHEN tf_{i} > 0 THEN CAST(floor(
+           ((CAST(n_docs - df_{i} AS DOUBLE) + 0.5)
+              / (CAST(df_{i} AS DOUBLE) + 0.5))
+           * (CAST(tf_{i} AS DOUBLE) * 2.2)
+           / (CAST(tf_{i} AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                   / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+           * 1000000.0) AS BIGINT) ELSE 0 END"""
+        for i in range(len(BM25_TERMS))
+    )
+    matches = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+  )
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM tf
+)
+SELECT doc_id, score_micro, n_terms FROM (
+  SELECT doc_id,
+       ({contribs}) AS score_micro,
+       ({matches}) AS n_terms
+  FROM tf CROSS JOIN stats
+)
+WHERE score_micro > 0
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25()
+
+
+# --- A-PCT: exact per-type value percentiles (histogram nearest-rank) ------
+
+PCT_PERMILLES = (500, 950, 990)
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of the telemetry value per event type — the
+    histogram/nearest-rank exact-percentile operator (see
+    operators/pipeline.py::exact_percentiles for why this beats a raw
+    window at 100 TB)."""
+    from .operators.pipeline import exact_percentiles
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _cents(F.col("value")).alias("value_cents")
+    )
+    return exact_percentiles(
+        e, "event_type", "value_cents", permilles=PCT_PERMILLES
+    )
+
+
+def _sql_percentiles() -> str:
+    picks = ",\n       ".join(
+        f"""min(CASE WHEN cum >= CAST(floor(((n - 1) * {pm}) / 1000.0)
+                         AS BIGINT) + 1 THEN v END) AS p{pm}"""
+        for pm in PCT_PERMILLES
+    )
+    return f"""
+WITH hist AS (
+  SELECT event_type AS k,
+         CAST(round(value * 100, 0) AS BIGINT) AS v,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT k, v,
+    CAST(sum(cnt) OVER (PARTITION BY k ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER (PARTITION BY k) AS BIGINT) AS n
+  FROM hist
+)
+SELECT k AS event_type, CAST(max(n) AS BIGINT) AS n,
+       {picks}
+FROM scored GROUP BY k
+"""
+
+
+SQL_VALUE_PERCENTILES = _sql_percentiles()
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -229,6 +351,8 @@ def register(
             "q_pricing_summary": q_pricing_summary,
             "q_top_revenue": q_top_revenue,
             "q_event_outliers": q_event_outliers,
+            "q_bm25_topk": q_bm25_topk,
+            "q_value_percentiles": q_value_percentiles,
         }
     )
     oracles.update(
@@ -236,5 +360,7 @@ def register(
             "q_pricing_summary": SQL_PRICING_SUMMARY,
             "q_top_revenue": SQL_TOP_REVENUE,
             "q_event_outliers": SQL_EVENT_OUTLIERS,
+            "q_bm25_topk": SQL_BM25_TOPK,
+            "q_value_percentiles": SQL_VALUE_PERCENTILES,
         }
     )

@@ -93,3 +93,98 @@ def test_pricing_summary_pushes_filter_and_prunes_scan(spark):
         "l_linestatus",
         "l_shipdate",
     }, cols
+
+
+def test_bm25_matches_hand_computation(spark):
+    """Pure-Python mirror of the rational-idf BM25 (CPython doubles are
+    the same IEEE ops) over sf0.001 — validates tokenization, stats, and
+    the micro-unit flooring end-to-end."""
+    import re
+
+    from oa_spider_spark.queries_analytics import BM25_TERMS, BM25_TOPK, q_bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    toks = {
+        r["doc_id"]: [w for w in re.split(r"[^a-z0-9]+", r["text"].lower()) if w]
+        for r in docs
+    }
+    n_docs = len(toks)
+    sum_dl = sum(len(t) for t in toks.values())
+    avgdl = float(sum_dl) / float(n_docs)
+    dfs = [sum(1 for t in toks.values() if term in t) for term in BM25_TERMS]
+    scored = []
+    for doc_id, t in toks.items():
+        dl = len(t)
+        score = 0
+        n_terms = 0
+        for term, df in zip(BM25_TERMS, dfs):
+            tf = sum(1 for w in t if w == term)
+            if tf == 0:
+                continue
+            n_terms += 1
+            idf = (float(n_docs - df) + 0.5) / (float(df) + 0.5)
+            denom = float(tf) + 1.2 * (1.0 - 0.75 + 0.75 * (float(dl) / avgdl))
+            score += math.floor(idf * (float(tf) * 2.2) / denom * 1000000.0)
+        if score > 0:
+            scored.append((-score, doc_id, n_terms))
+    scored.sort()
+    expect = [(d, -s, n) for s, d, n in scored[:BM25_TOPK]]
+    got = [
+        (r["doc_id"], r["score_micro"], r["n_terms"])
+        for r in q_bm25_topk(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+def test_bm25_plan_topk_and_jvm_only(spark):
+    from oa_spider_spark.queries_analytics import q_bm25_topk
+
+    plan = _plan(q_bm25_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_percentiles_match_bruteforce(spark):
+    """Nearest-rank ground truth from the sorted raw values — catches
+    both histogram math and rank arithmetic mistakes."""
+    from oa_spider_spark.queries_analytics import q_value_percentiles
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v")
+    )
+    by_type = {}
+    for r in e.collect():
+        by_type.setdefault(r["event_type"], []).append(r["v"])
+    expect = {}
+    for t, vs in by_type.items():
+        vs.sort()
+        n = len(vs)
+        expect[t] = (
+            n,
+            vs[(n - 1) * 500 // 1000],
+            vs[(n - 1) * 950 // 1000],
+            vs[(n - 1) * 990 // 1000],
+        )
+    got = {
+        r["event_type"]: (r["n"], r["p500"], r["p950"], r["p990"])
+        for r in q_value_percentiles(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(got) >= 3
+
+
+def test_percentiles_window_is_over_histogram_not_stream(spark):
+    """The Window must consume the aggregated histogram (guardrail: a
+    window partitioned by a ~5-value key over the RAW stream would
+    funnel entire types into single tasks at scale)."""
+    from oa_spider_spark.queries_analytics import q_value_percentiles
+
+    df = q_value_percentiles(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    # aggregate (histogram) must appear below the window in the tree
+    win_idx = plan.index("Window")
+    assert "HashAggregate" in plan[win_idx:], plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
