@@ -353,3 +353,35 @@ def exact_percentiles(
             F.min(F.when(F.col("cum") >= rank, F.col("v"))).alias(f"p{pm}")
         )
     return scored.groupBy("k").agg(*aggs).withColumnRenamed("k", key_col)
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key: str,
+    row_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-proof equi-join for the large×medium shape where `dim` is too
+    big to broadcast and `big`'s join-key distribution is hot (a handful
+    of keys carry most rows — the per-host fetch problem generalized).
+
+    A plain hash join shuffles `big` on `key`, so one hot key lands in
+    ONE task. Here `big` is salted by a hash of `row_key` (the row's own
+    id — salting by the JOIN key would put the hot key in one salt and
+    change nothing) and `dim` is replicated n_salts× via a sequence
+    explode, joining on (key, salt): a hot key's rows spread over
+    n_salts tasks, at the cost of an n_salts× blow-up of the SMALL side
+    only. shuffle_hash hint pins the strategy (without it, a tiny test
+    dim would auto-broadcast and hide the mechanism the plan tests pin).
+
+    Result is row-identical to `big JOIN dim USING (key)` — the salt is
+    an implementation detail that never changes the match set.
+    """
+    salt = F.pmod(F.xxhash64(F.col(row_key)), F.lit(n_salts)).cast("int")
+    b = big.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).hint("shuffle_hash")
+    out = b.join(d, [key, "_salt"])
+    return out.drop("_salt")

@@ -342,6 +342,33 @@ FROM scored GROUP BY k
 SQL_VALUE_PERCENTILES = _sql_percentiles()
 
 
+# --- A-SKEW: salted join on a maximally hot key ----------------------------
+
+
+def q_salted_lang_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents joined to a per-language dim on `lang` — a ~3-value key,
+    so a plain hash join funnels a third of the corpus into one task.
+    salted_join spreads each language over 8 tasks; the result is
+    row-identical to the plain join (the oracle IS the plain join)."""
+    from .operators.pipeline import salted_join
+
+    docs = _t(spark, sf_dir, "documents")
+    dim = docs.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    return salted_join(docs, dim, key="lang", row_key="doc_id").select(
+        "doc_id", "lang", "lang_docs"
+    )
+
+
+SQL_SALTED_LANG_JOIN = """
+WITH dim AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, lang, lang_docs
+FROM documents JOIN dim USING (lang)
+"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -353,6 +380,7 @@ def register(
             "q_event_outliers": q_event_outliers,
             "q_bm25_topk": q_bm25_topk,
             "q_value_percentiles": q_value_percentiles,
+            "q_salted_lang_join": q_salted_lang_join,
         }
     )
     oracles.update(
@@ -362,5 +390,6 @@ def register(
             "q_event_outliers": SQL_EVENT_OUTLIERS,
             "q_bm25_topk": SQL_BM25_TOPK,
             "q_value_percentiles": SQL_VALUE_PERCENTILES,
+            "q_salted_lang_join": SQL_SALTED_LANG_JOIN,
         }
     )

@@ -188,3 +188,27 @@ def test_percentiles_window_is_over_histogram_not_stream(spark):
     assert "HashAggregate" in plan[win_idx:], plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, plan
+
+
+def test_salted_join_equals_plain_join_and_spreads_key(spark):
+    from oa_spider_spark.operators.pipeline import salted_join
+    from oa_spider_spark.queries_analytics import q_salted_lang_join
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dim = docs.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    got = q_salted_lang_join(spark, SF_DIR)
+    plain = docs.join(dim, "lang").select("doc_id", "lang", "lang_docs")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    # plan: shuffle keyed by (lang, _salt) — the hot key is spread — and
+    # NO broadcast of the dim (the hint must hold)
+    plan = _plan(salted_join(docs, dim, key="lang", row_key="doc_id"))
+    assert "_salt" in plan and "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # the salt genuinely fans one lang over multiple salts
+    n_salts = (
+        docs.filter(F.col("lang") == docs.select("lang").first()["lang"])
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts >= 6
