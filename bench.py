@@ -53,6 +53,8 @@ HEADLINE = [
     "q_doc_chunks",
     "q_bm25_topk",
     "q_value_percentiles",
+    "q_hll_distinct",
+    "q_asof_prior_click",
 ]
 
 

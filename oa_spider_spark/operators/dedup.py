@@ -143,6 +143,33 @@ def _cap_groups(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
     )
 
 
+def band_keys(
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH band keys from signature arrays — the
+    shared banding of lsh_candidate_pairs (self-join dedup) and
+    incremental_near_dups (new-batch-vs-corpus probe). The bucket is
+    xxhash64 of the comma-joined signature slice, so equal buckets ⇔
+    equal slices (collisions aside) — this is also what the DuckDB
+    oracles join on (the raw slice string)."""
+    assert bands * rows_per_band <= 64
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ])).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, bands: int = 8, rows_per_band: int = 4,
     max_bucket: int | None = None,
@@ -161,23 +188,9 @@ def lsh_candidate_pairs(
     every band is boilerplate an exact-dedup pass catches first. None
     (default) keeps exhaustive candidates — the oracled small-scale
     semantics."""
-    assert bands * rows_per_band <= 64
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[
-                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ])).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    banded = _cap_groups(banded, ["band", "bucket"], max_bucket)
+    banded = _cap_groups(
+        band_keys(sig, bands, rows_per_band), ["band", "bucket"], max_bucket
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -233,6 +246,70 @@ def minhash_dedup(
     sig = minhash_signatures(sh, n_hashes, portable=portable)
     pairs = lsh_candidate_pairs(sig, bands, n_hashes // bands, max_bucket=max_bucket)
     return jaccard_pairs(pairs, sh, threshold)
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    portable: bool = False,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Daily-increment dedup: dispose every NEW-batch doc against the
+    EXISTING corpus without ever self-joining the corpus.
+
+    This is the shape a continuously-crawled 100-TB corpus actually
+    needs: the corpus band keys are a persisted index (computed once per
+    corpus version, reused by every batch), and each batch's cost is
+    `O(batch)` banding + one equi-join probe into the index — never the
+    corpus×corpus pair generation of `minhash_dedup`, and never a re-
+    shingle of the corpus per batch. The Jaccard verify touches only
+    candidate pairs (batch-sized), pulling corpus shingles for just the
+    docs that collided.
+
+    Returns ONE row per new doc: (doc_id, dup_of, jaccard) where dup_of
+    is the best corpus match above `threshold` (max Jaccard, tie → min
+    corpus doc_id) or NULL if the doc is novel. doc_id sets of the two
+    inputs must be disjoint.
+    """
+    rpb = n_hashes // bands
+    sh_new = shingles(new_docs, text_col, k, portable=portable)
+    sh_corpus = shingles(corpus_docs, text_col, k, portable=portable)
+    b_new = band_keys(minhash_signatures(sh_new, n_hashes, portable=portable), bands, rpb)
+    b_corpus = _cap_groups(
+        band_keys(
+            minhash_signatures(sh_corpus, n_hashes, portable=portable), bands, rpb
+        ),
+        ["band", "bucket"],
+        max_bucket,
+    )
+    cand = (
+        b_new.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(
+            b_corpus.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = jaccard_pairs(cand, sh_new.unionByName(sh_corpus), threshold)
+    w = Window.partitionBy("doc_a").orderBy(
+        F.col("jaccard").desc(), F.col("doc_b").asc()
+    )
+    best = (
+        verified.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("dup_of"),
+            "jaccard",
+        )
+    )
+    return new_docs.select("doc_id").join(best, "doc_id", "left")
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", portable: bool = False) -> DataFrame:

@@ -1,0 +1,126 @@
+"""Temporal joins Spark lacks as primitives: as-of join and range join,
+both expressed in the shapes that survive 100 TB.
+
+* As-of join ("most recent prior fact") is NOT implemented as an
+  inequality join — a theta join over a billion-row event log is a
+  broadcast-nested-loop disaster. It is a union + one partitioned
+  window: tag both streams, sort each key's timeline once, and carry
+  the last right-side value forward with last(ignorenulls). One shuffle
+  on the join key, per-key timelines bounded (billions of keys spread
+  across tasks), zero Python.
+
+* Range join (events falling inside intervals) is bucketized: intervals
+  are exploded onto a coarse time grid sized to the maximum interval
+  length, events map to exactly one grid cell, and the join is an
+  EQUI-join on (key, cell) followed by the exact containment filter.
+  Candidate blow-up is bounded by ceil(len/grid) + 1 cells per interval
+  — never a cross product, and Catalyst plans it as a plain hash join.
+
+Reference tie-in: the reference crawler correlates "this fetch happened
+while that host was throttled" by driver-side timestamps; these are the
+engine-grade versions of that correlation over telemetry tables
+(SURVEY §2.12 family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    carry_cols: list[str],
+) -> DataFrame:
+    """Each `left` row + the STRICTLY-prior `right` row's carry columns.
+
+    Semantics: for a left row at time t, match the right row with the
+    greatest (ts, tiebreak) such that right.ts < left.ts (ties at the
+    exact same timestamp do NOT match — "strictly prior" is the only
+    ordering that is deterministic without cross-stream tiebreaks).
+    Unmatched left rows keep NULL carries.
+
+    Mechanics: union the streams with a tag that sorts left rows BEFORE
+    right rows at equal timestamps (so a left row's window never sees a
+    same-ts right), then one `last(ignorenulls)` per carry column over
+    rows up to the current one. The window is partitioned by `key` —
+    per-key timelines are the bounded unit of work.
+    """
+    lt = left.withColumn("_tag", F.lit(0))
+    rt = right.withColumn("_tag", F.lit(1))
+    cols = list(dict.fromkeys([key, ts_col, tiebreak_col, *carry_cols]))
+    lefts = lt.select(*left.columns, "_tag")
+    rights = rt.select(*[c for c in cols if c in right.columns], "_tag")
+    # align schemas: left-only columns null on right rows and vice versa
+    for c in lefts.columns:
+        if c not in rights.columns:
+            rights = rights.withColumn(c, F.lit(None))
+    for c in rights.columns:
+        if c not in lefts.columns:
+            lefts = lefts.withColumn(c, F.lit(None))
+    rights = rights.select(*lefts.columns)
+    both = lefts.unionByName(rights)
+
+    # right-sourced shadow of each carry column, null on left rows
+    shadows = {c: f"_r_{c}" for c in carry_cols}
+    for c, s in shadows.items():
+        both = both.withColumn(
+            s, F.when(F.col("_tag") == 1, F.col(c)).otherwise(F.lit(None))
+        )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        "*",
+        *[
+            F.last(F.col(s), ignorenulls=True).over(w).alias(f"prior_{c}")
+            for c, s in shadows.items()
+        ],
+    )
+    return carried.filter(F.col("_tag") == 0).drop(
+        "_tag", *shadows.values(), *[c for c in carry_cols if c not in left.columns]
+    )
+
+
+def range_join_bucketed(
+    events: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    grid_us: int,
+) -> DataFrame:
+    """Equi-join realization of `events JOIN intervals ON same key AND
+    start <= ts < end` — timestamps and bounds as epoch-microsecond
+    longs (the repo's integer-time discipline).
+
+    `grid_us` must be >= the longest interval: each interval then spans
+    at most 2 grid cells, so the candidate set is at most 2x the true
+    match set regardless of data volume. The exact half-open containment
+    filter runs after the hash join; no row is double-counted because an
+    event's single cell matches each interval replica at most once
+    (replicas of one interval sit in DIFFERENT cells).
+    """
+    g = int(grid_us)
+    ev = events.withColumn("_cell", F.expr(f"`{ts_col}` div {g}"))
+    iv = intervals.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"`{start_col}` div {g}"),
+                # end is exclusive: the last covered cell is (end-1)'s
+                F.expr(f"(`{end_col}` - 1) div {g}"),
+            )
+        ),
+    )
+    joined = ev.join(iv, [key, "_cell"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_cell")

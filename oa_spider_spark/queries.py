@@ -2017,3 +2017,9 @@ _register_pipeline(QUERIES, ORACLES, SQL_MINHASH_LSH)
 from .queries_analytics import register as _register_analytics  # noqa: E402
 
 _register_analytics(QUERIES, ORACLES)
+
+# Sketch + temporal joins (HLL distinct, as-of, bucketized range; see
+# queries_temporal.py module doc).
+from .queries_temporal import register as _register_temporal  # noqa: E402
+
+_register_temporal(QUERIES, ORACLES)

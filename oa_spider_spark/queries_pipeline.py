@@ -303,6 +303,73 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+# --- X38: incremental (new-batch-vs-corpus) near-dup disposition ----------
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment shape: docs with doc_id % 5 == 0 play the new
+    batch, the rest the existing corpus. Every new doc gets a
+    disposition row: dup_of = best corpus match at Jaccard >= 0.8 (max
+    jaccard, tie min corpus id) or NULL if novel. The corpus is never
+    self-joined and never re-shingled per batch (operators/dedup.py::
+    incremental_near_dups)."""
+    from .operators.dedup import incremental_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    out = incremental_near_dups(new, corpus, threshold=0.8, portable=True)
+    return out.select(
+        "doc_id", "dup_of", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# Independent DuckDB twin: same portable hashes, but candidates come from
+# a new×corpus band join (never corpus×corpus) and every new doc keeps a
+# row via the final LEFT JOIN.
+SQL_INCREMENTAL_DEDUP = """
+WITH ser AS (
+  SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM documents))) AS i
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(substring(text, i, 5)), 1, 15))::BIGINT AS shingle_hash
+  FROM documents JOIN ser ON ser.i <= greatest(length(text) - 4, 1)
+), sig AS (
+  SELECT doc_id, h.i AS hi,
+         min(('0x' || substr(md5(shingle_hash::VARCHAR || ':42:' || h.i::VARCHAR), 1, 15))::BIGINT) AS mh
+  FROM sh, range(32) h(i)
+  GROUP BY doc_id, h.i
+), bands AS (
+  SELECT doc_id, hi // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY hi) AS bucket
+  FROM sig GROUP BY doc_id, hi // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), verified AS (
+  SELECT doc_a, doc_b, n_inter * 1.0 / (za.sz + zb.sz - n_inter) AS j
+  FROM (
+    SELECT doc_a, doc_b, count(*) AS n_inter
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle_hash = sa.shingle_hash
+    GROUP BY doc_a, doc_b
+  )
+  JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b
+  WHERE n_inter * 1.0 / (za.sz + zb.sz - n_inter) >= 0.8
+), best AS (
+  SELECT doc_a, doc_b, j,
+         row_number() OVER (PARTITION BY doc_a ORDER BY j DESC, doc_b ASC) AS rk
+  FROM verified
+)
+SELECT n.doc_id, b.doc_b AS dup_of, round(b.j, 6) AS jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) n
+LEFT JOIN best b ON b.doc_a = n.doc_id AND b.rk = 1
+"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -318,6 +385,7 @@ def register(
             "q_pii_redact": q_pii_redact,
             "q_lang_centroid": q_lang_centroid,
             "q_user_sessions": q_sessionize,
+            "q_incremental_dedup": q_incremental_dedup,
         }
     )
     oracles.update(
@@ -330,5 +398,6 @@ def register(
             "q_pii_redact": SQL_PII_REDACT,
             "q_lang_centroid": SQL_LANG_CENTROID,
             "q_user_sessions": SQL_SESSIONIZE,
+            "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
         }
     )

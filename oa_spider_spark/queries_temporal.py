@@ -1,0 +1,194 @@
+"""Sketch + temporal-join queries: HLL distinct-count, as-of join,
+bucketized range join. Companion operator modules:
+`operators/sketch.py`, `operators/temporal.py` (scale notes there).
+
+Oracle strategy follows the repo's portable discipline: hashes are
+md5h60 (DuckDB-reproducible), ranks use `bin()`/`length()` which exist
+with identical semantics in both engines, the one float step in the HLL
+estimate is a fixed-shape IEEE divide by an embedded repr(float)
+literal, time is integer epoch-microseconds, and money is cents. The
+as-of oracle is an INDEPENDENT formulation (DuckDB LATERAL subquery vs
+Spark's union+window), as is the range oracle (plain inequality join vs
+Spark's grid-bucketed equi-join) — the implementations share no shape,
+only semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.sketch import HLL_EST_NUM, HLL_M, HLL_P, hll_distinct
+from .operators.temporal import asof_join, range_join_bucketed
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- T-HLL: distinct parts over the fact table via a 256-row shuffle -------
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l_partkey over lineitem, sketched: the shuffle moves at
+    most 256 register rows per scan task instead of every distinct key.
+    `exact_distinct` rides along for self-validation (cheap at test SF;
+    at 100 TB it is exactly the shuffle the sketch avoids)."""
+    li = _t(spark, sf_dir, "lineitem")
+    est = hll_distinct(li, "l_partkey")
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+_LOW = 1 << (60 - HLL_P)  # 2^52: split point between register and rank bits
+
+SQL_HLL_DISTINCT = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem
+),
+s AS (SELECT h // {_LOW} AS register, h % {_LOW} AS low FROM h),
+reg AS (
+  SELECT register,
+         MAX(CASE WHEN low = 0 THEN 53 ELSE 53 - length(bin(low)) END) AS rho
+  FROM s GROUP BY register
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS regs_seen,
+         CAST({HLL_M} - count(*) AS BIGINT) AS zeros,
+         CAST(sum(1::BIGINT << (53 - rho))
+              + ({HLL_M} - count(*)) * (1::BIGINT << 53) AS BIGINT) AS z_scaled
+  FROM reg
+)
+SELECT regs_seen, zeros, z_scaled,
+       CAST(floor({HLL_EST_NUM!r} / CAST(z_scaled AS DOUBLE)) AS BIGINT)
+         AS est_milli,
+       (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+         AS exact_distinct
+FROM agg
+"""
+
+
+# --- T-ASOF: most recent prior click before each error ---------------------
+
+
+def q_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'error' event: the same user's most recent strictly-
+    prior 'click' (id + value in cents). Union + one window partitioned
+    by user_id — never an inequality join."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        errors,
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        carry_cols=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("user_id"),
+        F.col("prior_event_id"),
+        F.round(F.col("prior_value") * 100, 0).cast("long").alias(
+            "prior_value_cents"
+        ),
+    )
+
+
+SQL_ASOF_PRIOR_CLICK = """
+SELECT l.event_id,
+       epoch_us(l.ts) AS ts_us,
+       l.user_id,
+       p.event_id AS prior_event_id,
+       CAST(round(p.value * 100, 0) AS BIGINT) AS prior_value_cents
+FROM events l
+LEFT JOIN LATERAL (
+  SELECT r.event_id, r.value
+  FROM events r
+  WHERE r.user_id = l.user_id AND r.event_type = 'click' AND r.ts < l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) p ON true
+WHERE l.event_type = 'error'
+"""
+
+
+# --- T-RANGE: activity inside the 10 minutes after each error --------------
+
+_WINDOW_US = 600_000_000  # 10 minutes
+
+
+def q_error_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: how many events (any type, same user, the error
+    itself included) land in [error_ts, error_ts + 10 min), and their
+    value total in cents. Grid-bucketed equi-join — candidates bounded
+    at 2x matches, no theta join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("user_id"),
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.lit(_WINDOW_US)).alias("end_us"),
+    )
+    hits = range_join_bucketed(
+        ev.select("event_id", "user_id", "ts_us", "value"),
+        intervals,
+        key="user_id",
+        ts_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        grid_us=_WINDOW_US,
+    )
+    return hits.groupBy("interval_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+
+
+SQL_ERROR_WINDOW_ACTIVITY = f"""
+SELECT i.event_id AS interval_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'error') i
+JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events) e
+  ON e.user_id = i.user_id
+ AND e.ts_us >= i.ts_us
+ AND e.ts_us < i.ts_us + {_WINDOW_US}
+GROUP BY i.event_id
+"""
+
+
+def register(
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]],
+    oracles: dict[str, str],
+) -> None:
+    queries.update(
+        {
+            "q_hll_distinct": q_hll_distinct,
+            "q_asof_prior_click": q_asof_prior_click,
+            "q_error_window_activity": q_error_window_activity,
+        }
+    )
+    oracles.update(
+        {
+            "q_hll_distinct": SQL_HLL_DISTINCT,
+            "q_asof_prior_click": SQL_ASOF_PRIOR_CLICK,
+            "q_error_window_activity": SQL_ERROR_WINDOW_ACTIVITY,
+        }
+    )

@@ -578,3 +578,52 @@ def test_minhash_portable_seed_gives_distinct_families(spark):
     a = minhash_signatures(sh, n_hashes=8, seed=42, portable=True).collect()[0]["sig"]
     b = minhash_signatures(sh, n_hashes=8, seed=7, portable=True).collect()[0]["sig"]
     assert a != b
+
+
+def test_incremental_near_dups_matches_batch_cross_pairs(spark):
+    """The new-vs-corpus probe must flag exactly the new docs that a
+    full-corpus minhash_dedup connects across the split (same banding,
+    same threshold), and every dup_of must itself verify at >= t."""
+    from oa_spider_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    out = incremental_near_dups(new, corpus, threshold=0.8, portable=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == new.count()  # one disposition row per new doc
+
+    all_pairs = minhash_dedup(docs, threshold=0.8, portable=True).collect()
+    cross_flagged = set()
+    best = {}
+    for r in all_pairs:
+        for n_id, c_id in ((r["doc_a"], r["doc_b"]), (r["doc_b"], r["doc_a"])):
+            if n_id % 5 == 0 and c_id % 5 != 0:
+                cross_flagged.add(n_id)
+                cur = best.get(n_id)
+                cand = (-r["jaccard"], c_id)
+                if cur is None or cand < cur:
+                    best[n_id] = cand
+    got_flagged = {d for d, r in rows.items() if r["dup_of"] is not None}
+    assert got_flagged == cross_flagged
+    for d in got_flagged:
+        assert rows[d]["dup_of"] == best[d][1], (d, rows[d], best[d])
+        assert rows[d]["jaccard"] >= 0.8
+
+
+def test_incremental_near_dups_plan_no_cartesian(spark):
+    from oa_spider_spark.queries_pipeline import q_incremental_dedup
+
+    plan = (
+        q_incremental_dedup(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, plan

@@ -1,0 +1,172 @@
+"""Sketch + temporal operators (operators/sketch.py, temporal.py): the
+invariants beyond the DuckDB oracles — HLL accuracy and merge/partition
+invariance, as-of strictly-prior tie semantics vs a brute-force theta
+join, range-join candidate soundness at cell boundaries, and the plan
+shapes (constant-size shuffle, no Python evals, no nested-loop joins)."""
+
+from pyspark.sql import functions as F
+
+from oa_spider_spark.operators.sketch import (
+    HLL_M,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+from oa_spider_spark.operators.temporal import asof_join, range_join_bucketed
+from oa_spider_spark.queries_temporal import (
+    q_asof_prior_click,
+    q_error_window_activity,
+    q_hll_distinct,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- HLL -------------------------------------------------------------------
+
+
+def test_hll_estimate_accuracy_and_partition_invariance(spark):
+    """Raw HLL at m=256 has ~6.5% standard error; assert within 20%.
+    sf0.01 (2000 distinct parts) keeps the test in the raw-HLL regime
+    (n >> 2.5m = 640) — below that the documented contract is "use
+    exact COUNT(DISTINCT)". The sketch must be bit-identical under
+    repartitioning (integer MAX/SUM only) — the property that lets
+    per-day sketches merge."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    row = hll_distinct(li, "l_partkey").collect()[0]
+    exact = li.select("l_partkey").distinct().count()
+    est = row["est_milli"] / 1000.0
+    assert abs(est - exact) / exact < 0.20, (est, exact)
+    again = hll_distinct(li.repartition(17), "l_partkey").collect()[0]
+    assert tuple(row) == tuple(again)
+
+
+def test_hll_merge_equals_whole(spark):
+    """Sketching two halves and MAX-merging the registers must equal
+    sketching the whole — the incremental/daily-rollup contract."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    a = hll_registers(li.filter(F.col("l_orderkey") % 2 == 0), "l_partkey")
+    b = hll_registers(li.filter(F.col("l_orderkey") % 2 == 1), "l_partkey")
+    merged = (
+        a.unionByName(b).groupBy("register").agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(li, "l_partkey")
+    assert sorted(map(tuple, hll_estimate(merged).collect())) == sorted(
+        map(tuple, hll_estimate(whole).collect())
+    )
+
+
+def test_hll_plan_constant_shuffle_no_python(spark):
+    """The only data-sized stage is the scan; the shuffle is keyed on
+    the 256-value register column and every expression is JVM-side."""
+    df = q_hll_distinct(spark, SF_DIR)
+    plan = _plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    assert "hashpartitioning(register" in plan, plan
+    row = df.collect()[0]
+    assert row["regs_seen"] + row["zeros"] == HLL_M
+
+
+# --- as-of join ------------------------------------------------------------
+
+
+def test_asof_matches_theta_join_brute_force(spark):
+    """Equivalence against the O(n^2) formulation the operator avoids:
+    per left row, the max-(ts, id) right row with ts strictly prior."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    got = (
+        q_asof_prior_click(spark, SF_DIR)
+        .select("event_id", "prior_event_id")
+        .collect()
+    )
+    l = errors.alias("l")
+    r = clicks.alias("r")
+    theta = (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") < F.col("l.ts")),
+            "left",
+        )
+        .groupBy(F.col("l.event_id").alias("event_id"))
+        .agg(
+            F.max(F.struct(F.col("r.ts"), F.col("r.event_id"))).alias("best")
+        )
+        .select("event_id", F.col("best.event_id").alias("prior_event_id"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, theta))
+
+
+def test_asof_strictly_prior_at_equal_ts(spark):
+    """A right row at the SAME timestamp must not match (strictly-prior
+    contract); an earlier one must, picking max id on right-side ties."""
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 200, 11)], "k int, t long, lid int"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 90, 9.0), (2, 150, 91, 7.0), (2, 150, 92, 8.0)],
+        "k int, t long, rid int, v double",
+    )
+    out = {
+        r["lid"]: (r["prior_rid"], r["prior_v"])
+        for r in asof_join(
+            left, right, key="k", ts_col="t", tiebreak_col="rid",
+            carry_cols=["rid", "v"],
+        ).collect()
+    }
+    assert out[10] == (None, None)  # same-ts right excluded
+    assert out[11] == (92, 8.0)  # max rid among equal-ts rights
+
+
+# --- range join ------------------------------------------------------------
+
+
+def test_range_join_matches_theta_and_boundaries(spark):
+    """Grid-bucketed equi-join == inequality join, including intervals
+    that straddle a cell boundary and events exactly at start (in) and
+    end (out); no double counting from interval replication."""
+    events = spark.createDataFrame(
+        [(1, 0, 1), (1, 950, 2), (1, 1000, 3), (1, 1949, 4), (1, 1950, 5),
+         (2, 975, 6)],
+        "k int, t long, eid int",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 950, 1950, 100), (2, 0, 1000, 200)],
+        "k int, s long, e long, iid int",
+    )
+    got = sorted(
+        (r["iid"], r["eid"])
+        for r in range_join_bucketed(
+            events, intervals, key="k", ts_col="t",
+            start_col="s", end_col="e", grid_us=1000,
+        ).collect()
+    )
+    # iid 100 covers [950, 1950): eids 2,3,4 (5 is at end, excluded)
+    # iid 200 covers [0, 1000) on k=2: eid 6 only
+    assert got == [(100, 2), (100, 3), (100, 4), (200, 6)]
+
+
+def test_range_join_plan_is_hash_join_no_nested_loop(spark):
+    df = q_error_window_activity(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    # every interval must have at least its own error event in-window
+    n_intervals = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    rows = df.collect()
+    assert len(rows) == n_intervals
+    assert all(r["n_events"] >= 1 for r in rows)
