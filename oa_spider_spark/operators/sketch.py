@@ -119,3 +119,73 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
 def hll_distinct(df: DataFrame, key: F.Column | str) -> DataFrame:
     """End-to-end: sketch + estimate in one plan (two tiny aggregates)."""
     return hll_estimate(hll_registers(df, key))
+
+
+# --- Count-Min frequency sketch -------------------------------------------
+#
+# Same design rules as HLL: the counter matrix is d rows × w buckets of
+# plain integer SUMS — order-free, so the sketch is bit-deterministic
+# under any partitioning and two sketches merge by cell-wise addition.
+# Shuffle volume is bounded by d*w cells per scan task (map-side
+# combine), never by the number of distinct items. The classic
+# "conservative update" variant is deliberately NOT used: it is
+# stream-order-dependent and cannot carry a value oracle or merge.
+# Estimates are upper bounds: est(x) = min over rows of cell(row, h_row(x))
+# >= true count, with the standard (e/w, 1-e^-d) overcount guarantee.
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def cms_counters(df: DataFrame, key: F.Column | str) -> DataFrame:
+    """(row, bucket, cnt) — the d×w counter matrix, at most CMS_D*CMS_W
+    rows. Hashes are portable md5h60(key || '#cms' || row)."""
+    k = (F.col(key) if isinstance(key, str) else key).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (md5h60(F.concat(k, F.lit(f"#cms{r}"))) % CMS_W)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ])
+            ).alias("rb")
+        )
+        .groupBy("rb.row", "rb.bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(counters: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-query the sketch for each row of `keys`: adds `est` =
+    min over the d rows of the key's cell (missing cell ⇒ 0 — only
+    possible for keys never counted). The counter matrix is at most
+    d*w rows, so it is the broadcast side of the probe join."""
+    probes = keys.select(
+        *keys.columns,
+        *[
+            (
+                md5h60(
+                    F.concat(F.col(key_col).cast("string"), F.lit(f"#cms{r}"))
+                )
+                % CMS_W
+            )
+            .cast("int")
+            .alias(f"_b{r}")
+            for r in range(CMS_D)
+        ],
+    )
+    out = probes
+    for r in range(CMS_D):
+        c = counters.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("cnt").alias(f"_c{r}")
+        )
+        out = out.join(F.broadcast(c), f"_b{r}", "left")
+    est = F.least(*[F.coalesce(F.col(f"_c{r}"), F.lit(0)) for r in range(CMS_D)])
+    return out.select(
+        *keys.columns, est.cast("long").alias("est")
+    )

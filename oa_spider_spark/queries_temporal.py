@@ -1,6 +1,7 @@
-"""Sketch + temporal-join queries: HLL distinct-count, as-of join,
-bucketized range join. Companion operator modules:
-`operators/sketch.py`, `operators/temporal.py` (scale notes there).
+"""Sketch, temporal-join, and graph queries: HLL distinct-count, as-of
+join, bucketized range join, integer PageRank. Companion operator
+modules: `operators/sketch.py`, `operators/temporal.py`,
+`operators/graph.py` (scale notes there).
 
 Oracle strategy follows the repo's portable discipline: hashes are
 md5h60 (DuckDB-reproducible), ranks use `bin()`/`length()` which exist
@@ -174,6 +175,183 @@ GROUP BY i.event_id
 """
 
 
+# --- T-WIN: tumbling-window event rates ------------------------------------
+
+
+def q_tumbling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type per 1-hour tumbling window: event count and value
+    total in cents — expressed with F.window, the construct that is
+    IDENTICAL in Structured Streaming (swap read → readStream and this
+    exact aggregation runs incrementally with a watermark; the batch
+    twin is what the oracle checks). One groupBy shuffle on
+    (type, window), map-side combined."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n",
+            "sum_value_cents",
+        )
+    )
+
+
+SQL_TUMBLING_RATES = """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY event_type, (epoch_us(ts) // 3600000000) * 3600000000
+"""
+
+
+# --- T-CMS: Count-Min token-frequency sketch -------------------------------
+
+
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequencies of the exact top-20 tokens, point-queried from
+    a 4×1024 Count-Min sketch next to their exact counts. The sketch
+    shuffle is at most d*w cells per scan task (map-side combine) — the
+    heavy-hitter shape at token volumes where an exact groupBy of the
+    full vocabulary is the dominant shuffle. est >= exact_cnt always
+    (CMS overcounts only)."""
+    from .operators.sketch import cms_counters, cms_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    counters = cms_counters(toks, "token")
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    return cms_lookup(counters, top, "token")
+
+
+SQL_CMS_TOKEN_FREQ = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), cells AS (
+  SELECT r.i AS rw,
+         ('0x' || substr(md5(token || '#cms' || r.i::VARCHAR), 1, 15))::BIGINT
+           % 1024 AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN range(4) r(i)
+  GROUP BY 1, 2
+), top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY token
+  ORDER BY exact_cnt DESC, token ASC LIMIT 20
+)
+SELECT t.token, t.exact_cnt, CAST(min(c.cnt) AS BIGINT) AS est
+FROM top t
+CROSS JOIN range(4) r(i)
+JOIN cells c
+  ON c.rw = r.i
+ AND c.bucket = ('0x' || substr(md5(t.token || '#cms' || r.i::VARCHAR), 1, 15))::BIGINT
+                % 1024
+GROUP BY t.token, t.exact_cnt
+"""
+
+
+# --- T-PR: integer PageRank over a deterministic link graph ----------------
+
+_PR_FANOUT = 3
+_PR_ITERS = 5
+
+
+def _doc_link_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic link graph over dense doc_ids: each doc
+    links to _PR_FANOUT targets md5h60(doc_id ':' k) % n_docs — pure
+    hash arithmetic, identically reproducible in SQL (no external link
+    data; the real deployment feeds extract_links output here)."""
+    from .operators.dedup import md5h60
+
+    n = docs.agg(F.count("*").cast("long").alias("_n"))
+    return (
+        docs.select(F.col("doc_id").alias("src"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "src",
+            F.explode(
+                F.array(*[
+                    md5h60(
+                        F.concat(F.col("src").cast("string"), F.lit(f":{k}"))
+                    )
+                    % F.col("_n")
+                    for k in range(_PR_FANOUT)
+                ])
+            ).alias("dst"),
+        )
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (5 iterations, damping 0.85) over the
+    deterministic doc link graph — link-structure authority for recrawl
+    scheduling / training-mix weighting. Bit-identical under any
+    partitioning (integer contributions only; operators/graph.py)."""
+    from .operators.graph import pagerank_integer
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = _doc_link_edges(docs)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    out = pagerank_integer(edges, nodes, iterations=_PR_ITERS)
+    return out.select(F.col("node").alias("doc_id"), "rank_micro")
+
+
+def _sql_pagerank() -> str:
+    """The same integer recurrence unrolled as a CTE chain (recursive
+    CTEs cannot aggregate in the recursive term; generation mirrors the
+    repo's generated-literal oracle pattern)."""
+    head = f"""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':' || k.i::VARCHAR), 1, 15))::BIGINT
+           % (SELECT count(*) FROM documents) AS dst
+  FROM documents, range({_PR_FANOUT}) k(i)
+),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    steps = []
+    for i in range(_PR_ITERS):
+        steps.append(f""",
+pr{i + 1} AS (
+  SELECT nd.node,
+         CAST(150000 + coalesce(s.c, 0) AS BIGINT) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum((p.rank * 850) // (1000 * d.out_deg)) AS BIGINT) AS c
+    FROM edges e
+    JOIN deg d ON d.src = e.src
+    JOIN pr{i} p ON p.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nd.node
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node AS doc_id, rank AS rank_micro FROM pr{_PR_ITERS}"
+    )
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -183,6 +361,9 @@ def register(
             "q_hll_distinct": q_hll_distinct,
             "q_asof_prior_click": q_asof_prior_click,
             "q_error_window_activity": q_error_window_activity,
+            "q_pagerank": q_pagerank,
+            "q_cms_token_freq": q_cms_token_freq,
+            "q_tumbling_rates": q_tumbling_rates,
         }
     )
     oracles.update(
@@ -190,5 +371,8 @@ def register(
             "q_hll_distinct": SQL_HLL_DISTINCT,
             "q_asof_prior_click": SQL_ASOF_PRIOR_CLICK,
             "q_error_window_activity": SQL_ERROR_WINDOW_ACTIVITY,
+            "q_pagerank": SQL_PAGERANK,
+            "q_cms_token_freq": SQL_CMS_TOKEN_FREQ,
+            "q_tumbling_rates": SQL_TUMBLING_RATES,
         }
     )

@@ -170,3 +170,118 @@ def test_range_join_plan_is_hash_join_no_nested_loop(spark):
     rows = df.collect()
     assert len(rows) == n_intervals
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+# --- integer PageRank ------------------------------------------------------
+
+
+def test_pagerank_hand_computed_and_partition_invariant(spark):
+    """Two-node cycle + dangling node, one iteration checked by hand;
+    full run must be bit-identical under repartitioning (the integer-
+    units property that makes the oracle possible)."""
+    from oa_spider_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    one = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_integer(edges, nodes, iterations=1).collect()
+    }
+    # node 0 and 1 each receive the other's full damped rank:
+    # 150000 + (1000000 * 850) div (1000 * 1) = 1000000
+    # node 2 is dangling AND unlinked: base only
+    assert one == {0: 1000000, 1: 1000000, 2: 150000}
+
+    from oa_spider_spark.queries_temporal import _doc_link_edges
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    e = _doc_link_edges(docs)
+    n = docs.select(F.col("doc_id").alias("node"))
+    a = sorted(map(tuple, pagerank_integer(e, n, 3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank_integer(e.repartition(13), n.repartition(7), 3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pagerank_mass_and_plan(spark):
+    """Total rank stays <= initial mass (floors only shave), every node
+    keeps >= the base, and the plan is pure JVM joins/aggregates."""
+    from oa_spider_spark.queries_temporal import q_pagerank
+
+    df = q_pagerank(spark, SF_DIR)
+    plan = _plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    n = len(rows)
+    total = sum(r["rank_micro"] for r in rows)
+    assert n == 500
+    assert total <= n * 1_000_000
+    assert all(r["rank_micro"] >= 150_000 for r in rows)
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+
+def test_cms_upper_bound_and_merge(spark):
+    """est >= exact for every probed key; cell-wise SUM of two halves'
+    counters equals the whole corpus's counters (mergeability)."""
+    from oa_spider_spark.operators.sketch import cms_counters
+    from oa_spider_spark.queries_temporal import q_cms_token_freq
+
+    rows = q_cms_token_freq(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["est"] >= r["exact_cnt"] for r in rows)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    a = cms_counters(toks.filter(F.length("token") % 2 == 0), "token")
+    b = cms_counters(toks.filter(F.length("token") % 2 == 1), "token")
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = cms_counters(toks, "token")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_plan_constant_shuffle_broadcast_probe(spark):
+    from oa_spider_spark.queries_temporal import q_cms_token_freq
+
+    plan = _plan(q_cms_token_freq(spark, SF_DIR))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # counter cells are broadcast
+    assert "CartesianProduct" not in plan, plan
+
+
+# --- tumbling windows ------------------------------------------------------
+
+
+def test_tumbling_rates_boundary_and_totals(spark):
+    """An event exactly on the hour belongs to the NEXT window (F.window
+    is [start, end)); window totals must re-sum to the whole stream."""
+    from oa_spider_spark.queries_temporal import q_tumbling_rates
+
+    df = q_tumbling_rates(spark, SF_DIR)
+    plan = _plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    rows = df.collect()
+    assert all(r["window_start_us"] % 3_600_000_000 == 0 for r in rows)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert sum(r["n"] for r in rows) == ev.count()
+    exact = ev.select(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s")
+    ).collect()[0]["s"]
+    assert sum(r["sum_value_cents"] for r in rows) == exact
