@@ -63,14 +63,19 @@ _ALPHA_M2 = 47073
 HLL_EST_NUM = float(_ALPHA_M2 * 1000 * (1 << (60 - HLL_P + 1)))
 
 
-def hll_registers(df: DataFrame, key: F.Column | str) -> DataFrame:
-    """(register, rho) rows — the merged sketch, at most HLL_M rows.
+def hll_registers(
+    df: DataFrame, key: F.Column | str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(*group_cols, register, rho) rows — the merged sketch, at most
+    HLL_M rows per group (the `GROUP BY approx_count_distinct` shape:
+    shuffle volume is groups × 256 no matter how many rows scanned).
 
     `rho` is the classic HLL rank: 1 + leading zeros of the low 52 hash
     bits, i.e. `53 - bit_length(low)`, and 53 when the low bits are all
     zero. Unseen registers are absent (rho 0 by convention) — the
     estimator accounts for them.
     """
+    g = list(group_cols or [])
     h = md5h60(F.col(key).cast("string") if isinstance(key, str) else key)
     low = h.bitwiseAND(F.lit((1 << _LOW_BITS) - 1))
     rho = F.when(low == 0, F.lit(_LOW_BITS + 1)).otherwise(
@@ -78,25 +83,31 @@ def hll_registers(df: DataFrame, key: F.Column | str) -> DataFrame:
     )
     return (
         df.select(
+            *g,
             F.shiftrightunsigned(h, _LOW_BITS).cast("int").alias("register"),
             rho.cast("int").alias("rho"),
         )
-        .groupBy("register")
+        .groupBy(*g, "register")
         .agg(F.max("rho").alias("rho"))
     )
 
 
-def hll_estimate(registers: DataFrame) -> DataFrame:
-    """One-row distinct-count estimate from a register sketch.
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate from a register sketch — one row total,
+    or one per group when `group_cols` is given.
 
-    Returns (regs_seen, zeros, z_scaled, est_milli): `z_scaled` is the
-    harmonic denominator scaled by 2^53 in exact bigint (absent
-    registers contribute a full 2^53 each), `est_milli` the raw HLL
-    estimate in milli-units: floor(HLL_EST_NUM / double(z_scaled)) —
-    one fixed-shape IEEE divide, reproducible anywhere.
+    Returns (*group_cols, regs_seen, zeros, z_scaled, est_milli):
+    `z_scaled` is the harmonic denominator scaled by 2^53 in exact
+    bigint (absent registers contribute a full 2^53 each), `est_milli`
+    the raw HLL estimate in milli-units:
+    floor(HLL_EST_NUM / double(z_scaled)) — one fixed-shape IEEE
+    divide, reproducible anywhere.
     """
+    g = list(group_cols or [])
     k = _LOW_BITS + 1
-    return registers.agg(
+    aggs = [
         F.count("*").cast("long").alias("regs_seen"),
         (F.lit(HLL_M) - F.count("*")).cast("long").alias("zeros"),
         (
@@ -105,8 +116,11 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
             * F.lit(1 << k).cast("long")
         )
         .cast("long")
-        .alias("z_scaled")
-    ).select(
+        .alias("z_scaled"),
+    ]
+    agged = registers.groupBy(*g).agg(*aggs) if g else registers.agg(*aggs)
+    return agged.select(
+        *g,
         "regs_seen",
         "zeros",
         "z_scaled",

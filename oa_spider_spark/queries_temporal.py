@@ -175,6 +175,62 @@ GROUP BY i.event_id
 """
 
 
+# --- T-HLLG: per-group HLL (GROUP BY approx distinct) ----------------------
+
+
+def q_hll_group_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct order count PER RETURNFLAG via grouped HLL — the
+    `GROUP BY approx_count_distinct` shape: the shuffle carries at most
+    groups × 256 register rows however many lineitems were scanned
+    (each group holds thousands of distinct orders — well inside the
+    raw-HLL regime). `exact_distinct` rides along for self-validation
+    (at 100 TB it is the full-key shuffle the sketch replaces)."""
+    from .operators.sketch import hll_estimate, hll_registers
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    est = hll_estimate(
+        hll_registers(li, "l_orderkey", group_cols=["l_returnflag"]),
+        group_cols=["l_returnflag"],
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag")
+
+
+SQL_HLL_GROUP_DISTINCT = f"""
+WITH h AS (
+  SELECT l_returnflag,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, h // {_LOW} AS register, h % {_LOW} AS low FROM h
+),
+reg AS (
+  SELECT l_returnflag, register,
+         MAX(CASE WHEN low = 0 THEN 53 ELSE 53 - length(bin(low)) END) AS rho
+  FROM s GROUP BY l_returnflag, register
+),
+agg AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS regs_seen,
+         CAST({HLL_M} - count(*) AS BIGINT) AS zeros,
+         CAST(sum(1::BIGINT << (53 - rho))
+              + ({HLL_M} - count(*)) * (1::BIGINT << 53) AS BIGINT) AS z_scaled
+  FROM reg GROUP BY l_returnflag
+),
+exact AS (
+  SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT a.l_returnflag, a.regs_seen, a.zeros, a.z_scaled,
+       CAST(floor({HLL_EST_NUM!r} / CAST(a.z_scaled AS DOUBLE)) AS BIGINT)
+         AS est_milli,
+       e.exact_distinct
+FROM agg a JOIN exact e ON e.l_returnflag = a.l_returnflag
+"""
+
+
 # --- T-WIN: tumbling-window event rates ------------------------------------
 
 
@@ -364,6 +420,7 @@ def register(
             "q_pagerank": q_pagerank,
             "q_cms_token_freq": q_cms_token_freq,
             "q_tumbling_rates": q_tumbling_rates,
+            "q_hll_group_distinct": q_hll_group_distinct,
         }
     )
     oracles.update(
@@ -374,5 +431,6 @@ def register(
             "q_pagerank": SQL_PAGERANK,
             "q_cms_token_freq": SQL_CMS_TOKEN_FREQ,
             "q_tumbling_rates": SQL_TUMBLING_RATES,
+            "q_hll_group_distinct": SQL_HLL_GROUP_DISTINCT,
         }
     )

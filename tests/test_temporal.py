@@ -285,3 +285,25 @@ def test_tumbling_rates_boundary_and_totals(spark):
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s")
     ).collect()[0]["s"]
     assert sum(r["sum_value_cents"] for r in rows) == exact
+
+
+def test_hll_grouped_matches_per_group_runs(spark):
+    """Grouped registers must equal running the ungrouped sketch on
+    each group's slice — groups never contaminate each other."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", "l_orderkey"
+    )
+    grouped = {
+        (r["l_returnflag"], r["register"]): r["rho"]
+        for r in hll_registers(
+            li, "l_orderkey", group_cols=["l_returnflag"]
+        ).collect()
+    }
+    for flag in [r["l_returnflag"] for r in li.select("l_returnflag").distinct().collect()]:
+        solo = {
+            (flag, r["register"]): r["rho"]
+            for r in hll_registers(
+                li.filter(F.col("l_returnflag") == flag), "l_orderkey"
+            ).collect()
+        }
+        assert solo == {k: v for k, v in grouped.items() if k[0] == flag}
