@@ -55,6 +55,10 @@ HEADLINE = [
     "q_value_percentiles",
     "q_hll_distinct",
     "q_asof_prior_click",
+    # q_incremental_dedup is NOT headlined: like q_minhash_lsh it runs
+    # in portable-md5 oracle mode (28.8 s at sf0.1 vs the xxhash64
+    # scale default) — benching the oracle path would misrepresent it
+    "q_pagerank",
 ]
 
 

@@ -323,6 +323,50 @@ GROUP BY t.token, t.exact_cnt
 """
 
 
+# --- T-CB: circuit-breaker batch twin over the event log -------------------
+
+
+def q_circuit_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user error circuit breaker (threshold 3): the timestamp of
+    the 3rd CONSECUTIVE error per failure run — the batch twin of the
+    applyInPandasWithState streaming operator (streaming/circuit.py;
+    streaming↔batch row-identity pinned in tests/test_streaming.py).
+    Gaps-and-islands over user-partitioned windows — order-dependent
+    semantics no windowed aggregation can express."""
+    from .streaming.circuit import circuit_events_batch
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("host"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").alias("url_hash"),
+        (F.col("event_type") != "error").alias("ok"),
+    )
+    return circuit_events_batch(ev, threshold=3).select(
+        F.col("host").cast("long").alias("user_id"),
+        "opened_at_us",
+        "run_len",
+    )
+
+
+SQL_CIRCUIT_OPEN = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         (event_type <> 'error') AS ok
+  FROM events
+), t AS (
+  SELECT *, sum(CASE WHEN ok THEN 1 ELSE 0 END) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING
+  ) AS island FROM e
+), f AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, island ORDER BY ts_us, event_id
+  ) AS pos FROM t WHERE NOT ok
+)
+SELECT user_id, ts_us AS opened_at_us, CAST(pos AS INT) AS run_len
+FROM f WHERE pos = 3
+"""
+
+
 # --- T-PR: integer PageRank over a deterministic link graph ----------------
 
 _PR_FANOUT = 3
@@ -421,6 +465,7 @@ def register(
             "q_cms_token_freq": q_cms_token_freq,
             "q_tumbling_rates": q_tumbling_rates,
             "q_hll_group_distinct": q_hll_group_distinct,
+            "q_circuit_open": q_circuit_open,
         }
     )
     oracles.update(
@@ -432,5 +477,6 @@ def register(
             "q_cms_token_freq": SQL_CMS_TOKEN_FREQ,
             "q_tumbling_rates": SQL_TUMBLING_RATES,
             "q_hll_group_distinct": SQL_HLL_GROUP_DISTINCT,
+            "q_circuit_open": SQL_CIRCUIT_OPEN,
         }
     )

@@ -228,3 +228,53 @@ def test_contamination_bench_side_is_broadcast(spark):
     df = entry_mod.queries()["q_contamination"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_session_window_matches_sessionize(spark):
+    """F.session_window (the Structured-Streaming-native sessionizer)
+    must produce the same sessions as the window-based sessionize on
+    the real event log: same (user, start, n_events) set. The exact-gap
+    boundary is pinned below: BOTH split only when gap > g (Spark's
+    session window closes at last_event + g inclusive of an event
+    landing exactly there), so the two formulations agree everywhere —
+    the streaming and batch sessionizers are interchangeable."""
+    from pyspark.sql import functions as F
+
+    from oa_spider_spark.operators.pipeline import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base = {
+        (r["user_id"], r["start_us"], r["n_events"])
+        for r in sessionize(ev, gap_s=21600).collect()
+    }
+    sw = (
+        ev.groupBy(
+            "user_id",
+            F.session_window(
+                F.col("ts").cast("timestamp"), "21600 seconds"
+            ).alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+                "start_us"
+            ),
+        )
+    )
+    got = {
+        (r["user_id"], r["start_us"], r["n_events"]) for r in sw.collect()
+    }
+    assert got == base
+
+    # exact-gap boundary: 2 events exactly 10s apart with gap 10s
+    two = spark.createDataFrame(
+        [(1, 0, "2024-01-01 00:00:00"), (2, 0, "2024-01-01 00:00:10")],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    assert sessionize(two, gap_s=10).count() == 1  # gap > g only
+    assert (
+        two.groupBy(
+            "user_id", F.session_window("ts", "10 seconds")
+        ).count().count()
+        == 1
+    )  # session_window merges the exact-gap event too

@@ -211,3 +211,105 @@ def test_streaming_releases_selection_caches(spark, tmp_path):
     q.awaitTermination(180)
     leaked = persisted_ids() - before
     assert not leaked, f"streaming batch leaked persisted RDDs: {leaked}"
+
+
+# --- custom stateful operator: per-host circuit breaker --------------------
+
+
+def _fetch_outcomes(spark):
+    """Deterministic fetch-outcome table with designed failure runs.
+    Per host a pattern string ('S' success / 'F' failure) in ts order;
+    expected opens (threshold 3) are readable off the patterns."""
+    patterns = {
+        "h0": "SSFFFSSFFS",    # one run of 3 -> opens at index 4
+        "h1": "FFFFFFS FF".replace(" ", ""),  # run of 6 -> opens ONCE at index 2
+        "h2": "SFSFSFSFSF",    # never 3 consecutive -> no open
+        "h3": "FFSFFFSSSS",    # run of 2 then run of 3 -> opens at index 5
+    }
+    rows = []
+    for hi, (host, pat) in enumerate(sorted(patterns.items())):
+        for i, c in enumerate(pat):
+            rows.append((host, 1_000_000 * (i + 1) + hi, hi * 100 + i, c == "S"))
+    return (
+        spark.createDataFrame(
+            rows, "host string, ts_us long, url_hash long, ok boolean"
+        ),
+        {("h0", 5_000_000 + 0, 3), ("h1", 3_000_001 + 0, 3),
+         ("h3", 6_000_003 + 0, 3)},
+    )
+
+
+def test_circuit_breaker_batch_twin_matches_expected(spark):
+    from oa_spider_spark.streaming.circuit import circuit_events_batch
+
+    df, expected = _fetch_outcomes(spark)
+    got = {
+        (r["host"], r["opened_at_us"], r["run_len"])
+        for r in circuit_events_batch(df, threshold=3).collect()
+    }
+    assert got == expected
+
+
+def test_circuit_breaker_streaming_state_crosses_microbatches(
+    spark, tmp_path
+):
+    """The applyInPandasWithState operator must equal the batch twin
+    even when a failure run STRADDLES micro-batches — the state (run
+    counter, open flag) persists in the checkpoint. Four time-slice
+    files, one file per trigger."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oa_spider_spark.streaming.circuit import (
+        CIRCUIT_SCHEMA,
+        circuit_events_batch,
+        host_circuit_breaker,
+    )
+
+    df, _ = _fetch_outcomes(spark)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # slice by event index (ts) so h1's 6-run and h3's 3-run straddle
+    # file boundaries; bump mtimes so the file source orders slices
+    bounds = [(0, 3), (3, 5), (5, 8), (8, 11)]
+    for k, (lo, hi) in enumerate(bounds):
+        part = df.filter(
+            (F.col("ts_us") >= 1_000_000 * (lo + 1))
+            & (F.col("ts_us") < 1_000_000 * (hi + 1))
+        )
+        path = f"{in_dir}/slice{k}"
+        part.coalesce(1).write.parquet(path)
+        t = 1_700_000_000 + k * 10
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema(
+            "host string, ts_us long, url_hash long, ok boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")  # slices are SUBDIRS — the file source
+        # ignores non-partition subdirectories without the glob
+    )
+    q = (
+        host_circuit_breaker(stream, threshold=3)
+        .writeStream.format("memory")
+        .queryName("circuit_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["host"], r["opened_at_us"], r["run_len"])
+        for r in spark.sql("SELECT * FROM circuit_sink").collect()
+    }
+    want = {
+        (r["host"], r["opened_at_us"], r["run_len"])
+        for r in circuit_events_batch(df, threshold=3).collect()
+    }
+    assert got == want and len(want) == 3
+    assert q.lastProgress is not None
