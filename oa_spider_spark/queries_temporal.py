@@ -323,6 +323,37 @@ GROUP BY t.token, t.exact_cnt
 """
 
 
+# --- T-SAMP: deterministic fixed-SIZE uniform sample -----------------------
+
+
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform corpus sample (k=100) by hash rank: order by
+    md5h60('samp:' || doc_id), take k. Complements stratified_sample
+    (fixed RATE): rate sampling cannot hit an exact training-budget row
+    count; hash-rank sampling is exactly-k, deterministic, retry-safe,
+    and stays a TakeOrderedAndProject (per-partition heaps of k — no
+    global sort of the corpus, no RNG, same k rows on any cluster)."""
+    from .operators.dedup import md5h60
+
+    docs = _t(spark, sf_dir, "documents")
+    rank = md5h60(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", rank.alias("samp_rank"))
+        .orderBy("samp_rank", "doc_id")
+        .limit(100)
+    )
+
+
+SQL_UNIFORM_SAMPLE = """
+SELECT doc_id, lang,
+       ('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         AS samp_rank
+FROM documents
+ORDER BY samp_rank, doc_id
+LIMIT 100
+"""
+
+
 # --- T-CB: circuit-breaker batch twin over the event log -------------------
 
 
@@ -466,6 +497,7 @@ def register(
             "q_tumbling_rates": q_tumbling_rates,
             "q_hll_group_distinct": q_hll_group_distinct,
             "q_circuit_open": q_circuit_open,
+            "q_uniform_sample": q_uniform_sample,
         }
     )
     oracles.update(
@@ -478,5 +510,6 @@ def register(
             "q_tumbling_rates": SQL_TUMBLING_RATES,
             "q_hll_group_distinct": SQL_HLL_GROUP_DISTINCT,
             "q_circuit_open": SQL_CIRCUIT_OPEN,
+            "q_uniform_sample": SQL_UNIFORM_SAMPLE,
         }
     )
