@@ -177,3 +177,37 @@ def ivf_topk(
     candidates = indexed.filter(F.col("cell").isin(probe_cells))
     sim = _cosine_col(emb, p, method)
     return _ranked_topk(candidates.select("vec_id", "label", sim.alias("cos_sim")), k)
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage-compression
+    step for a 100-TB embedding store (4x smaller than float32, and
+    int8 dot products are the fast path of every ANN runtime).
+
+    scale = max|x| / 127, q_i = round(x_i / scale): |q_i| <= 127 by
+    construction (no clip branch), zero vectors quantize to zeros via
+    the scale=1 guard. Everything is per-row JVM column arithmetic —
+    no shuffle, no Python — and the oracle-checked outputs are pure
+    integers (q_sum, q_norm) plus floor(scale * 1e6): the float steps
+    (one divide per element, one round) are fixed-shape IEEE ops on
+    exactly-widened float32 inputs, reproducible cross-engine; the
+    SUMS are over ints, so partitioning cannot perturb them.
+
+    Returns (id_col, scale_micro, q_sum, q_norm, q) where q is the
+    int8-ranged array<int> (kept for downstream use; oracles hash the
+    integer aggregates).
+    """
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(maxabs == 0, F.lit(1.0)).otherwise(maxabs / 127)
+    q = F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("int"))
+    zero = F.lit(0).cast("long")
+    return emb.select(
+        id_col,
+        F.floor(scale * 1000000.0).cast("long").alias("scale_micro"),
+        F.aggregate(q, zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(q, zero, lambda a, x: a + x * x).alias("q_norm"),
+        q.alias("q"),
+    )

@@ -323,6 +323,47 @@ GROUP BY t.token, t.exact_cnt
 """
 
 
+# --- T-QNT: int8 embedding quantization ------------------------------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization of the embedding store (see
+    operators/similarity.py::quantize_embeddings). Oracle checks the
+    integer aggregates (q_sum, q_norm) and floor-micro scale — the
+    array column itself stays Spark-side."""
+    from .operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb).select(
+        "vec_id", "scale_micro", "q_sum", "q_norm"
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS maxabs
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, embedding,
+         CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs / 127 END AS scale
+  FROM s
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / scale)
+                                  AS BIGINT)) AS qv
+  FROM sc
+)
+SELECT vec_id,
+       CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_micro,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, y -> y * y)) AS BIGINT) AS q_norm
+FROM q
+"""
+
+
 # --- T-SAMP: deterministic fixed-SIZE uniform sample -----------------------
 
 
@@ -498,6 +539,7 @@ def register(
             "q_hll_group_distinct": q_hll_group_distinct,
             "q_circuit_open": q_circuit_open,
             "q_uniform_sample": q_uniform_sample,
+            "q_embedding_quantize": q_embedding_quantize,
         }
     )
     oracles.update(
@@ -511,5 +553,6 @@ def register(
             "q_hll_group_distinct": SQL_HLL_GROUP_DISTINCT,
             "q_circuit_open": SQL_CIRCUIT_OPEN,
             "q_uniform_sample": SQL_UNIFORM_SAMPLE,
+            "q_embedding_quantize": SQL_EMBEDDING_QUANTIZE,
         }
     )

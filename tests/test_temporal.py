@@ -307,3 +307,29 @@ def test_hll_grouped_matches_per_group_runs(spark):
             ).collect()
         }
         assert solo == {k: v for k, v in grouped.items() if k[0] == flag}
+
+
+# --- int8 embedding quantization -------------------------------------------
+
+
+def test_quantize_embeddings_bounds_and_plan(spark):
+    """|q_i| <= 127 always; dequantization error <= scale/2 + eps per
+    element; the plan is pure per-row JVM arithmetic (no shuffle, no
+    Python)."""
+    from oa_spider_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = quantize_embeddings(emb)
+    plan = _plan(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "Exchange"):
+        assert marker not in plan, plan
+    rows = out.join(emb, "vec_id").collect()
+    assert len(rows) > 0
+    for r in rows:
+        scale = max(abs(x) for x in r["embedding"]) / 127 or 1.0
+        assert all(abs(qi) <= 127 for qi in r["q"])
+        assert r["q_sum"] == sum(r["q"])
+        assert r["q_norm"] == sum(qi * qi for qi in r["q"])
+        for x, qi in zip(r["embedding"], r["q"]):
+            assert abs(x - qi * scale) <= scale / 2 + 1e-9
