@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import re
 from collections.abc import Iterator
+from functools import lru_cache
 from html.parser import HTMLParser
 
 import pyarrow as pa
@@ -87,8 +88,15 @@ def parse_html(text: str) -> Node:
     return b.root
 
 
+@lru_cache(maxsize=1024)
 def _parse_simple(simple: str) -> tuple[str | None, str | None, str | None, int | None]:
-    """'tag#id.class:nth-child(k)' → (tag, id, class, k), each optional."""
+    """'tag#id.class:nth-child(k)' → (tag, id, class, k), each optional.
+
+    Cached: `_matches` calls this once PER DOM NODE per selector
+    segment, so without the cache the regex parse dominated the whole
+    stage (profiled at ~35% of parse_fields' Python time on sf0.1 —
+    192k parses of the same handful of strings per 2k pages). A query
+    uses a fixed, small selector set; 1024 entries is generous."""
     tag = id_ = cls = None
     nth = None
     rest = simple
