@@ -342,6 +342,78 @@ FROM scored GROUP BY k
 SQL_VALUE_PERCENTILES = _sql_percentiles()
 
 
+# --- A-REV: local-supplier revenue by nation (TPC-H Q5 twin) ---------------
+
+REV_FROM = "1995-01-01 00:00:00"
+REV_TO = "1996-01-01 00:00:00"
+REV_REGION = "ASIA"
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation from LOCAL supply chains (customer and
+    supplier in the same nation) inside one region and order year —
+    the five-table join chain of TPC-H Q5 in exact integer units.
+
+    Plan shape (pinned in tests/test_analytics.py): region→nation→
+    supplier are broadcast (tiny dims), the lineitem⋈orders⋈customer
+    fact chain hash-joins on its keys, and revenue is summed in
+    cent-percent units (cents × (100 − discount_pct)) — exact under
+    any partitioning, so the oracle is value-level."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{REV_FROM}'"))
+        & (F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{REV_TO}'"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == REV_REGION)
+    nat = F.broadcast(
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        ).select("n_nationkey", "n_name")
+    )
+    rev_cp = (
+        _cents(F.col("l_extendedprice"))
+        * (F.lit(100) - _cents(F.col("l_discount")))
+    ).cast("long")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(nat, supp["s_nationkey"] == nat["n_nationkey"])
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(rev_cp).alias("revenue_cent_pct"))
+        .orderBy(F.col("revenue_cent_pct").desc(), F.col("n_name").asc())
+    )
+
+
+SQL_NATION_REVENUE = f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_cent_pct
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{REV_REGION}'
+  AND o_orderdate >= TIMESTAMP '{REV_FROM}'
+  AND o_orderdate < TIMESTAMP '{REV_TO}'
+GROUP BY n_name
+ORDER BY revenue_cent_pct DESC, n_name ASC
+"""
+
+
 # --- A-SKEW: salted join on a maximally hot key ----------------------------
 
 
@@ -381,6 +453,7 @@ def register(
             "q_bm25_topk": q_bm25_topk,
             "q_value_percentiles": q_value_percentiles,
             "q_salted_lang_join": q_salted_lang_join,
+            "q_nation_revenue": q_nation_revenue,
         }
     )
     oracles.update(
@@ -391,5 +464,6 @@ def register(
             "q_bm25_topk": SQL_BM25_TOPK,
             "q_value_percentiles": SQL_VALUE_PERCENTILES,
             "q_salted_lang_join": SQL_SALTED_LANG_JOIN,
+            "q_nation_revenue": SQL_NATION_REVENUE,
         }
     )

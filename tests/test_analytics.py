@@ -212,3 +212,24 @@ def test_salted_join_equals_plain_join_and_spreads_key(spark):
         .count()
     )
     assert n_salts >= 6
+
+
+def test_nation_revenue_broadcasts_dims_no_cartesian(spark):
+    """Q5-twin plan: the tiny dim chain (region->nation, supplier) is
+    broadcast, nothing degenerates to a cartesian/nested-loop, and no
+    Python evals appear. Revenue is integer cent-percent units."""
+    from oa_spider_spark.queries_analytics import q_nation_revenue
+
+    df = q_nation_revenue(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 25  # at most one row per nation
+    assert all(r["revenue_cent_pct"] > 0 for r in rows)
+    # ordering contract: descending revenue, name-asc ties
+    revs = [r["revenue_cent_pct"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
