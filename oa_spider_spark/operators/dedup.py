@@ -248,9 +248,33 @@ def minhash_dedup(
     return jaccard_pairs(pairs, sh, threshold)
 
 
+def build_corpus_index(
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """One-time (per corpus version) index for `incremental_near_dups`:
+    returns (corpus_bands, corpus_shingles). Persist BOTH as tables
+    (ideally bucketed on their join keys — (band, bucket) and doc_id) and
+    pass them to every batch call; maintain them incrementally by
+    appending each accepted batch's own band keys / shingles. Parameters
+    must match the batch-side call exactly — band keys from different
+    (k, n_hashes, bands, portable) settings never collide correctly."""
+    sh_corpus = shingles(corpus_docs, text_col, k, portable=portable)
+    b_corpus = band_keys(
+        minhash_signatures(sh_corpus, n_hashes, portable=portable),
+        bands,
+        n_hashes // bands,
+    )
+    return b_corpus, sh_corpus
+
+
 def incremental_near_dups(
     new_docs: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
     text_col: str = "text",
     k: int = 5,
     n_hashes: int = 32,
@@ -258,18 +282,21 @@ def incremental_near_dups(
     threshold: float = 0.8,
     portable: bool = False,
     max_bucket: int | None = None,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Daily-increment dedup: dispose every NEW-batch doc against the
     EXISTING corpus without ever self-joining the corpus.
 
     This is the shape a continuously-crawled 100-TB corpus actually
-    needs: the corpus band keys are a persisted index (computed once per
-    corpus version, reused by every batch), and each batch's cost is
-    `O(batch)` banding + one equi-join probe into the index — never the
-    corpus×corpus pair generation of `minhash_dedup`, and never a re-
-    shingle of the corpus per batch. The Jaccard verify touches only
+    needs: pass `corpus_index` (the `build_corpus_index` output, persisted
+    once per corpus version and reused by every batch) and each batch's
+    cost is `O(batch)` banding + one equi-join probe into the index —
+    never the corpus×corpus pair generation of `minhash_dedup`, and never
+    a re-shingle of the corpus per batch. The Jaccard verify touches only
     candidate pairs (batch-sized), pulling corpus shingles for just the
-    docs that collided.
+    docs that collided. When `corpus_index` is omitted, the index is
+    derived inline from `corpus_docs` (convenient for one-shot runs and
+    the SQL oracle; the corpus IS re-shingled per call in that mode).
 
     Returns ONE row per new doc: (doc_id, dup_of, jaccard) where dup_of
     is the best corpus match above `threshold` (max Jaccard, tie → min
@@ -278,15 +305,16 @@ def incremental_near_dups(
     """
     rpb = n_hashes // bands
     sh_new = shingles(new_docs, text_col, k, portable=portable)
-    sh_corpus = shingles(corpus_docs, text_col, k, portable=portable)
+    if corpus_index is not None:
+        b_corpus_raw, sh_corpus = corpus_index
+    elif corpus_docs is not None:
+        b_corpus_raw, sh_corpus = build_corpus_index(
+            corpus_docs, text_col, k, n_hashes, bands, portable=portable
+        )
+    else:
+        raise ValueError("pass corpus_docs or corpus_index")
     b_new = band_keys(minhash_signatures(sh_new, n_hashes, portable=portable), bands, rpb)
-    b_corpus = _cap_groups(
-        band_keys(
-            minhash_signatures(sh_corpus, n_hashes, portable=portable), bands, rpb
-        ),
-        ["band", "bucket"],
-        max_bucket,
-    )
+    b_corpus = _cap_groups(b_corpus_raw, ["band", "bucket"], max_bucket)
     cand = (
         b_new.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
         .join(
@@ -412,16 +440,31 @@ def connected_components(
     # rounds. (`raw` and the final round stay pinned: the returned lazy
     # plan references them, and an unpersisted localCheckpoint cannot be
     # recomputed.)
+    #
+    # The release goes through `SparkContext.getPersistentRDDs` — a PUBLIC
+    # Scala API, reachable from Python only via the py4j `_jsc` handle
+    # (PySpark exposes no equivalent, and `DataFrame.unpersist()` is a
+    # cacheManager call that verifiably does NOT release a localCheckpoint's
+    # RDD — checked empirically on this Spark). Because the handle shape is
+    # version-sensitive, the helpers degrade to a no-op if it ever changes:
+    # correctness never depends on the eager release, only peak executor
+    # storage does (ContextCleaner + driver GC remain the fallback).
     sc = pairs.sparkSession.sparkContext
 
     def _pids() -> set:
-        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        try:
+            return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        except Exception:  # py4j handle drift → fall back to ContextCleaner
+            return set()
 
     def _release(ids: set) -> None:
-        m = sc._jsc.getPersistentRDDs()
-        for i in ids:
-            if m.containsKey(i):
-                m.get(i).unpersist(False)
+        try:
+            m = sc._jsc.getPersistentRDDs()
+            for i in ids:
+                if m.containsKey(i):
+                    m.get(i).unpersist(False)
+        except Exception:
+            pass
 
     def checksum(edges: DataFrame):
         # decimal(38,0) accumulator: 10^10 edges × 2^63 ≈ 10^29 « 10^38,

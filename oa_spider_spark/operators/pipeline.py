@@ -209,10 +209,16 @@ def contamination_check(
 
 
 # PII patterns kept to a regex subset with identical semantics in Java
-# (Spark codegen) and RE2-ish engines (DuckDB oracle): character classes,
-# bounded repetition — no backrefs, no lookaround.
-EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
-PHONE_RE = "1[0-9]{10}"
+# (Spark codegen) and RE2 (DuckDB oracle): character classes, bounded
+# repetition, ASCII \b word boundaries — no backrefs, no lookaround
+# (RE2 has neither). The email classes include '-'/'+' so
+# 'user+tag@my-site.com' redacts whole (not leaving '-site.com'); the
+# phone is \b-anchored so it never fires inside a longer digit run.
+# Deliberately NOT covered (documented subset): non-ASCII local parts,
+# quoted local parts, formatted phones ('+86 138-…' — the reference's
+# directory pages carry bare 11-digit CN numbers, oa.py address book).
+EMAIL_RE = "[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+"
+PHONE_RE = r"\b1[0-9]{10}\b"
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -57,7 +57,10 @@ from .dedup import md5h60
 HLL_P = 8  # 2^8 = 256 registers
 HLL_M = 1 << HLL_P
 _LOW_BITS = 60 - HLL_P  # md5h60 is 60 bits wide
-# floor(0.7213 / (1 + 1.079 / 256) * 256^2): alpha_m * m^2 in integer form
+# round(0.7213 / (1 + 1.079 / 256) * 256^2): alpha_m * m^2 in integer form
+# (the exact value is 47072.57…; floor would be 47072 — both sides of the
+# oracle share HLL_EST_NUM so the choice only shifts estimates by ~2e-5,
+# far below HLL's 6.5% error at m=256)
 _ALPHA_M2 = 47073
 # nearest double to alpha_m * m^2 * 1000 * 2^53 — the est_milli numerator
 HLL_EST_NUM = float(_ALPHA_M2 * 1000 * (1 << (60 - HLL_P + 1)))

@@ -209,29 +209,32 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit(" contact user"),
         did.cast("string"),
-        F.lit("@mail"),
+        # '+tag' local part and '-host' domain exercise the '+'/'-'
+        # character classes (a scrub missing them leaves '-host.example
+        # .com' behind — the ADVICE r03 leak)
+        F.lit("+tag@mail"),
         (did % 10).cast("string"),
-        F.lit(".example.com tel 13"),
+        F.lit("-host.example.com tel 13"),
         F.lpad(((did * 7919) % 1000000000).cast("string"), 9, "0"),
     )
     return redact_pii(d.withColumn("aug", aug), text_col="aug")
 
 
-SQL_PII_REDACT = """
+SQL_PII_REDACT = r"""
 WITH aug AS (
   SELECT doc_id,
-         text || ' contact user' || doc_id::VARCHAR || '@mail'
-              || (doc_id % 10)::VARCHAR || '.example.com tel 13'
+         text || ' contact user' || doc_id::VARCHAR || '+tag@mail'
+              || (doc_id % 10)::VARCHAR || '-host.example.com tel 13'
               || lpad(((doc_id * 7919) % 1000000000)::VARCHAR, 9, '0') AS t
   FROM documents
 )
 SELECT doc_id,
-       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INT)
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+')) AS INT)
            AS n_emails,
-       CAST(len(regexp_extract_all(t, '1[0-9]{10}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '\b1[0-9]{10}\b')) AS INT) AS n_phones,
        regexp_replace(
-         regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
-         '1[0-9]{10}', '<PHONE>', 'g'
+         regexp_replace(t, '[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         '\b1[0-9]{10}\b', '<PHONE>', 'g'
        ) AS redacted
 FROM aug
 """

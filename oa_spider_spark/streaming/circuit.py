@@ -65,7 +65,16 @@ def _breaker_fn(threshold: int):
         (host,) = key
         run, is_open = state.get if state.exists else (0, 0)
         out = []
-        for pdf in pdfs:
+        # Materialize and sort the WHOLE group once: applyInPandasWithState
+        # splits one group's rows across multiple Arrow chunks (default
+        # 10k rows, spark.sql.execution.arrow.maxRecordsPerBatch) with no
+        # ordering guarantee ACROSS chunks — sorting each chunk
+        # independently would count failure runs out of (ts_us, url_hash)
+        # order on hosts with >10k rows per micro-batch and silently break
+        # the streaming↔batch row-identity contract. Per-host micro-batch
+        # volume is bounded (politeness budget), so the concat is safe.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts_us", "url_hash"])
             for ts_us, ok in zip(pdf["ts_us"], pdf["ok"]):
                 if ok:

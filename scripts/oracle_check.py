@@ -70,8 +70,11 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    only = sys.argv[1:]  # optional substring filters, e.g. `oracle_check.py pii dedup`
     failures = 0
     for name in sorted(queries):
+        if only and not any(s in name for s in only):
+            continue
         t0 = time.perf_counter()
         try:
             sdf = queries[name](spark, sf_dir).toPandas()

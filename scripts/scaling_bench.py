@@ -115,6 +115,29 @@ def main() -> None:
     ceil_mem = round((pr["mem_4n"] * 4 * n) / (pr["mem_n"] * n) / 4, 3)
     ceil_cpu = round((pr["cpu_4n"] * 4 * n) / (pr["cpu_n"] * n) / 4, 3)
     eff_vs_mem_ceiling = round(eff["frontier_urls_per_sec"] / ceil_mem, 3)
+    gate_pass = min(eff.values()) >= 0.8
+    # The narrative must FOLLOW the numbers, not assert a fixed conclusion
+    # (ADVICE r03): only claim the host ceiling is cleared when the measured
+    # ratio actually clears it, and say plainly when the window was degraded.
+    if eff_vs_mem_ceiling >= 1.0:
+        ceiling_narrative = f"""Engine efficiency ÷ memory-bandwidth ceiling = **{eff_vs_mem_ceiling}** —
+in this window the payload-streaming crawl round scaled as well as THIS
+HOST allows a bandwidth-bound job to scale (ratio ≥ 1). On a real
+N→4N-executor cluster the DRAM, NIC, and disks multiply with the nodes —
+the resource the sandbox cannot multiply."""
+    elif gate_pass:
+        ceiling_narrative = f"""Engine efficiency ÷ memory-bandwidth ceiling = **{eff_vs_mem_ceiling}**.
+The wall-clock gate passed, but the measured ratio does not clear the
+memory-bandwidth ceiling in this window — treat the per-stage pareff
+table (below / in the bench JSON `stage_pareff`) as the engine-side
+evidence, and the wall-clock ratio as host-window-qualified."""
+    else:
+        ceiling_narrative = f"""Engine efficiency ÷ memory-bandwidth ceiling = **{eff_vs_mem_ceiling}**.
+**This run did not clear the 0.8 gate.** Check the same-window capacity
+probes above before attributing the shortfall: a sub-0.8 probe means the
+host window was degraded (hypervisor steal / DRAM contention); a healthy
+probe with a failing gate points at the engine — investigate via
+scripts/stage_skew.py before re-running."""
     md = f"""# BENCH — measured numbers (sandbox)
 
 Same job, identical input ({sf_dir}), two parallelism levels in separate
@@ -143,13 +166,7 @@ so the host itself caps what any parallel design can score. Probes
 | compute-bound burner | {pr['cpu_n']} | {pr['cpu_4n']} | {ceil_cpu} |
 | memory-streaming burner (fetch-stage profile) | {pr['mem_n']} | {pr['mem_4n']} | {ceil_mem} |
 
-Engine efficiency ÷ memory-bandwidth ceiling = **{eff_vs_mem_ceiling}** —
-the payload-streaming crawl round scales as well as THIS HOST allows a
-bandwidth-bound job to scale. On a real N→4N-executor cluster the DRAM,
-NIC, and disks multiply with the nodes (the resource the sandbox cannot
-multiply), while the engine adds no serial bottleneck of its own: the
-stage-level task histograms below show balanced tasks and zero
-stragglers, and the compute-bound stages clear the compute ceiling.
+{ceiling_narrative}
 
 ## Headline query seconds (sf={lo['sf']})
 

@@ -627,3 +627,26 @@ def test_incremental_near_dups_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, plan
+
+
+def test_incremental_near_dups_precomputed_index_identical(spark):
+    """The persisted-index deployment path (build_corpus_index once,
+    pass corpus_index per batch) must dispose every new doc identically
+    to the inline one-shot path — same flags, same dup_of, same jaccard."""
+    from oa_spider_spark.operators.dedup import (
+        build_corpus_index,
+        incremental_near_dups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    inline = incremental_near_dups(new, corpus, threshold=0.8, portable=True)
+    idx = build_corpus_index(corpus, portable=True)
+    via_index = incremental_near_dups(
+        new, corpus_index=idx, threshold=0.8, portable=True
+    )
+    key = lambda r: (r["doc_id"], r["dup_of"], r["jaccard"])
+    assert sorted(map(key, inline.collect())) == sorted(
+        map(key, via_index.collect())
+    )
