@@ -39,7 +39,7 @@ from .politeness import (
     robots_allowed,
     salted_repartition,
 )
-from .seen import anti_join_seen
+from .seen import anti_join_seen, read_bloom_index, update_bloom_index
 
 FRONTIER_COLS = [
     "url", "url_canon", "url_hash", "host", "kind",
@@ -125,6 +125,7 @@ def run_round(
     round_limit: int | None = None,
     max_depth: int = 2,
     use_bloom: bool | str = "auto",
+    maintain_bloom: bool = True,
     hosts_table: DataFrame | None = None,
     partitions: int | None = None,
     salt: int | None = None,
@@ -153,8 +154,12 @@ def run_round(
     seen = catalog.read(spark, "seen")
 
     # --- selection (all JVM-side, ahead of the opaque fetch stage) -------
+    # The persisted Bloom index (maintained below, per-round OR of the
+    # seen delta) gates the anti-join so the seen table is never re-hashed
+    # per round; its meta carries n_items so no count job runs either.
+    bloom_index = read_bloom_index(spark, catalog) if maintain_bloom else None
     active = dedup_frontier(frontier).filter(F.col("depth") <= max_depth)
-    active = anti_join_seen(active, seen, use_bloom=use_bloom)
+    active = anti_join_seen(active, seen, use_bloom=use_bloom, index=bloom_index)
     active = robots_allowed(active, hosts_table)
     selected_full = budget_and_order(active, default_budget, round_limit)
     selected = selected_full.drop(
@@ -218,11 +223,14 @@ def run_round(
     )
 
     # the link count rides the staging write as an Observation — no
-    # second scan of the new-frontier snapshot just to count it
+    # second scan of the new-frontier snapshot just to count it (and the
+    # seen-delta count rides its write the same way, for the Bloom meta)
     from pyspark.sql import Observation
 
     links_obs = Observation(f"links_r{round_id}")
     new_frontier = new_frontier.observe(links_obs, F.count(F.lit(1)).alias("n"))
+    seen_obs = Observation(f"seen_r{round_id}")
+    seen_append = seen_append.observe(seen_obs, F.count(F.lit(1)).alias("n"))
 
     staged_paths = {
         "fetched": [staged_fetch_path],
@@ -233,6 +241,15 @@ def run_round(
         "seen": [catalog.stage(seen_append, "seen", round_id)],
         "lineage": [catalog.stage(lineage, "lineage", round_id)],
     }
+    if maintain_bloom:
+        # OR this round's delta into the persisted shards; committed in
+        # the SAME round entry so index and rows stay atomic together
+        staged_paths.update(
+            update_bloom_index(
+                spark, catalog, round_id, staged_paths["seen"],
+                delta_count=seen_obs.get["n"],
+            )
+        )
     _mark("derived_stage")
     catalog.commit_round(round_id, staged_paths)
 

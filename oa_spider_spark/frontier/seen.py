@@ -22,9 +22,11 @@ derived from the already-computed 64-bit url_hash by splitmix64 remixing
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -106,6 +108,141 @@ def mark_maybe_seen(
     )
 
 
+# --- persisted incremental Bloom index (VERDICT r03 item 1a) -------------
+#
+# Rebuilding the shards from the full seen table every round is a
+# corpus-lifetime cost: at the 10^10-URL design point each round re-scans
+# and re-hashes every URL ever seen. Bitwise OR is associative, so the
+# shards persist as a catalog table and each round ORs in only that
+# round's seen-append delta — per-round cost = O(delta) hash work +
+# O(filter size) rewrite, independent of corpus age. When the cumulative
+# insert count outgrows the filter's sized capacity (fpp would degrade),
+# the index is rebuilt from the full table at 4× capacity — geometric, so
+# total rebuild work over the corpus lifetime is O(corpus), amortized
+# O(1) per URL. The invariant that makes all of this safe: the filter
+# must be a SUPERSET of seen (missing keys would let a seen URL re-fetch;
+# extra bits only cost an exact lookup) — hence the staleness guard:
+# an index older than the last seen commit is discarded, never trusted.
+
+BLOOM_MIN_CAPACITY = 1 << 20  # smallest filter: ~1.2 Mbit at 1% fpp
+
+
+@dataclass(frozen=True)
+class BloomMeta:
+    n_shards: int
+    m_shard: int
+    k: int
+    n_items: int  # cumulative inserts (seen appends are never re-seen)
+    capacity: int  # sized key budget; n_items > capacity ⇒ rebuild
+    as_of_round: int  # last round whose seen append is OR'd in
+
+    def as_row(self) -> tuple:
+        return (
+            self.n_shards, self.m_shard, self.k,
+            self.n_items, self.capacity, self.as_of_round,
+        )
+
+
+BLOOM_META_SCHEMA = (
+    "n_shards int, m_shard long, k int, n_items long, capacity long, "
+    "as_of_round int"
+)
+
+
+def merge_bloom_shards(prior: DataFrame, delta: DataFrame) -> DataFrame:
+    """Bitwise-OR two shard sets built with IDENTICAL (m_shard, k).
+    Shuffle volume = number of distinct shards × bitmap size — never
+    row-proportional."""
+
+    def orfn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bits"].iloc[1:]:
+            out |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bits": [out.tobytes()]}
+        )
+
+    return (
+        prior.unionByName(delta)
+        .groupBy("shard")
+        .applyInPandas(orfn, schema="shard int, bits binary")
+    )
+
+
+def read_bloom_index(
+    spark: SparkSession, catalog
+) -> tuple[DataFrame, BloomMeta] | None:
+    """Latest committed (shards, meta) — or None when absent or STALE
+    (seen commits newer than the index mean it is not a superset of seen
+    and must not gate the anti-join)."""
+    meta_df = catalog.read_latest(spark, "bloom_meta")
+    if meta_df is None:
+        return None
+    row = meta_df.head()
+    meta = BloomMeta(
+        n_shards=row["n_shards"], m_shard=row["m_shard"], k=row["k"],
+        n_items=row["n_items"], capacity=row["capacity"],
+        as_of_round=row["as_of_round"],
+    )
+    seen_rounds = catalog.rounds_with("seen")
+    if seen_rounds and seen_rounds[-1] > meta.as_of_round:
+        return None  # stale — a round committed seen without updating it
+    shards = catalog.read_latest(spark, "bloom_shards")
+    if shards is None:
+        return None
+    return shards, meta
+
+
+def update_bloom_index(
+    spark: SparkSession,
+    catalog,
+    round_id: int,
+    staged_seen_paths: list[str],
+    delta_count: int,
+    n_shards: int = 64,
+    fpp: float = 0.01,
+) -> dict[str, list[str]]:
+    """Fold this round's seen-append delta into the persisted index;
+    returns staged-path entries to include in the SAME round commit (the
+    index and the seen rows it covers become visible atomically together).
+
+    Incremental path: hash only the delta, OR into the prior shards.
+    Rebuild path (no index / stale / capacity exceeded): full scan of
+    seen + delta, capacity = max(4 × total, BLOOM_MIN_CAPACITY)."""
+    prior = read_bloom_index(spark, catalog)
+    delta_keys = spark.read.parquet(*staged_seen_paths).select("url_hash")
+
+    if prior is not None and prior[1].n_items + delta_count <= prior[1].capacity:
+        shards_df, meta = prior
+        delta_shards = build_bloom_shards(
+            delta_keys, meta.n_shards, meta.m_shard, meta.k
+        )
+        new_shards = merge_bloom_shards(shards_df, delta_shards)
+        new_meta = BloomMeta(
+            meta.n_shards, meta.m_shard, meta.k,
+            meta.n_items + delta_count, meta.capacity, round_id,
+        )
+    else:
+        committed = catalog.snapshot_paths("seen")
+        all_keys = (
+            spark.read.parquet(*committed, *staged_seen_paths).select("url_hash")
+            if committed
+            else delta_keys
+        )
+        n_total = all_keys.count()
+        capacity = max(BLOOM_MIN_CAPACITY, 4 * n_total)
+        m_total, k = bloom_params(capacity, fpp)
+        m_shard = max(64, m_total // n_shards)
+        new_shards = build_bloom_shards(all_keys, n_shards, m_shard, k)
+        new_meta = BloomMeta(n_shards, m_shard, k, n_total, capacity, round_id)
+
+    meta_df = spark.createDataFrame([new_meta.as_row()], BLOOM_META_SCHEMA)
+    return {
+        "bloom_shards": [catalog.stage(new_shards, "bloom_shards", round_id)],
+        "bloom_meta": [catalog.stage(meta_df, "bloom_meta", round_id)],
+    }
+
+
 # Below this many seen URLs the plain JVM left_anti wins outright: the
 # whole seen side fits a broadcast/shuffle hash join and the Python probe
 # stage (worker startup + Arrow hops) costs more than it saves. The Bloom
@@ -121,6 +258,7 @@ def anti_join_seen(
     n_shards: int = 64,
     fpp: float = 0.01,
     est_seen: int | None = None,
+    index: tuple[DataFrame, BloomMeta] | None = None,
 ) -> DataFrame:
     """Frontier rows NOT in the seen set (exact).
 
@@ -136,24 +274,36 @@ def anti_join_seen(
     measured pessimization (extra Python stage > saved join work).
     False positives can only cost an exact lookup, never drop a URL
     (SURVEY.md §7 hard-part 2).
+
+    `index` is a persisted (shards, meta) pair from `read_bloom_index`:
+    the probe then uses the incrementally-maintained shards instead of
+    rebuilding from the full seen table, and `meta.n_items` replaces the
+    seen-table count job entirely.
     """
     if use_bloom not in (True, False, "auto"):
         raise ValueError(f"use_bloom must be True, False or 'auto', got {use_bloom!r}")
     if seen is None:
         return frontier
     seen_keys = seen.select("url_hash")
-    n = est_seen if est_seen is not None else (
-        seen_keys.count() if use_bloom in (True, "auto") else 0
-    )
+    if est_seen is not None:
+        n = est_seen
+    elif index is not None:
+        n = index[1].n_items
+    else:
+        n = seen_keys.count() if use_bloom in (True, "auto") else 0
     if use_bloom == "auto":
         use_bloom = n >= BLOOM_MIN_SEEN
     if not use_bloom:
         return frontier.join(seen_keys, "url_hash", "left_anti")
     if n == 0:
         return frontier
-    m_total, k = bloom_params(n, fpp)
-    m_shard = max(64, m_total // n_shards)
-    bloom = build_bloom_shards(seen_keys, n_shards, m_shard, k)
+    if index is not None:
+        bloom, meta = index
+        n_shards, m_shard, k = meta.n_shards, meta.m_shard, meta.k
+    else:
+        m_total, k = bloom_params(n, fpp)
+        m_shard = max(64, m_total // n_shards)
+        bloom = build_bloom_shards(seen_keys, n_shards, m_shard, k)
     marked = mark_maybe_seen(frontier, bloom, n_shards, m_shard, k)
     definitely_new = marked.filter(~F.col("maybe_seen")).drop("maybe_seen", "shard")
     maybe = marked.filter(F.col("maybe_seen")).drop("maybe_seen", "shard")

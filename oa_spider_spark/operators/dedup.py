@@ -396,7 +396,11 @@ def simhash_near_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: the step that turns
     pairwise LSH candidates into dedup clusters (keeper = component min).
@@ -407,79 +411,90 @@ def connected_components(
     number of key-partitioned shuffles on node id. Never materializes
     a component in one task and never iterates to graph diameter, so a
     10^10-node pair graph with a few billion edges is ~30 rounds of
-    hash-aggregate + equi-join. Plan lineage is truncated per round
-    (localCheckpoint; on a real cluster set a checkpoint dir and swap
-    in .checkpoint() if lineage-free fault recovery matters more than
-    the extra write).
+    hash-aggregate + equi-join.
+
+    Per-round lineage is truncated by staging each round's edge set to
+    parquet under `work_dir` and reading it back — the classic MapReduce
+    formulation the algorithm was designed for. This deliberately avoids
+    `localCheckpoint`: a localCheckpoint RDD cannot be released from
+    PySpark through any public API (`DataFrame.unpersist()` is a
+    cacheManager call that verifiably does NOT drop it — pinned by
+    tests/test_operators.py::test_df_unpersist_does_not_release_local_checkpoint),
+    so ~30 rounds pin O(rounds) edge-set copies in executor storage until
+    driver GC. Files give eager, public, deterministic release: round k-1's
+    directory is deleted as soon as round k is materialized, and the
+    convergence checksum rides the staging write as an `Observation`
+    (one job per round, no second scan).
+
+    `work_dir` defaults to a fresh tmpdir under $SPARK_GRAFT_STAGE_DIR
+    (tmpfs in benchmarks). Only the final labels directory outlives the
+    call (the returned DataFrame scans it; removed at process exit). On a
+    real cluster, point `work_dir` at shared storage and swap the local
+    `shutil.rmtree` for the filesystem's delete — the one non-portable
+    line.
 
     Returns (doc_id, component_id) for every node appearing in `pairs`,
     component_id = min doc_id of the component. Raises if not converged
     within max_iter (silent wrong labels are worse than failing).
     """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Observation
+
+    spark = pairs.sparkSession
+    base = work_dir or os.environ.get("SPARK_GRAFT_STAGE_DIR", tempfile.gettempdir())
+    wd = tempfile.mkdtemp(prefix="cc-", dir=base)
+    atexit.register(shutil.rmtree, wd, ignore_errors=True)
+    tag = uuid.uuid4().hex[:8]
+
+    def _stage(df: DataFrame, name: str, with_checksum: bool):
+        """Materialize `df` once to parquet; return (scan, checksum|None).
+        The checksum is a decimal(38,0) xxhash64 sum (10^10 edges × 2^63 ≈
+        10^29 « 10^38 — ANSI mode makes a long-sum throw) observed ON the
+        write, so each round is exactly one job."""
+        path = os.path.join(wd, name)
+        chk = None
+        if with_checksum:
+            obs = Observation(f"cc_{tag}_{name}")
+            df = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+                ).alias("s"),
+            )
+            df.write.parquet(path)
+            chk = (obs.get["n"], obs.get["s"])
+        else:
+            df.write.parquet(path)
+        return spark.read.parquet(path), path, chk
+
     # materialize the input ONCE: every round's sym references the edge
     # set twice (union + swap) and `nodes` is reused after the loop —
     # without this, an expensive upstream (e.g. the full minhash pipeline)
     # re-executes per reference, and a nondeterministic source could hand
     # `nodes` a different edge set than the one the labels were computed
-    # from. Checkpointed BEFORE the self-loop filter so nodes appearing
-    # only in (x, x) pairs still get an output row (labeled themselves),
-    # per the contract above.
-    raw = pairs.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    ).localCheckpoint(eager=True)
+    # from. Staged BEFORE the self-loop filter so nodes appearing only in
+    # (x, x) pairs still get an output row (labeled themselves).
+    raw, raw_path, _ = _stage(
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        ),
+        "raw",
+        with_checksum=False,
+    )
     e = raw.filter(F.col("u") != F.col("v"))
     nodes = (
         raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
     )
 
-    # localCheckpoint pins each round's edge set in executor storage and
-    # the ContextCleaner only releases it after the DRIVER garbage-collects
-    # the Dataset — across ~30 rounds that can pin dozens of full edge-set
-    # copies before GC runs. Explicitly unpersist round k-1's checkpoint
-    # RDD once round k is materialized, bounding live copies to raw + two
-    # rounds. (`raw` and the final round stay pinned: the returned lazy
-    # plan references them, and an unpersisted localCheckpoint cannot be
-    # recomputed.)
-    #
-    # The release goes through `SparkContext.getPersistentRDDs` — a PUBLIC
-    # Scala API, reachable from Python only via the py4j `_jsc` handle
-    # (PySpark exposes no equivalent, and `DataFrame.unpersist()` is a
-    # cacheManager call that verifiably does NOT release a localCheckpoint's
-    # RDD — checked empirically on this Spark). Because the handle shape is
-    # version-sensitive, the helpers degrade to a no-op if it ever changes:
-    # correctness never depends on the eager release, only peak executor
-    # storage does (ContextCleaner + driver GC remain the fallback).
-    sc = pairs.sparkSession.sparkContext
-
-    def _pids() -> set:
-        try:
-            return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
-        except Exception:  # py4j handle drift → fall back to ContextCleaner
-            return set()
-
-    def _release(ids: set) -> None:
-        try:
-            m = sc._jsc.getPersistentRDDs()
-            for i in ids:
-                if m.containsKey(i):
-                    m.get(i).unpersist(False)
-        except Exception:
-            pass
-
-    def checksum(edges: DataFrame):
-        # decimal(38,0) accumulator: 10^10 edges × 2^63 ≈ 10^29 « 10^38,
-        # so the sum never overflows (ANSI mode makes long-sum throw)
-        row = edges.agg(
-            F.count("*").alias("n"),
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
-            ).alias("s"),
-        ).head()
-        return (row["n"], row["s"])
-
     prev = None
-    releasable: set = set()
-    for _ in range(max_iter):
+    prev_path: str | None = None
+    for i in range(max_iter):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
         # large-star: every strictly-larger neighbor points at the
         # neighborhood min (incl. self) — breaks long chains
@@ -502,14 +517,13 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        before = _pids()
-        e = small.localCheckpoint(eager=True)
-        new_ids = _pids() - before
-        cur = checksum(e)
-        # the previous round's checkpoint is dead once the new one is
-        # materialized and checksummed — nothing lazy references it
-        _release(releasable)
-        releasable = new_ids
+        e, path, cur = _stage(small, f"round-{i}", with_checksum=True)
+        # the previous round's files are dead once the new round is
+        # materialized — nothing lazy references them; delete eagerly so
+        # live storage is bounded at raw + two rounds, never O(rounds)
+        if prev_path is not None:
+            shutil.rmtree(prev_path, ignore_errors=True)
+        prev_path = path
         if cur == prev:
             break
         prev = cur
@@ -518,7 +532,7 @@ def connected_components(
     # converged e is a star forest: (node → component min) for every
     # non-root node; roots label themselves
     labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
-    return (
+    out = (
         nodes.select(F.col("u").alias("doc_id"))
         .join(labels, "doc_id", "left")
         .select(
@@ -526,6 +540,14 @@ def connected_components(
             F.coalesce("component_id", "doc_id").alias("component_id"),
         )
     )
+    # the labels are tiny next to the edge rounds (one row per node):
+    # materialize them so raw + the final round can be deleted NOW rather
+    # than living until process exit
+    out, _, _ = _stage(out, "labels", with_checksum=False)
+    shutil.rmtree(raw_path, ignore_errors=True)
+    if prev_path is not None:
+        shutil.rmtree(prev_path, ignore_errors=True)
+    return out
 
 
 def embedding_near_dups(

@@ -1097,8 +1097,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_dedup(docs, threshold=0.8, portable=True)
-    # comp feeds both join sides below — materialize it once
-    comp = connected_components(pairs).localCheckpoint(eager=True)
+    # comp feeds both join sides below; connected_components already
+    # returns a materialized (file-staged) scan, so both references are
+    # cheap re-reads — no extra checkpoint needed
+    comp = connected_components(pairs)
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))
     return comp.join(sizes, "component_id").select(
         "doc_id", "component_id", "n_members"

@@ -183,12 +183,12 @@ def test_connected_components_self_loop_only_node(spark):
     assert got == {(1, 1), (2, 1), (7, 7)}
 
 
-def test_connected_components_releases_round_checkpoints(spark):
-    """Each round localCheckpoints a new edge set; the previous round's
-    checkpoint RDD must be explicitly unpersisted (the ContextCleaner only
-    fires after driver GC — unbounded storage pinning across ~30 rounds at
-    scale otherwise). Live copies after collect: raw + final round + the
-    result's own consumers — a handful, never O(rounds)."""
+def test_connected_components_releases_round_checkpoints(spark, tmp_path):
+    """Rounds are staged to files and round k-1 is deleted as soon as
+    round k materializes: after the call only the `labels` directory
+    remains under work_dir (raw + every edge round released eagerly),
+    and NOTHING is pinned in executor storage — zero persistent RDDs,
+    zero private-API release hooks (VERDICT r03 item 6)."""
     def persisted_ids() -> set:
         m = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(k) for k in m.keySet().toArray()}
@@ -197,9 +197,35 @@ def test_connected_components_releases_round_checkpoints(spark):
     edges = [(i, i + 1) for i in range(200)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     before = persisted_ids()
-    dedup.connected_components(df).collect()
-    leaked = persisted_ids() - before
-    assert len(leaked) <= 3, f"O(rounds) checkpoint RDDs left pinned: {leaked}"
+    out = dedup.connected_components(df, work_dir=str(tmp_path))
+    assert persisted_ids() - before == set(), "CC must not pin executor storage"
+    (wd,) = [p for p in tmp_path.iterdir() if p.name.startswith("cc-")]
+    leftover = sorted(p.name for p in wd.iterdir())
+    assert leftover == ["labels"], f"round dirs not released eagerly: {leftover}"
+    assert out.count() == 201  # result still readable after cleanup
+
+
+def test_df_unpersist_does_not_release_local_checkpoint(spark):
+    """Pins the PySpark behavior that forced connected_components onto
+    file-staged rounds: `DataFrame.unpersist()` (the only public release
+    API) does NOT drop a localCheckpoint's pinned RDD. The day a Spark
+    upgrade makes this assert fail, localCheckpoint + public unpersist
+    becomes the cheaper lineage-truncation path — switch back."""
+    sc = spark.sparkContext
+
+    def persisted_ids() -> set:
+        m = sc._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    before = persisted_ids()
+    e = spark.range(100).selectExpr("id u", "id+1 v").localCheckpoint(eager=True)
+    pinned = persisted_ids() - before
+    assert pinned, "localCheckpoint should pin an RDD"
+    e.unpersist(blocking=True)
+    assert persisted_ids() & pinned == pinned, (
+        "public unpersist NOW releases localCheckpoints — revisit "
+        "connected_components' file staging"
+    )
 
 
 def test_simhash_near_pairs(spark, docs_with_dups):
