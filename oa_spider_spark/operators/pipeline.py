@@ -391,3 +391,70 @@ def salted_join(
     ).hint("shuffle_hash")
     out = b.join(d, [key, "_salt"])
     return out.drop("_salt")
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    k: int = 100,
+    order_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exactly-k systematic PPS sample: row i gets
+    ``n_picks = floor(k·cum_i/W) − floor(k·cum_{i−1}/W)`` picks, where
+    cum is the running weight total in `order_col` order and W the grand
+    total — inclusion probability ∝ weight, Σ n_picks = k exactly, rows
+    heavier than W/k can be picked multiple times (PPS with
+    replacement). Returns rows with n_picks ≥ 1 plus the count.
+
+    Deterministic by construction: pure BIGINT arithmetic (k·W must fit
+    63 bits — k≤10⁶ against multi-TB char totals is fine), no RNG, no
+    transcendentals. A-ES weighted reservoirs (keys u^(1/w)) were
+    rejected for the oracle surface: ln/pow rounding is not bit-stable
+    across engines, and near-tie keys would then flip sample membership.
+
+    Scale shape: the cumulative sum is the repo's two-level bucketed
+    pattern (global_order_and_limit's) — per-range-bucket totals, a
+    running-sum window over the ≤n_buckets METADATA rows (partition-less
+    over metadata is fine; over data it never is), broadcast offsets
+    back, in-bucket windows partitioned by bucket. One groupBy shuffle +
+    one bucket-partitioned window; no global sort, no single-task
+    window. The only driver round-trip is a 2-value min/max bounds agg.
+    """
+    from pyspark.sql import Window
+
+    w = F.coalesce(F.col(weight_col), F.lit(0)).cast("long")
+    bounds = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).collect()[0]
+    lo = bounds["lo"] if bounds["lo"] is not None else 0
+    span = max(1, (bounds["hi"] - lo + 1) if bounds["hi"] is not None else 1)
+    width = max(1, -(-span // n_buckets))  # ceil
+    data = df.select(
+        order_col, F.col(weight_col), w.alias("_w")
+    ).withColumn("_b", ((F.col(order_col) - F.lit(lo)) / F.lit(width)).cast("long"))
+    btot = data.groupBy("_b").agg(F.sum("_w").alias("_bw"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = btot.select(
+        "_b",
+        F.coalesce(F.sum("_bw").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_bw").over(w_all).alias("_tot"),
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.col("_off") + F.sum("_w").over(w_in)).alias("_cum")
+    picks = data.join(F.broadcast(offsets), "_b").select(
+        order_col, weight_col, "_w", "_tot", cum
+    )
+    n_picks = F.expr(f"({k} * _cum) div _tot - ({k} * (_cum - _w)) div _tot")
+    return (
+        picks.withColumn("n_picks", n_picks.cast("long"))
+        .filter(F.col("n_picks") >= 1)
+        .select(order_col, weight_col, "n_picks")
+    )

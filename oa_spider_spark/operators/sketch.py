@@ -206,3 +206,100 @@ def cms_lookup(counters: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     return out.select(
         *keys.columns, est.cast("long").alias("est")
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch + set algebra ------------------
+#
+# HLL above answers "how many distinct?"; it cannot answer "how many
+# distinct IN COMMON?" — HLL intersections via inclusion-exclusion blow
+# up the relative error when the overlap is small. KMV (Beyer et al.,
+# "On Synopses for Distinct-Value Estimation Under Multiset Operations",
+# SIGMOD 2007) keeps the k smallest distinct hash values; two sketches
+# union by merging min-sets, and the Jaccard of the merged sketch
+# estimates the true overlap — the standard primitive for audience/
+# corpus-overlap questions (how many training docs does corpus B add
+# over corpus A?).
+#
+# Numeric discipline mirrors HLL's: portable md5h60 hashes (exact
+# cross-engine), all set logic on exact BIGINTs, the one unavoidable
+# float step ((K-1)·2^60 / kth_min) expressed with identical literal
+# shape on both sides, floored to integer milli-units; the intersection
+# estimate is then PURE integer arithmetic (rho · union_milli div K).
+#
+# Scale notes: the sketch is ≤ k rows. Building it as written costs one
+# distinct-shuffle of the keyspace (map-side partial dedup) feeding a
+# TakeOrderedAndProject (per-partition heaps of k, no global sort); a
+# production deployment builds each corpus's sketch ONCE, persists those
+# k rows, and answers every later set question from the stored sketches
+# — the same persist-the-index pattern as build_corpus_index and the
+# Bloom seen-index.
+
+KMV_K = 256
+# 2^60 as a Python float → DoubleType literal. NB: a fractional literal
+# inside F.expr / SQL text is DECIMAL in both Spark and DuckDB — the SQL
+# oracle must write 1152921504606846976.0::DOUBLE to match this shape.
+_KMV_SCALE = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, key, k: int = KMV_K, salt: str = "kmv") -> DataFrame:
+    """k smallest DISTINCT 60-bit hashes of `key`: DataFrame[h long],
+    ≤ k rows. Deterministic, mergeable (union = min-k of concatenation)."""
+    key = F.col(key) if isinstance(key, str) else key
+    h = md5h60(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def _kmv_est_milli(n_col, max_col, k: int):
+    """floor(1000 × estimate): (K-1)·1000·2^60 / kth_min when the sketch
+    is full, else exactly 1000·n (a partial sketch saw every value).
+    The multiply/divide is one fixed-shape IEEE double expression —
+    bit-identical cross-engine given identical inputs."""
+    full = F.floor(
+        (n_col.cast("double") - F.lit(1.0))
+        * F.lit(1000.0)
+        * F.lit(_KMV_SCALE)
+        / max_col.cast("double")
+    )
+    return F.when(n_col >= k, full).otherwise(n_col * 1000).cast("long")
+
+
+def kmv_set_overlap(
+    a: DataFrame, key_a, b: DataFrame, key_b, k: int = KMV_K, salt: str = "kmv"
+) -> DataFrame:
+    """One-row DataFrame of distinct-cardinality estimates (in integer
+    milli-units) for A, B, A∪B and A∩B from their KMV sketches:
+
+      (n_a, n_b, kk, rho, a_est_milli, b_est_milli,
+       union_est_milli, inter_est_milli)
+
+    union: min-k of the merged sketches; intersection: Jaccard of the
+    merged sketch (rho = merged values present in BOTH sketches) times
+    the union estimate — integer arithmetic end-to-end.
+    """
+    sa, sb = kmv_sketch(a, key_a, k, salt), kmv_sketch(b, key_b, k, salt)
+    merged = sa.union(sb).distinct().orderBy("h").limit(k)
+    stats_a = sa.agg(
+        F.count("*").alias("n_a"), F.max("h").alias("max_a")
+    )
+    stats_b = sb.agg(F.count("*").alias("n_b"), F.max("h").alias("max_b"))
+    stats_u = merged.agg(F.count("*").alias("kk"), F.max("h").alias("max_u"))
+    rho_df = (
+        merged.join(sa, "h", "left_semi")
+        .join(sb, "h", "left_semi")
+        .agg(F.count("*").alias("rho"))
+    )
+    row = stats_a.crossJoin(stats_b).crossJoin(stats_u).crossJoin(rho_df)
+    row = row.select(
+        "n_a", "n_b", "kk", "rho",
+        _kmv_est_milli(F.col("n_a"), F.col("max_a"), k).alias("a_est_milli"),
+        _kmv_est_milli(F.col("n_b"), F.col("max_b"), k).alias("b_est_milli"),
+        _kmv_est_milli(F.col("kk"), F.col("max_u"), k).alias("union_est_milli"),
+    )
+    # Jaccard(merged) × union estimate, all-integer: rho·union_milli is
+    # ≤ 256 × ~10^10 « 2^63; `div` truncates like DuckDB's `//` for the
+    # non-negative values here. greatest(kk,1) only guards the
+    # both-inputs-empty corner (ANSI mode turns /0 into an error).
+    return row.withColumn(
+        "inter_est_milli",
+        F.expr("(rho * union_est_milli) div greatest(kk, 1)").cast("long"),
+    )

@@ -524,6 +524,112 @@ pr{i + 1} AS (
 SQL_PAGERANK = _sql_pagerank()
 
 
+# --- X49: KMV distinct sketch + set algebra --------------------------------
+
+
+def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice overlap from KMV sketches (k=64): long documents
+    (A = doc_ids with n_chars ≥ 500) vs English documents (B = doc_ids
+    with lang='en') — |A|, |B|, |A∪B| and |A∩B| estimates in integer
+    milli-units, one row. A is smaller than k (partial sketch ⇒ exact
+    branch), B larger (full sketch ⇒ estimator branch), overlap genuinely
+    partial — the set-algebra question HLL cannot answer
+    (operators/sketch.py::kmv_set_overlap). Sketches are ≤k rows and
+    persistable: production answers every later overlap question without
+    rescanning either slice."""
+    from .operators.sketch import kmv_set_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return kmv_set_overlap(
+        docs.filter(F.col("n_chars") >= 500), "doc_id",
+        docs.filter(F.col("lang") == "en"), "doc_id",
+        k=64,
+    )
+
+
+def _sql_kmv(expr: str, table: str, k: int) -> str:
+    return (
+        f"SELECT DISTINCT ('0x' || substr(md5('kmv:' || {expr}::VARCHAR), 1, 15))::BIGINT AS h "
+        f"FROM {table} ORDER BY h LIMIT {k}"
+    )
+
+
+def _sql_kmv_est(n: str, mx: str, k: int) -> str:
+    # identical float shape to sketch.py::_kmv_est_milli: ((n-1.0)·1000.0
+    # ·2^60)/max, every literal cast to DOUBLE (a bare fractional literal
+    # is DECIMAL in both engines — that would change the rounding shape)
+    return (
+        f"CASE WHEN {n} >= {k} THEN "
+        f"floor((({n}::DOUBLE - 1.0::DOUBLE) * 1000.0::DOUBLE * "
+        f"1152921504606846976.0::DOUBLE) / {mx}::DOUBLE)::BIGINT "
+        f"ELSE ({n} * 1000)::BIGINT END"
+    )
+
+
+SQL_KMV_SET_OVERLAP = f"""
+WITH sa AS ({_sql_kmv("doc_id", "documents WHERE n_chars >= 500", 64)}),
+sb AS ({_sql_kmv("doc_id", "documents WHERE lang = 'en'", 64)}),
+merged AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT 64
+),
+stats AS (
+  SELECT (SELECT count(*) FROM sa) AS n_a, (SELECT max(h) FROM sa) AS max_a,
+         (SELECT count(*) FROM sb) AS n_b, (SELECT max(h) FROM sb) AS max_b,
+         (SELECT count(*) FROM merged) AS kk,
+         (SELECT max(h) FROM merged) AS max_u,
+         (SELECT count(*) FROM merged m
+           WHERE m.h IN (SELECT h FROM sa) AND m.h IN (SELECT h FROM sb)) AS rho
+),
+est AS (
+  SELECT n_a, n_b, kk, rho,
+         {_sql_kmv_est("n_a", "max_a", 64)} AS a_est_milli,
+         {_sql_kmv_est("n_b", "max_b", 64)} AS b_est_milli,
+         {_sql_kmv_est("kk", "max_u", 64)} AS union_est_milli
+  FROM stats
+)
+SELECT n_a, n_b, kk, rho, a_est_milli, b_est_milli, union_est_milli,
+       ((rho * union_est_milli) // greatest(kk, 1))::BIGINT AS inter_est_milli
+FROM est
+"""
+
+
+# --- X50: systematic weighted sampling (probability ∝ size) ----------------
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k sample with inclusion probability ∝ n_chars (k=100):
+    systematic PPS over the doc_id-ordered cumulative-weight line, pure
+    integer arithmetic — deterministic on any cluster, no RNG, no
+    transcendentals (cross-engine ln/pow rounding is why A-ES was NOT
+    used). Long docs can be picked more than once (n_picks ≥ 2 ⇒ weight
+    > W/k), exactly like PPS sampling with replacement; Σ n_picks = k.
+    The cumulative sum is the two-level bucketed pattern — never a
+    partition-less window over data (operators/pipeline.py::
+    systematic_weighted_sample)."""
+    from .operators.pipeline import systematic_weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return systematic_weighted_sample(
+        docs, weight_col="n_chars", k=100, order_col="doc_id"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH cum AS (
+  SELECT doc_id, n_chars,
+         SUM(coalesce(n_chars, 0)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c,
+         SUM(coalesce(n_chars, 0)) OVER ()::BIGINT AS w
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       ((100 * c) // w - (100 * (c - coalesce(n_chars, 0))) // w)::BIGINT
+         AS n_picks
+FROM cum
+WHERE (100 * c) // w - (100 * (c - coalesce(n_chars, 0))) // w >= 1
+"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -540,6 +646,8 @@ def register(
             "q_circuit_open": q_circuit_open,
             "q_uniform_sample": q_uniform_sample,
             "q_embedding_quantize": q_embedding_quantize,
+            "q_kmv_set_overlap": q_kmv_set_overlap,
+            "q_weighted_sample": q_weighted_sample,
         }
     )
     oracles.update(
@@ -554,5 +662,7 @@ def register(
             "q_circuit_open": SQL_CIRCUIT_OPEN,
             "q_uniform_sample": SQL_UNIFORM_SAMPLE,
             "q_embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+            "q_kmv_set_overlap": SQL_KMV_SET_OVERLAP,
+            "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
         }
     )

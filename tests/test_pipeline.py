@@ -278,3 +278,47 @@ def test_session_window_matches_sessionize(spark):
         ).count().count()
         == 1
     )  # session_window merges the exact-gap event too
+
+
+def test_weighted_sample_exactly_k_and_pps(spark):
+    """Systematic PPS invariants: Σ n_picks == k exactly on any input;
+    a row heavier than W/k is ALWAYS picked (≥1, and ≥2 when > 2W/k);
+    zero-weight rows never are; and the result is identical under a
+    different partitioning (pure integer arithmetic, no RNG)."""
+    from oa_spider_spark.operators.pipeline import systematic_weighted_sample
+
+    rows = [(i, (i * 37) % 900 + (10_000 if i == 421 else 0)) for i in range(800)]
+    rows.append((900, 0))  # zero-weight row
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    k = 64
+    out = systematic_weighted_sample(df, "n_chars", k=k).collect()
+    assert sum(r["n_picks"] for r in out) == k
+    by_id = {r["doc_id"]: r["n_picks"] for r in out}
+    assert 900 not in by_id  # zero weight
+    total = sum(w for _, w in rows)
+    assert by_id.get(421, 0) >= (k * 10_000) // total  # heavy row over-picked
+    out2 = systematic_weighted_sample(df.repartition(13), "n_chars", k=k).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_kmv_sketch_merge_and_exact_regime(spark):
+    """KMV invariants: sketch(A∪B) == min-k of (sketch(A) ∪ sketch(B))
+    (mergeability — sketches can be persisted per corpus and combined
+    later), and a sketch smaller than k estimates EXACTLY (it saw every
+    value)."""
+    from oa_spider_spark.operators.sketch import kmv_set_overlap, kmv_sketch
+
+    a = spark.range(0, 5000).selectExpr("id AS key")
+    b = spark.range(3000, 9000).selectExpr("id AS key")
+    k = 128
+    direct = [r["h"] for r in kmv_sketch(a.union(b), "key", k).collect()]
+    merged = (
+        kmv_sketch(a, "key", k).union(kmv_sketch(b, "key", k))
+        .distinct().orderBy("h").limit(k).collect()
+    )
+    assert direct == [r["h"] for r in merged]
+    # exact regime: |A| < k ⇒ est == |A| exactly
+    small = spark.range(0, 50).selectExpr("id AS key")
+    row = kmv_set_overlap(small, "key", small, "key", k=k).head()
+    assert row["a_est_milli"] == 50 * 1000
+    assert row["inter_est_milli"] == row["union_est_milli"]  # identical sets
