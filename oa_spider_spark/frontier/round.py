@@ -287,19 +287,61 @@ def seed_catalog(
     catalog.commit_round(-1, {"frontier": [catalog.stage(df, "frontier", 0)]})
 
 
+# compaction commits use their own round-id space so they never collide
+# with crawl rounds (streaming already reserves 10_000+)
+COMPACT_ROUND_BASE = 20_000
+
+
+def compact_frontier(spark: SparkSession, catalog: Catalog, round_id: int) -> None:
+    """Rewrite the frontier table to exactly its live selection input:
+    one row per url_hash (highest attempt/round/priority wins — the same
+    max_by as dedup_frontier, so later dedups are unchanged by max_by
+    associativity) minus URLs already seen (monotone, so dropping them
+    is safe forever).
+
+    Without this the frontier accumulates every link ever discovered and
+    each round's dedup re-reads the full history — the same
+    corpus-lifetime cost the Bloom index removes from the seen side. A
+    compacted frontier is proportional to the CRAWL HORIZON (pending
+    URLs), not to crawl history. Old snapshots stay on disk for
+    time-travel (Iceberg rewrite-files semantics; expire separately).
+
+    On the bucketed layout the rewrite is also the re-cluster: the
+    compacted snapshot lands sorted into url_hash buckets, keeping the
+    zero-exchange selection plan."""
+    frontier = catalog.read(spark, "frontier")
+    if frontier is None:
+        return
+    compacted = dedup_frontier(frontier)
+    seen = catalog.read(spark, "seen")
+    if seen is not None:
+        compacted = compacted.join(seen.select("url_hash"), "url_hash", "left_anti")
+    path = catalog.stage(compacted, "frontier", round_id)
+    catalog.commit_round(round_id, {"frontier": [path]}, replaces=["frontier"])
+
+
 def run_crawl(
     spark: SparkSession,
     catalog: Catalog,
     n_rounds: int,
+    compact_every: int | None = None,
     **round_kwargs,
 ) -> list[RoundResult]:
     """Multi-round driver with exact resume: rounds already in the commit
     log are never re-run (idempotent restart, north_rule T4; the
-    reference's analog is the pid-pickle guard, oa-spider.py:14-27)."""
+    reference's analog is the pid-pickle guard, oa-spider.py:14-27).
+
+    `compact_every=k` rewrites the frontier after every k-th round
+    (skipped on resume if that compaction already committed)."""
     done = set(catalog.committed_rounds())
     results = []
     for r in range(n_rounds):
-        if r in done:
-            continue
-        results.append(run_round(spark, catalog, r, **round_kwargs))
+        if r not in done:
+            results.append(run_round(spark, catalog, r, **round_kwargs))
+        if (
+            compact_every
+            and (r + 1) % compact_every == 0
+            and COMPACT_ROUND_BASE + r not in done
+        ):
+            compact_frontier(spark, catalog, COMPACT_ROUND_BASE + r)
     return results

@@ -200,13 +200,30 @@ class Catalog:
         df.write.mode("overwrite").parquet(str(path))
         return str(path)
 
-    def commit_round(self, round_id: int, staged: dict[str, list[str]]) -> None:
+    def commit_round(
+        self,
+        round_id: int,
+        staged: dict[str, list[str]],
+        replaces: list[str] | None = None,
+    ) -> None:
         """Atomically publish all staged snapshots of one crawl round.
-        `staged` maps table name -> list of staged snapshot paths."""
+        `staged` maps table name -> list of staged snapshot paths.
+
+        Tables listed in `replaces` are REWRITTEN: this entry's snapshots
+        supersede all prior snapshots of that table (Iceberg
+        rewrite-files semantics — compaction). Superseded files are NOT
+        deleted: time-travel reads with as_of_round before this commit
+        still see them."""
         entries = self._read_log()
         if any(e["round"] == round_id for e in entries):
             raise ValueError(f"round {round_id} already committed")
-        entries.append({"round": round_id, "tables": staged})
+        entry: dict = {"round": round_id, "tables": staged}
+        if replaces:
+            unknown = set(replaces) - set(staged)
+            if unknown:
+                raise ValueError(f"replaces names unstaged tables: {sorted(unknown)}")
+            entry["replaces"] = sorted(replaces)
+        entries.append(entry)
         self._write_log(entries)
 
     # -- reads ------------------------------------------------------------
@@ -216,6 +233,8 @@ class Catalog:
         for e in self._read_log():
             if as_of_round is not None and e["round"] > as_of_round:
                 continue
+            if table in e.get("replaces", []):
+                paths.clear()  # rewrite commit: supersedes earlier snapshots
             paths.extend(e["tables"].get(table, []))
         return paths
 
@@ -230,9 +249,10 @@ class Catalog:
         if table in self.bucketed:
             name = self._register_partitions(spark, table)
             t = spark.table(name)
-            if as_of_round is not None:
-                # partition-pruned time travel: snap is the partition col
-                t = t.where(t["snap"].isin([os.path.basename(p) for p in paths]))
+            # always partition-prune to the LIVE snapshot set: time travel
+            # selects older snaps; a rewrite (compaction) commit supersedes
+            # earlier ones, whose partitions stay registered for time travel
+            t = t.where(t["snap"].isin([os.path.basename(p) for p in paths]))
             return t.drop("snap")
         return spark.read.parquet(*paths)
 

@@ -12,9 +12,6 @@ size, not corpus lifetime.
   producing byte-identical crawl results to the plain layout.
 """
 
-import tempfile
-
-import pytest
 from pyspark.sql import functions as F
 
 from oa_spider_spark import datagen
@@ -138,14 +135,23 @@ def test_bucketed_selection_plan_has_zero_url_hash_exchanges(spark, tmp_path):
     that is the difference between re-shuffling the corpus every round
     and reading co-located buckets."""
     cat, _ = _crawl(spark, tmp_path / "cat", bucketed=SCALE_LAYOUT)
-    sel = anti_join_seen(
-        dedup_frontier(cat.read(spark, "frontier")).filter(F.col("depth") <= 2),
-        cat.read(spark, "seen"),
-        use_bloom=False,
-    )
-    plan = sel._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Bucketed: true") == 2, plan
-    assert "Exchange" not in plan, plan
+    # pin the AT-SCALE shape: a 10^10-row seen side is never broadcast,
+    # so disable auto-broadcast (at toy test scale the planner would
+    # broadcast seen and skip the bucketed read on that side — a fine
+    # plan HERE, but not the one this test exists to prove)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sel = anti_join_seen(
+            dedup_frontier(cat.read(spark, "frontier")).filter(F.col("depth") <= 2),
+            cat.read(spark, "seen"),
+            use_bloom=False,
+        )
+        plan = sel._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 2, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     # and it still computes the right thing
     plain_cat = Catalog(tmp_path / "plain")
     seed_catalog(
@@ -181,6 +187,49 @@ def test_bucketed_catalog_time_travel_and_invisibility(spark, tmp_path):
     cat2 = Catalog(tmp_path / "cat")
     assert cat2.bucketed["seen"] == SCALE_LAYOUT["seen"]
     assert cat2.read(spark, "seen").count() == n_all
+
+
+def test_frontier_compaction_preserves_crawl(spark, tmp_path):
+    """Iceberg-style rewrite: compacting the frontier after every round
+    (dedup + drop-seen, superseding prior snapshots) must not change a
+    single crawl result — it only bounds what later rounds re-read.
+    Time-travel reads before the rewrite still see the full history."""
+    cat_a, res_a = _crawl(spark, tmp_path / "plain", rounds=3)
+    cat_b = Catalog(tmp_path / "compacted")
+    seed_catalog(spark, cat_b, datagen.seed_frontier_rows(2500, n_hosts=10))
+    res_b = run_crawl(
+        spark, cat_b, 3, n_hosts=10, default_budget=250, compact_every=1
+    )
+    assert [
+        (r.selected, r.fetched_ok, r.retried, r.failed, r.new_links) for r in res_a
+    ] == [(r.selected, r.fetched_ok, r.retried, r.failed, r.new_links) for r in res_b]
+    a = sorted(map(tuple, cat_a.read(spark, "seen").collect()))
+    b = sorted(map(tuple, cat_b.read(spark, "seen").collect()))
+    assert a == b
+    # the live frontier is now the pending horizon, not the full history
+    assert (
+        cat_b.read(spark, "frontier").count()
+        < cat_a.read(spark, "frontier").count()
+    )
+    # time travel to round 0 predates every rewrite → full history view
+    n_asof_a = cat_a.read(spark, "frontier", as_of_round=0).count()
+    n_asof_b = cat_b.read(spark, "frontier", as_of_round=0).count()
+    assert n_asof_a == n_asof_b
+
+
+def test_compaction_resume_is_idempotent(spark, tmp_path):
+    """A committed compaction is never re-run on resume, and resuming a
+    compacted catalog re-runs no crawl rounds (T4 extends to rewrites)."""
+    cat = Catalog(tmp_path / "cat")
+    seed_catalog(spark, cat, datagen.seed_frontier_rows(2500, n_hosts=10))
+    run_crawl(spark, cat, 2, n_hosts=10, default_budget=250, compact_every=1)
+    log_before = cat.committed_rounds()
+    again = run_crawl(
+        spark, Catalog(tmp_path / "cat"), 2,
+        n_hosts=10, default_budget=250, compact_every=1,
+    )
+    assert again == []
+    assert Catalog(tmp_path / "cat").committed_rounds() == log_before
 
 
 def test_exact_resume_on_bucketed_catalog(spark, tmp_path):
