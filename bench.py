@@ -80,7 +80,20 @@ def main() -> None:
 
     from oa_spider_spark.session import get_spark
 
-    spark = get_spark(cores=cpus, app_name=f"bench_{cpus}", shuffle_partitions=cpus)
+    # Event logging feeds the engine-side scaling metric (stage pareff/
+    # skew) computed below — host-noise-free evidence alongside the
+    # wall-clock numbers, in EVERY bench artifact (VERDICT r03 item 2).
+    evdir = tempfile.mkdtemp(prefix="bench-events-")
+    spark = get_spark(
+        cores=cpus,
+        app_name=f"bench_{cpus}",
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+        },
+    )
 
     import __spark_entry__ as entry_mod
 
@@ -105,6 +118,40 @@ def main() -> None:
         n = q(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n > 0, f"{name} returned 0 rows"
+
+    # --- scale-mode dedup (VERDICT r03 item 3): the xxhash64 defaults a
+    # cluster actually runs. The portable-md5 twins exist only so DuckDB
+    # can value-check the pipeline (and are deliberately NOT headlined);
+    # these time the real hot path. No query-registry entry: a different
+    # hash family yields different LSH candidates, so there is no SQL
+    # oracle — correctness of the shared pipeline is the portable twin's
+    # job, throughput is this one's.
+    from pyspark.sql import functions as F
+
+    from oa_spider_spark.operators.dedup import (
+        build_corpus_index,
+        incremental_near_dups,
+        minhash_dedup,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    for label, fn in (
+        ("minhash_dedup_xxhash", lambda: minhash_dedup(docs, threshold=0.8)),
+        (
+            "incremental_dedup_xxhash",
+            lambda: incremental_near_dups(
+                docs.filter(F.col("doc_id") % 5 == 0),
+                threshold=0.8,
+                corpus_index=build_corpus_index(
+                    docs.filter(F.col("doc_id") % 5 != 0)
+                ),
+            ),
+        ),
+    ):
+        fn().count()  # warm like the headline queries
+        t0 = time.perf_counter()
+        fn().count()
+        timings[label] = round(time.perf_counter() - t0, 3)
 
     # --- crawl-engine round throughput -----------------------------------
     from oa_spider_spark import datagen
@@ -146,6 +193,7 @@ def main() -> None:
         seed_catalog(spark, cat, datagen.seed_frontier_df(
             spark, n_seeds, n_hosts=n_hosts, hot_share=0.4, partitions=cpus * 2))
         t0 = time.perf_counter()
+        crawl_t0_epoch_ms = time.time() * 1000
         phases: dict[str, float] = {}
         res = run_round(
             spark, cat, 0, n_hosts=n_hosts,
@@ -154,6 +202,7 @@ def main() -> None:
             timings=phases,
         )
         crawl_sec = time.perf_counter() - t0
+        crawl_t1_epoch_ms = time.time() * 1000
     timings["crawl_round"] = round(crawl_sec, 3)
     throughput = {
         "frontier_urls_per_sec": round(res.selected / crawl_sec, 1),
@@ -164,8 +213,75 @@ def main() -> None:
         "cpus": cpus,
     }
 
+    # --- streaming twin throughput (VERDICT r03 item 7): drain the same
+    # selection/fetch pipeline through Structured Streaming
+    # (AvailableNow) and report URLs/s next to the batch round — the
+    # correctness parity is pinned in tests/test_streaming.py; this is
+    # the missing performance number. Sized to ~1/4 of the batch round
+    # so the bench stays bounded; per-URL work is identical.
+    from oa_spider_spark.streaming.rounds import streaming_crawl
+
+    n_stream = max(20_000, n_seeds // 4)
+    with tempfile.TemporaryDirectory(prefix="bench_stream_", dir=stage_base) as sroot:
+        in_dir, ckpt = f"{sroot}/in", f"{sroot}/ckpt"
+        datagen.seed_frontier_df(
+            spark, n_stream, n_hosts=n_hosts, hot_share=0.4, partitions=cpus * 2
+        ).repartition(8).write.parquet(f"{in_dir}/slice0")
+        scat = Catalog(f"{sroot}/cat")
+        t0 = time.perf_counter()
+        q = streaming_crawl(
+            spark, scat, in_dir + "/*", ckpt,
+            n_hosts=n_hosts, default_budget=max(200, n_stream // n_hosts),
+        )
+        q.awaitTermination(1800)
+        stream_sec = time.perf_counter() - t0
+        fetched_tbl = scat.read(spark, "fetched")
+        n_drained = fetched_tbl.count() if fetched_tbl is not None else 0
+        throughput["streaming"] = {
+            "urls_per_sec": round(n_drained / stream_sec, 1),
+            "drained": n_drained,
+            "epochs": len(scat.committed_rounds()),
+            "seconds": round(stream_sec, 3),
+            # streaming-vs-batch throughput ratio at the same per-URL work
+            "vs_batch_round": round(
+                (n_drained / stream_sec) / max(res.selected / crawl_sec, 1e-9), 3
+            ),
+        }
+
     total = round(time.perf_counter() - t_total0, 3)
     probe_after = capacity_probe(cpus)
+
+    # --- engine-side scaling metric: stage pareff/skew from the event
+    # log, scoped to the crawl round (the workload the north-rule gate
+    # measures). spark.stop() flushes the log.
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+    from oa_spider_spark.evlog import dominant_stage, stage_task_stats
+
+    try:
+        crawl_stages = stage_task_stats(
+            evdir, app_id, n_slots=cpus,
+            t_min_ms=crawl_t0_epoch_ms, t_max_ms=crawl_t1_epoch_ms,
+        )
+        dom = dominant_stage(crawl_stages)
+        stage_pareff = {
+            # pareff of the stage carrying the most task time — the
+            # engine-side ceiling on N→4N scaling efficiency
+            "dominant_pareff": dom["pareff"] if dom else None,
+            "dominant_skew": dom["skew"] if dom else None,
+            "dominant_stage": dom["name"] if dom else None,
+            "min_pareff": min((s["pareff"] for s in crawl_stages), default=None),
+            "stages": [
+                {k: s[k] for k in ("name", "n_tasks", "skew", "pareff", "sum_ms")}
+                for s in sorted(crawl_stages, key=lambda s: -s["sum_ms"])[:6]
+            ],
+        }
+    except Exception as exc:  # missing/renamed log must not kill the bench
+        stage_pareff = {"error": str(exc)[:200]}
+    finally:
+        import shutil
+
+        shutil.rmtree(evdir, ignore_errors=True)
     print(
         json.dumps(
             {
@@ -180,6 +296,10 @@ def main() -> None:
                 # staging write; derived_stage = links/retries/seen/
                 # lineage writes; commit_totals = commit + lineage agg)
                 "crawl_phases": phases,
+                # host-noise-free engine evidence: task-balance of the
+                # crawl round's stages (pareff = engine-side scaling
+                # ceiling; see oa_spider_spark/evlog.py)
+                "stage_pareff": stage_pareff,
                 # ~1.0 = healthy host window; << 1.0 = hypervisor steal,
                 # interpret wall-clock accordingly (CLAUDE.md gotchas)
                 "capacity_probe": {

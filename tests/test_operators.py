@@ -228,6 +228,30 @@ def test_df_unpersist_does_not_release_local_checkpoint(spark):
     )
 
 
+def test_cap_groups_defuses_degenerate_lsh_bucket(spark):
+    """Hot-bucket guard under the worst case: k identical docs collapse
+    into ONE LSH bucket in every band — k²/2 candidate pairs in a single
+    task without the guard. `max_bucket` drops the degenerate bucket
+    entirely (correct for dedup: a bucket that big is boilerplate to
+    handle by exact-hash dedup, not pairwise LSH) while buckets within
+    the cap keep their pairs."""
+    k = 200
+    degenerate = [(i, "exact same boilerplate text every time") for i in range(k)]
+    normal = [
+        (1000, "a perfectly normal document about spark engines"),
+        (1001, "a perfectly normal document about spark engines!"),
+        (2000, "something else entirely different in content"),
+    ]
+    docs = spark.createDataFrame(degenerate + normal, "doc_id long, text string")
+    unguarded = dedup.minhash_dedup(docs, threshold=0.8)
+    n_un = unguarded.filter((F.col("doc_a") < 1000) & (F.col("doc_b") < 1000)).count()
+    assert n_un == k * (k - 1) // 2  # the quadratic blowup is real
+    guarded = dedup.minhash_dedup(docs, threshold=0.8, max_bucket=16)
+    got = {(r["doc_a"], r["doc_b"]) for r in guarded.collect()}
+    assert not any(a < 1000 and b < 1000 for a, b in got)  # bucket dropped
+    assert (1000, 1001) in got  # small buckets unaffected
+
+
 def test_simhash_near_pairs(spark, docs_with_dups):
     sim = dedup.simhash64(docs_with_dups)
     pairs = dedup.simhash_near_pairs(sim, max_hamming=3)
