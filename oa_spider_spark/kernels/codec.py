@@ -138,20 +138,83 @@ def _decode_lossy(data: bytes) -> np.ndarray:
     return arr[:, :, 0] if c == 1 else arr
 
 
+# --- real-codec seam (reference decodes real images via PIL,
+# captcha.py:20-25, oa.py:876-879). The sandbox has no image library, so
+# the lossy format above is the documented stand-in; when PIL IS
+# installed (any real deployment), real JPEG bytes decode through it —
+# same uint8 array contract, so decode_stats/PSNR/phash downstream work
+# unchanged. Import-gated, never required.
+
+_JPEG_SIG = b"\xff\xd8\xff"
+
+
+def _pil():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+HAS_REAL_JPEG = _pil() is not None
+
+
+def encode_jpeg_real(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Real JPEG bytes via PIL — the production encode side of the seam.
+    Raises NotImplementedError where PIL is absent (this sandbox)."""
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "real JPEG encoding needs PIL (pip install pillow); the "
+            "in-sandbox lossy stand-in is encode_image(arr, 'jpeg')"
+        )
+    import io
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    img = Image.fromarray(arr, mode="L" if arr.ndim == 2 else "RGB")
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def decode_jpeg_real(data: bytes) -> np.ndarray:
+    """Real JPEG decode via PIL → uint8 (h,w) or (h,w,3) — identical
+    array contract to decode_png/_decode_lossy."""
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "got real JPEG bytes (FFD8FF magic) but no JPEG library is "
+            "installed; install PIL (pillow) — the engine dispatches to "
+            "it automatically (kernels/codec.py real-codec seam)"
+        )
+    import io
+
+    img = Image.open(io.BytesIO(data))
+    if img.mode == "L":
+        return np.asarray(img, dtype=np.uint8)
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(arr)
     if fmt == "jpeg":
         return _encode_lossy(arr)
+    if fmt == "jpeg_real":
+        return encode_jpeg_real(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Format-sniffing decode (reference `Image.open`, captcha.py:25)."""
+    """Format-sniffing decode (reference `Image.open`, captcha.py:25).
+    Real JPEG bytes (FFD8FF) dispatch to PIL when installed."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:4] == b"FJPG":
         return _decode_lossy(data)
+    if data[:3] == _JPEG_SIG:
+        return decode_jpeg_real(data)
     raise ValueError("unknown image format")
 
 

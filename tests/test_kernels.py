@@ -191,6 +191,42 @@ def test_png_is_lossless_psnr_inf():
     assert psnr(img, decode_image(encode_image(img, "png"))) == float("inf")
 
 
+def test_real_jpeg_seam_raises_without_pil():
+    """Real-codec seam contract where no image library exists: real
+    JPEG magic (FFD8FF) must fail loudly with install guidance, never
+    misdecode (reference decodes via PIL, captcha.py:20-25)."""
+    from oa_spider_spark.kernels import codec
+
+    if codec.HAS_REAL_JPEG:
+        pytest.skip("PIL installed — covered by test_real_jpeg_roundtrip")
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(fake_jpeg)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        encode_image(np.zeros((4, 4), dtype=np.uint8), "jpeg_real")
+
+
+def test_real_jpeg_roundtrip():
+    """Validates the PIL adapter wherever PIL exists (skip-gated here):
+    real JPEG bytes flow through the SAME decode_image dispatch and meet
+    the PSNR >= 40 dB gate — so decode_stats/phash/PSNR run unchanged on
+    production images (VERDICT r03 item 5)."""
+    pytest.importorskip("PIL")
+    from oa_spider_spark.kernels import codec
+
+    rng = np.random.RandomState(5)
+    # smooth gradient + mild noise: JPEG at q=90 holds >40 dB on natural
+    # content (pure uniform noise would not — that is a codec property,
+    # not a seam defect)
+    base = np.linspace(0, 255, 48, dtype=np.uint8)[None, :].repeat(32, axis=0)
+    img = (base.astype(int) + rng.randint(-8, 9, base.shape)).clip(0, 255).astype(np.uint8)
+    data = codec.encode_jpeg_real(img, quality=90)
+    assert data[:3] == b"\xff\xd8\xff"
+    decoded = decode_image(data)  # sniffed dispatch, not a direct call
+    assert decoded.shape == img.shape
+    assert psnr(img, decoded) >= 40.0
+
+
 def test_average_hash_deterministic_and_robust():
     rng = np.random.RandomState(3)
     img = rng.randint(0, 256, (40, 40), dtype=np.uint8)
