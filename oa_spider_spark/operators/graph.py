@@ -82,3 +82,88 @@ def pagerank_integer(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.withColumnRenamed("rank", "rank_micro")
+
+
+# --- X55: triangle counting (degree-oriented) -------------------------------
+
+
+def cooccurrence_edges(
+    events: DataFrame,
+    node_col: str = "user_id",
+    group_cols: tuple = ("event_type",),
+    cap: int | None = 64,
+) -> DataFrame:
+    """Undirected distinct edges (u < v) between nodes co-occurring in
+    the same blocking group — the standard entity-graph constructor
+    (users sharing a session key, docs sharing a shingle bucket).
+
+    The within-group self-join is the one quadratic hazard (g members ⇒
+    g² pairs in one task), so it reuses dedup's `_cap_groups` hot-bucket
+    guard: groups over `cap` members are dropped entirely (a group that
+    big is a hub artifact — boilerplate key, bot session — that would
+    dominate the graph and the runtime; same policy as LSH max_bucket)."""
+    from .dedup import _cap_groups
+
+    keys = list(group_cols)
+    g = events.select(*keys, F.col(node_col).alias("n")).distinct()
+    g = _cap_groups(g, keys, cap)
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, keys)
+        .filter(F.col("a.n") < F.col("b.n"))
+        .select(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, n_triangles) for an undirected simple
+    graph given as distinct (u < v) edges.
+
+    Degree-oriented counting (the MapReduce-era standard — Suri &
+    Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the Last
+    Reducer"): orient every edge from the π-smaller endpoint, π =
+    (degree, id) lexicographic. Every triangle is counted exactly once
+    as a wedge b←a→c (π(b) < π(c)) closed by oriented edge b→c, and —
+    the scale point — every out-neighborhood is O(√m), so the wedge
+    self-join's per-key fan-out is bounded even on power-law graphs
+    where the naive a<b<c join puts a hub's entire neighborhood² in one
+    task. Three equi-joins, no Python, exact integers — the DuckDB
+    oracle runs the identical orientation."""
+    both = edges.select(F.col("u").alias("n")).union(
+        edges.select(F.col("v").alias("n"))
+    )
+    deg = both.groupBy("n").agg(F.count("*").alias("d"))
+    e = (
+        edges.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    w1 = oriented.select("src", F.col("dst").alias("b"), F.col("ddst").alias("db"))
+    w2 = oriented.select("src", F.col("dst").alias("c"), F.col("ddst").alias("dc"))
+    wedges = (
+        w1.join(w2, "src")
+        .filter(
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        )
+        .select("b", "c")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    # scalar aggregates assembled via crossJoin of one-row frames (the
+    # repo's KMV/BM25 pattern — no driver collect)
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    ne = edges.agg(F.count("*").alias("n_edges"))
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    return nn.crossJoin(ne).crossJoin(tri)

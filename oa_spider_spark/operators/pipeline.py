@@ -458,3 +458,35 @@ def systematic_weighted_sample(
         .filter(F.col("n_picks") >= 1)
         .select(order_col, weight_col, "n_picks")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    bounds: tuple = (80, 90),
+    names: tuple = ("train", "val", "test"),
+    salt: str = "split",
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    hash(salt:key) mod 100, split by `bounds` percentile cuts. The
+    assignment is a pure function of the key — stable across runs,
+    clusters, partitionings, and corpus growth (a doc never migrates
+    between splits when new docs arrive; the property random splits
+    lack and the reason every production pipeline splits by hash).
+    Zero shuffle: one row-local hash + case expression.
+
+    Default hash is xxhash64 (scale path); portable=True swaps md5h60
+    so the DuckDB oracle reproduces assignments bit-exactly."""
+    from .dedup import md5h60
+
+    hf = md5h60 if portable else F.xxhash64
+    b = F.pmod(
+        hf(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), F.lit(100)
+    )
+    split = (
+        F.when(b < bounds[0], names[0])
+        .when(b < bounds[1], names[1])
+        .otherwise(names[2])
+    )
+    return df.withColumn("split", split)

@@ -180,3 +180,112 @@ def bm25_score(
         score.alias("score_micro"),
         n_matched.alias("n_terms"),
     ).filter(F.col("score_micro") > 0)
+
+
+# --- X53: repetition / boilerplate quality rules ---------------------------
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_distinct: int = 300,
+    max_top_bigram: int = 60,
+) -> DataFrame:
+    """Gopher/C4-style repetition signals per document, all in exact
+    integer milli-units (reference has no analog — this is the curation
+    rule family a 100-TB training pipeline runs after dedup; Rae et al.
+    2021 "Scaling Language Models" §A.1.1 is the public spec):
+
+      n_words             whitespace tokens
+      top_word_milli      1000·(count of most frequent word)/n_words
+      top_bigram_milli    1000·(count of most frequent bigram)/n_bigrams
+      distinct_milli      1000·(distinct words)/n_words
+      keep                distinct_milli ≥ min_distinct AND
+                          top_bigram_milli ≤ max_top_bigram
+
+    Scale shape: explode → groupBy(doc_id, word) with map-side combine —
+    never a per-row O(len²) array self-count (a 20k-word document would
+    pay 4·10⁸ comparisons row-side). Two shuffles on high-cardinality
+    keys; bigram counts ride the same pattern. Fractions are integer
+    `div` so the DuckDB oracle is value-exact."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select("doc_id", toks.alias("_t"))
+    # bigrams via zip_with over the two shifted slices: slice length
+    # size-1 is 0 for one-word docs → empty array, no sequence(2,1)
+    # descending-sequence trap
+    bigrams = F.expr(
+        "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    ws = (
+        base.select("doc_id", F.explode("_t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_word_cnt"),
+            F.count("*").alias("n_distinct"),
+            F.sum("c").alias("n_words"),
+        )
+    )
+    bs = (
+        base.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_cnt"), F.sum("c").alias("n_bigrams"))
+    )
+    out = ws.join(bs, "doc_id", "left")
+    top_word = F.expr("(top_word_cnt * 1000) div n_words")
+    top_bigram = F.coalesce(
+        F.expr("(top_bigram_cnt * 1000) div n_bigrams"), F.lit(0)
+    )
+    distinct = F.expr("(n_distinct * 1000) div n_words")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        top_word.cast("long").alias("top_word_milli"),
+        top_bigram.cast("long").alias("top_bigram_milli"),
+        distinct.cast("long").alias("distinct_milli"),
+        ((distinct >= min_distinct) & (top_bigram <= max_top_bigram)).alias("keep"),
+    )
+
+
+# --- X54: integer TF-IDF top terms ------------------------------------------
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by an all-integer
+    rarity-weighted score: score_milli = (tf · 1000 · N) div df — the
+    TF-IDF ranking with the monotone log dropped so the score is pure
+    BIGINT arithmetic (log(N/df) and tf·N/df order identically for
+    fixed tf; cross-engine ln is not bit-stable, CLAUDE.md invariant).
+    tf·1000·N stays < 2⁶³ up to N = 10¹⁰ docs × tf ~ 10⁵.
+
+    Scale shape: explode → tf groupBy(doc_id, term) (map-side combine)
+    → df groupBy(term) → tf⋈df shuffle join on term (vocab at corpus
+    scale is too big to broadcast; the corpus-size row IS broadcast —
+    BM25's one-row stats pattern) → row_number window partitioned by
+    doc_id (high-cardinality partitions). Ties break on term asc so the
+    top-k set is deterministic."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_milli", F.expr("(tf * 1000 * n_docs) div df").cast("long"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_milli"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score_milli", "rank")
+    )

@@ -2025,3 +2025,9 @@ _register_analytics(QUERIES, ORACLES)
 from .queries_temporal import register as _register_temporal  # noqa: E402
 
 _register_temporal(QUERIES, ORACLES)
+
+# Curation + graph analysis (repetition rules, integer TF-IDF,
+# co-occurrence triangles, hash splits; see queries_curation.py).
+from .queries_curation import register as _register_curation  # noqa: E402
+
+_register_curation(QUERIES, ORACLES)

@@ -1,0 +1,213 @@
+"""Corpus-curation and graph-analysis query registrations (round 4):
+repetition quality rules, integer TF-IDF, co-occurrence triangles,
+deterministic hash splits. Every query carries a full DuckDB value
+oracle in the repo's exact-integer discipline (milli-unit fractions via
+integer div, portable md5h60 where assignment depends on a hash).
+
+Registered into the main QUERIES/ORACLES maps by
+`queries.py::_register_curation`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- X53: repetition / boilerplate quality rules ----------------------------
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document — top-word /
+    top-bigram / distinct-word fractions in exact integer milli-units
+    plus the keep/drop verdict (operators/text.py::repetition_stats).
+    The curation rule family a training pipeline runs after dedup."""
+    from .operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+), ws AS (
+  SELECT doc_id, max(c) AS top_word_cnt, count(*) AS n_distinct,
+         sum(c)::BIGINT AS n_words
+  FROM wc GROUP BY doc_id
+), bigr AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(2, len(t)),
+                               i -> t[i-1] || ' ' || t[i])) AS b
+  FROM toks WHERE len(t) >= 2
+), bc AS (
+  SELECT doc_id, b, count(*) AS c FROM bigr GROUP BY doc_id, b
+), bs AS (
+  SELECT doc_id, max(c) AS top_bigram_cnt, sum(c)::BIGINT AS n_bigrams
+  FROM bc GROUP BY doc_id
+)
+SELECT ws.doc_id,
+       n_words,
+       ((top_word_cnt * 1000) // n_words)::BIGINT AS top_word_milli,
+       coalesce((top_bigram_cnt * 1000) // n_bigrams, 0)::BIGINT
+         AS top_bigram_milli,
+       ((n_distinct * 1000) // n_words)::BIGINT AS distinct_milli,
+       ((n_distinct * 1000) // n_words >= 300
+        AND coalesce((top_bigram_cnt * 1000) // n_bigrams, 0) <= 60) AS keep
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
+# --- X54: integer TF-IDF top terms ------------------------------------------
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by the all-integer
+    rarity-weighted score (tf·1000·N div df) — TF-IDF ranking with the
+    monotone log dropped for cross-engine bit-stability
+    (operators/text.py::tfidf_top_terms)."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ((tf.tf * 1000 * n.n_docs) // df.df)::BIGINT AS score_milli
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score_milli,
+       rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_milli DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# --- X55: co-occurrence graph triangles -------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the user co-occurrence graph (users sharing
+    an (event_type, hour) activity bucket): one row (n_nodes, n_edges,
+    n_triangles). Degree-oriented counting bounds every wedge fan-out
+    at O(√m) — the hub-safe formulation (operators/graph.py::
+    triangle_count); hot buckets are dropped by the shared
+    `_cap_groups` guard before the pair join (cap 64)."""
+    from .operators.graph import cooccurrence_edges, triangle_count
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("tb"), "user_id"
+    )
+    edges = cooccurrence_edges(
+        ev, node_col="user_id", group_cols=("event_type", "tb"), cap=64
+    )
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH g AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS tb, user_id FROM events
+), gc AS (
+  SELECT *, count(*) OVER (PARTITION BY event_type, tb) AS gsz FROM g
+), gf AS (
+  SELECT event_type, tb, user_id FROM gc WHERE gsz <= 64
+), edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM gf a JOIN gf b USING (event_type, tb)
+  WHERE a.user_id < b.user_id
+), deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY n
+), o AS (
+  SELECT CASE WHEN fwd THEN u ELSE v END AS src,
+         CASE WHEN fwd THEN v ELSE u END AS dst,
+         CASE WHEN fwd THEN dv ELSE du END AS ddst
+  FROM (
+    SELECT e.u, e.v, a.d AS du, b.d AS dv,
+           (a.d < b.d OR (a.d = b.d AND e.u < e.v)) AS fwd
+    FROM edges e JOIN deg a ON a.n = e.u JOIN deg b ON b.n = e.v
+  )
+), wedges AS (
+  SELECT w1.dst AS b, w2.dst AS c
+  FROM o w1 JOIN o w2 ON w1.src = w2.src
+  WHERE w1.ddst < w2.ddst OR (w1.ddst = w2.ddst AND w1.dst < w2.dst)
+), closed AS (
+  SELECT 1 FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.b AND o.dst = w.c)
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(*) FROM closed) AS n_triangles
+"""
+
+
+# --- X56: deterministic train/val/test hash split ---------------------------
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document train/val/test assignment by hash bucket (80/10/10)
+    — stable under corpus growth, zero shuffle (operators/pipeline.py::
+    hash_split). Portable md5h60 so the oracle reproduces every
+    assignment; xxhash64 is the scale default."""
+    from .operators.pipeline import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, key_col="doc_id", portable=True).select(
+        "doc_id", "split"
+    )
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 100 AS b
+  FROM documents
+)
+"""
+
+
+def register(
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]],
+    oracles: dict[str, str],
+) -> None:
+    queries.update(
+        {
+            "q_repetition_stats": q_repetition_stats,
+            "q_tfidf_top_terms": q_tfidf_top_terms,
+            "q_triangle_count": q_triangle_count,
+            "q_hash_split": q_hash_split,
+        }
+    )
+    oracles.update(
+        {
+            "q_repetition_stats": SQL_REPETITION_STATS,
+            "q_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+            "q_triangle_count": SQL_TRIANGLE_COUNT,
+            "q_hash_split": SQL_HASH_SPLIT,
+        }
+    )

