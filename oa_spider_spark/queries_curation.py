@@ -191,6 +191,49 @@ FROM (
 """
 
 
+# --- X57: Z-order clustering key --------------------------------------------
+
+
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key + 32-way cluster bucket over events (user_id ×
+    value-cents): the multi-column data-skipping layout
+    (operators/layout.py; file-pruning effectiveness pinned against
+    real parquet footer stats in tests/test_layout.py). All-integer
+    quantize/interleave so the oracle is value-exact; the float→cents
+    step is the one fixed-shape double multiply (KMV discipline)."""
+    from .operators.layout import zorder_value
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("cents"),
+    )
+    z = zorder_value(ev, ["user_id", "cents"], bits=16)
+    return z.select(
+        "event_id",
+        "zval",
+        F.shiftrightunsigned("zval", 27).alias("zbucket"),
+    )
+
+
+def _sql_zorder() -> str:
+    from .operators.layout import zvalue_sql
+
+    zexpr = zvalue_sql("ev", ["user_id", "cents"], bits=16)
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         floor(value * 100.0::DOUBLE)::BIGINT AS cents
+  FROM events
+)
+SELECT event_id, zval, (zval >> 27)::BIGINT AS zbucket
+FROM (SELECT event_id, ({zexpr})::BIGINT AS zval FROM ev)
+"""
+
+
+SQL_ZORDER_CLUSTER = _sql_zorder()
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -201,6 +244,7 @@ def register(
             "q_tfidf_top_terms": q_tfidf_top_terms,
             "q_triangle_count": q_triangle_count,
             "q_hash_split": q_hash_split,
+            "q_zorder_cluster": q_zorder_cluster,
         }
     )
     oracles.update(
@@ -209,5 +253,6 @@ def register(
             "q_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
             "q_triangle_count": SQL_TRIANGLE_COUNT,
             "q_hash_split": SQL_HASH_SPLIT,
+            "q_zorder_cluster": SQL_ZORDER_CLUSTER,
         }
     )
