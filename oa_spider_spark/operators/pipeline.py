@@ -490,3 +490,61 @@ def hash_split(
         .otherwise(names[2])
     )
     return df.withColumn("split", split)
+
+
+def grouped_sample_exact_k(
+    df: DataFrame,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    k: int = 20,
+    margin: int = 8,
+    salt: str = "gsamp",
+    portable: bool = False,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by hash rank —
+    the balanced-mixture sampler (k docs per language/source/domain, a
+    different contract from X21's fixed-RATE stratified sample and
+    X46's global exactly-k).
+
+    The naive formulation is `row_number() OVER (PARTITION BY group
+    ORDER BY hash) <= k` on the raw table — with few groups that is a
+    handful of window tasks each sorting n/|groups| rows (the
+    single-key-window scale hazard this repo bans). Instead: hashes
+    are uniform on [0, 2^60), so the k-th smallest per group sits near
+    k/n_g of the space. Filter to `h < (2^60 div n_g)·(margin·k)` first
+    — an expected margin·k survivors per group — then window over THAT
+    metadata-sized set. One count aggregate + one broadcast join + one
+    tiny window; the big table is touched by a row-local filter only.
+
+    Exactness: P(a group of n_g ≥ margin·k rows yields < k survivors)
+    is Chernoff-bounded by exp(-k·(margin-1)²/(2·margin)) ≈ e^-306 at
+    the defaults — not a practical failure mode, and any group smaller
+    than margin·k skips the filter entirely (cutoff = full space).
+    Survivor sets are integer-exact, so the DuckDB oracle matches
+    row-for-row."""
+    from .dedup import md5h60
+
+    hf = md5h60 if portable else (lambda c: F.pmod(F.xxhash64(c), F.lit(1 << 60)))
+    h = hf(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    space, cap = 1 << 60, margin * k
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_ng"))
+    cutoffs = counts.withColumn(
+        "_cut",
+        F.expr(
+            f"CASE WHEN _ng <= {cap} THEN {space}L"
+            f" ELSE ({space}L div _ng) * {cap} END"
+        ),
+    )
+    from pyspark.sql import Window
+
+    survivors = (
+        df.withColumn("_h", h)
+        .join(F.broadcast(cutoffs.select(group_col, "_cut")), group_col)
+        .filter(F.col("_h") < F.col("_cut"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("_h"), F.col(key_col))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_h", "_cut")
+    )

@@ -191,6 +191,43 @@ FROM (
 """
 
 
+# --- X59: per-group exactly-k hash sample ------------------------------------
+
+
+def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 documents per language by hash rank — the balanced-
+    mixture sampler, built as cutoff-prefilter + metadata-sized window
+    so no task ever sorts a whole language partition
+    (operators/pipeline.py::grouped_sample_exact_k)."""
+    from .operators.pipeline import grouped_sample_exact_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_sample_exact_k(
+        docs, group_col="lang", key_col="doc_id", k=20, portable=True
+    ).select("doc_id", "lang", "rank")
+
+
+SQL_GROUPED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('gsamp:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM documents
+), c AS (
+  SELECT lang, count(*) AS n_g FROM documents GROUP BY lang
+), s AS (
+  SELECT h.doc_id, h.lang, h.hh,
+         CASE WHEN c.n_g <= 160 THEN 1152921504606846976
+              ELSE (1152921504606846976 // c.n_g) * 160 END AS cutoff
+  FROM h JOIN c USING (lang)
+)
+SELECT doc_id, lang, rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rank
+  FROM s WHERE hh < cutoff
+) WHERE rank <= 20
+"""
+
+
 # --- X57: Z-order clustering key --------------------------------------------
 
 
@@ -245,6 +282,7 @@ def register(
             "q_triangle_count": q_triangle_count,
             "q_hash_split": q_hash_split,
             "q_zorder_cluster": q_zorder_cluster,
+            "q_grouped_sample": q_grouped_sample,
         }
     )
     oracles.update(
@@ -254,5 +292,6 @@ def register(
             "q_triangle_count": SQL_TRIANGLE_COUNT,
             "q_hash_split": SQL_HASH_SPLIT,
             "q_zorder_cluster": SQL_ZORDER_CLUSTER,
+            "q_grouped_sample": SQL_GROUPED_SAMPLE,
         }
     )

@@ -367,3 +367,25 @@ def test_repetition_stats_known_values(spark):
     assert out[1]["distinct_milli"] == 250 and not out[1]["keep"]
     assert out[2]["distinct_milli"] == 1000 and out[2]["keep"]
     assert out[3]["n_words"] == 1 and out[3]["top_bigram_milli"] == 0
+
+
+def test_grouped_sample_exactly_k_per_group(spark):
+    """Every group yields exactly min(k, |group|) rows; small groups
+    bypass the cutoff (returned whole); the xxhash64 scale path and a
+    different partitioning agree with themselves (determinism)."""
+    from oa_spider_spark.operators.pipeline import grouped_sample_exact_k
+
+    rows = [(i, "big") for i in range(2000)] + [(10_000 + i, "tiny") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = grouped_sample_exact_k(df, k=20).collect()
+    from collections import Counter
+
+    c = Counter(r["lang"] for r in out)
+    assert c == {"big": 20, "tiny": 5}
+    assert {r["doc_id"] for r in out if r["lang"] == "tiny"} == {
+        10_000 + i for i in range(5)
+    }
+    again = grouped_sample_exact_k(df.repartition(11), k=20).collect()
+    assert sorted((r["doc_id"], r["rank"]) for r in out) == sorted(
+        (r["doc_id"], r["rank"]) for r in again
+    )

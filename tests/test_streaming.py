@@ -313,3 +313,76 @@ def test_circuit_breaker_streaming_state_crosses_microbatches(
     }
     assert got == want and len(want) == 3
     assert q.lastProgress is not None
+
+
+# --- watermark dedup: bounded-state streaming dedup -------------------------
+
+
+def _drain_dedup(spark, in_glob, ckpt, out_rows):
+    """One AvailableNow drain of the watermark dedup into a collected list."""
+    from oa_spider_spark.streaming.dedup import watermark_dedup
+
+    stream = (
+        spark.readStream.schema("url_hash long, ts timestamp, src string")
+        .parquet(in_glob)
+    )
+    deduped = watermark_dedup(stream, ["url_hash"], ts_col="ts", delay="10 minutes")
+
+    def sink(batch_df, epoch_id):
+        out_rows.extend(
+            (r["url_hash"], r["src"]) for r in batch_df.collect()
+        )
+
+    q = deduped.writeStream.foreachBatch(sink).trigger(availableNow=True).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q.awaitTermination(180)
+    return q
+
+
+def test_watermark_dedup_drops_in_window_and_expires_state(spark, tmp_path):
+    """(a) Duplicates within the watermark window are dropped — output
+    key set equals the batch twin's; (b) the SAME key re-emits after the
+    watermark passes (state expired ⇒ bounded by window, not lifetime —
+    the property plain dropDuplicates lacks and the reason this operator
+    is safe at crawl scale)."""
+    from oa_spider_spark.streaming.dedup import first_arrival_batch
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    base = "2024-01-01 00:{m:02d}:00"
+    rows1 = [
+        (1, base.format(m=0), "a"),
+        (1, base.format(m=1), "dup"),   # in-window duplicate: dropped
+        (2, base.format(m=2), "b"),
+        (2, base.format(m=2), "dup"),
+        (3, base.format(m=3), "c"),
+    ]
+    df1 = spark.createDataFrame(rows1, "url_hash long, ts string, src string").select(
+        "url_hash", F.col("ts").cast("timestamp").alias("ts"), "src"
+    )
+    df1.write.parquet(f"{in_dir}/slice0")
+    got: list = []
+    _drain_dedup(spark, in_dir + "/*", ckpt, got)
+    assert sorted(k for k, _ in got) == [1, 2, 3]
+    twin = first_arrival_batch(df1, ["url_hash"], ts_col="ts")
+    assert sorted(k for k, _ in got) == sorted(
+        r["url_hash"] for r in twin.collect()
+    )
+    # advance event time far past the watermark, then re-send key 1:
+    # the second drain (same checkpoint → state carries over) must emit
+    # it AGAIN — its state entry expired
+    rows2 = [
+        (9, "2024-01-01 01:00:00", "advance"),  # pushes watermark past 00:50
+    ]
+    spark.createDataFrame(rows2, "url_hash long, ts string, src string").select(
+        "url_hash", F.col("ts").cast("timestamp").alias("ts"), "src"
+    ).write.parquet(f"{in_dir}/slice1")
+    got2: list = []
+    _drain_dedup(spark, in_dir + "/*", ckpt, got2)
+    rows3 = [(1, "2024-01-01 01:01:00", "revisit")]
+    spark.createDataFrame(rows3, "url_hash long, ts string, src string").select(
+        "url_hash", F.col("ts").cast("timestamp").alias("ts"), "src"
+    ).write.parquet(f"{in_dir}/slice2")
+    got3: list = []
+    _drain_dedup(spark, in_dir + "/*", ckpt, got3)
+    assert (1, "revisit") in got3  # re-emitted after expiry
