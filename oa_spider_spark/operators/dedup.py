@@ -612,3 +612,60 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- X60: edit-distance-1 similarity join (deletion-neighborhood) -----------
+
+
+def edit1_pairs(
+    strs: DataFrame,
+    key_col: str = "doc_id",
+    str_col: str = "t",
+    cap: int | None = 64,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ≤ 1, without an all-pairs
+    join: FastSS deletion-neighborhood blocking (Bocek et al. 2007,
+    public report). Candidates = pairs sharing any member of
+    D1(s) = {s} ∪ {s with one char deleted}; completeness for d ≤ 1:
+    substitution ⇒ both sides' deletion at the differing index
+    coincide, insertion/deletion ⇒ the shorter string is itself in the
+    longer's neighborhood, equality ⇒ s ∈ D1(s). Candidates are then
+    verified with the exact `levenshtein` (false positives exist —
+    deleting DIFFERENT positions can collide).
+
+    Scale shape: |D1| = len+1 variants per row — the blocking index is
+    O(n·len), the join an equi-join on variant, and the quadratic
+    hazard (a variant shared by a huge group — e.g. one boilerplate
+    title) is the usual `_cap_groups` drop. Never a cross join, never a
+    per-pair UDF: `levenshtein` is a JVM expression on both engines."""
+    n = F.length(F.col(str_col))
+    dels = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.col(str_col).substr(F.lit(1), i - 1),
+            F.col(str_col).substr(i + 1, n - i),
+        ),
+    )
+    variants = F.array_distinct(
+        F.concat(F.array(F.col(str_col)), F.when(n >= 1, dels).otherwise(F.array()))
+    )
+    v = strs.select(key_col, str_col, F.explode(variants).alias("var"))
+    v = _cap_groups(v, ["var"], cap)
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, F.col("a.var") == F.col("b.var"))
+        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .select(
+            F.col(f"a.{key_col}").alias("doc_a"),
+            F.col(f"a.{str_col}").alias("ta"),
+            F.col(f"b.{key_col}").alias("doc_b"),
+            F.col(f"b.{str_col}").alias("tb"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("ta", "tb")
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= 1)
+        .select("doc_a", "doc_b", "dist")
+    )

@@ -228,6 +228,94 @@ SELECT doc_id, lang, rank FROM (
 """
 
 
+# --- X61: ROLLUP multi-granularity report ------------------------------------
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order value by (priority, year) with ROLLUP subtotals and a
+    grand total in one pass — grouping sets compute every granularity
+    in a single shuffle instead of N aggregations + union (the Spark
+    `rollup` relational op; exact cent units). Subtotal keys are
+    coalesced to 'ALL'/-1 so the result is NULL-free and value-hashable;
+    gid disambiguates the levels."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    yr = F.year("o_orderdate").cast("long")
+    rolled = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"), yr.alias("yr"), cents.alias("c")
+        )
+        .rollup("priority", "yr")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("c").alias("value_cents"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    return rolled.select(
+        F.coalesce("priority", F.lit("ALL")).alias("priority"),
+        F.coalesce("yr", F.lit(-1)).alias("yr"),
+        F.col("gid").cast("long").alias("gid"),
+        "value_cents",
+        "n_orders",
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(yr, -1)::BIGINT AS yr,
+       GROUPING(o_orderpriority, yr)::BIGINT AS gid,
+       sum(c)::BIGINT AS value_cents,
+       count(*) AS n_orders
+FROM (
+  SELECT o_orderpriority, year(o_orderdate)::BIGINT AS yr,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders
+)
+GROUP BY ROLLUP (o_orderpriority, yr)
+"""
+
+
+# --- X60: edit-distance-1 similarity join ------------------------------------
+
+
+def q_edit1_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title near-miss pairs (12-char document prefixes within
+    Levenshtein ≤ 1) via FastSS deletion-neighborhood blocking — the
+    short-string near-dup primitive (operators/dedup.py::edit1_pairs):
+    blocking index O(n·len), equi-join candidates, exact levenshtein
+    verify, hot variants dropped by `_cap_groups` (cap 64)."""
+    from .operators.dedup import edit1_pairs
+
+    titles = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, 12).alias("t")
+    )
+    return edit1_pairs(titles, cap=64)
+
+
+SQL_EDIT1_TITLES = """
+WITH s AS (
+  SELECT doc_id, substring(trim(text), 1, 12) AS t FROM documents
+), v0 AS (
+  SELECT doc_id, t,
+         unnest(list_distinct(list_append(
+           list_transform(generate_series(1, length(t)),
+             i -> substring(t, 1, i-1) || substring(t, i+1, length(t)-i)),
+           t))) AS var
+  FROM s WHERE length(t) >= 1
+), v AS (
+  SELECT doc_id, t, var FROM (
+    SELECT *, count(*) OVER (PARTITION BY var) AS gsz FROM v0
+  ) WHERE gsz <= 64
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.t AS ta, b.doc_id AS doc_b, b.t AS tb
+  FROM v a JOIN v b ON a.var = b.var AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, levenshtein(ta, tb)::INT AS dist
+FROM cand WHERE levenshtein(ta, tb) <= 1
+"""
+
+
 # --- X57: Z-order clustering key --------------------------------------------
 
 
@@ -283,6 +371,8 @@ def register(
             "q_hash_split": q_hash_split,
             "q_zorder_cluster": q_zorder_cluster,
             "q_grouped_sample": q_grouped_sample,
+            "q_edit1_titles": q_edit1_titles,
+            "q_rollup_orders": q_rollup_orders,
         }
     )
     oracles.update(
@@ -293,5 +383,7 @@ def register(
             "q_hash_split": SQL_HASH_SPLIT,
             "q_zorder_cluster": SQL_ZORDER_CLUSTER,
             "q_grouped_sample": SQL_GROUPED_SAMPLE,
+            "q_edit1_titles": SQL_EDIT1_TITLES,
+            "q_rollup_orders": SQL_ROLLUP_ORDERS,
         }
     )

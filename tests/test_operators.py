@@ -730,3 +730,43 @@ def test_cooccurrence_edges_cap_drops_hub_group(spark):
     ).collect()
     got = {(r["u"], r["v"]) for r in edges}
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_edit1_pairs_matches_brute_force(spark):
+    """Deletion-neighborhood blocking finds EXACTLY the brute-force
+    Levenshtein ≤ 1 pairs (substitution, insertion, deletion, equality
+    cases all present; distance-2 decoys excluded)."""
+    rows = [
+        (1, "spark"), (2, "spork"),   # substitution
+        (3, "spar"),                  # deletion of 1
+        (4, "sparks"),                # insertion on 1
+        (5, "spark"),                 # exact dup of 1
+        (6, "scala"),                 # far from everything
+        (7, "spoke"),                 # dist 2 from spork — decoy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in dedup.edit1_pairs(df, cap=None).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(ta, tb))
+        for (a, ta), (b, tb) in itertools.combinations(rows, 2)
+        if lev(ta, tb) <= 1
+    }
+    assert got == want and (1, 5, 0) in got and (2, 7) not in {
+        (x, y) for x, y, _ in got
+    }
