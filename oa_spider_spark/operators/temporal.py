@@ -124,3 +124,61 @@ def range_join_bucketed(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("_cell")
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+    end_sentinel: str = "2100-01-01 00:00:00",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: collapse an event
+    stream into per-key STATE INTERVALS — one row per run of equal
+    `state_col`, with version number, [valid_from, valid_to) bounds and
+    the run's event count. The warehouse-standard way to ask "what was
+    this entity's state at time T" with a plain BETWEEN instead of a
+    per-lookup as-of scan.
+
+    Gaps-and-islands over one per-key window (island id = running count
+    of state CHANGES), then a groupBy — two shuffles on the same
+    high-cardinality key, no Python. The open interval's end is a fixed
+    sentinel (not NULL) so results are hashable and BETWEEN-friendly.
+    Deterministic for any tie layout via the (ts, tiebreak) total order.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak_col)
+    chg = (
+        F.lag(state_col).over(w).isNull()
+        | (F.lag(state_col).over(w) != F.col(state_col))
+    ).cast("int")
+    isl = df.withColumn(
+        "_version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(key, "_version")
+        .agg(
+            # state is constant within an island by construction, so a
+            # plain min is exact (and DuckDB-mirrorable — its min_by has
+            # no struct-key overload)
+            F.min(state_col).alias(state_col),
+            F.min(ts_col).alias("valid_from"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn(
+            "valid_to",
+            F.coalesce(
+                F.lead("valid_from").over(Window.partitionBy(key).orderBy("_version")),
+                F.lit(end_sentinel).cast("timestamp"),
+            ),
+        )
+        .select(
+            key,
+            F.col("_version").cast("long").alias("version"),
+            state_col,
+            "valid_from",
+            "valid_to",
+            "n_events",
+        )
+    )

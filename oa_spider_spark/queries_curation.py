@@ -228,6 +228,50 @@ SELECT doc_id, lang, rank FROM (
 """
 
 
+# --- X62: SCD2 entity state history -------------------------------------------
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user state intervals from the event stream (state =
+    event_type): version, [valid_from, valid_to) with a fixed open-end
+    sentinel, and the run's event count — gaps-and-islands + groupBy,
+    the SCD type-2 build (operators/temporal.py::scd2_history)."""
+    from .operators.temporal import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev, key="user_id", ts_col="ts", tiebreak_col="event_id",
+        state_col="event_type",
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH chg AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS version
+  FROM chg
+), runs AS (
+  SELECT user_id, version,
+         min(event_type) AS event_type,
+         min(ts) AS valid_from,
+         count(*) AS n_events
+  FROM isl GROUP BY user_id, version
+)
+SELECT user_id, version, event_type, valid_from,
+       coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+                TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+       n_events
+FROM runs
+"""
+
+
 # --- X61: ROLLUP multi-granularity report ------------------------------------
 
 
@@ -373,6 +417,7 @@ def register(
             "q_grouped_sample": q_grouped_sample,
             "q_edit1_titles": q_edit1_titles,
             "q_rollup_orders": q_rollup_orders,
+            "q_scd2_history": q_scd2_history,
         }
     )
     oracles.update(
@@ -385,5 +430,6 @@ def register(
             "q_grouped_sample": SQL_GROUPED_SAMPLE,
             "q_edit1_titles": SQL_EDIT1_TITLES,
             "q_rollup_orders": SQL_ROLLUP_ORDERS,
+            "q_scd2_history": SQL_SCD2_HISTORY,
         }
     )

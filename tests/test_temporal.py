@@ -333,3 +333,50 @@ def test_quantize_embeddings_bounds_and_plan(spark):
         assert r["q_norm"] == sum(qi * qi for qi in r["q"])
         for x, qi in zip(r["embedding"], r["q"]):
             assert abs(x - qi * scale) <= scale / 2 + 1e-9
+
+
+def test_scd2_history_intervals(spark):
+    """Hand-checked islands: versions number runs of equal state,
+    valid_to chains to the next run's valid_from, the open run ends at
+    the sentinel, and intervals answer point-in-time lookups."""
+    import datetime
+
+    from oa_spider_spark.operators.temporal import scd2_history
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    ev = spark.createDataFrame(
+        [
+            (1, ts(0), 10, "view"),
+            (2, ts(5), 10, "view"),
+            (3, ts(9), 10, "error"),
+            (4, ts(15), 10, "view"),   # back to view: NEW version
+            (5, ts(0), 20, "click"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    out = {
+        (r["user_id"], r["version"]): r
+        for r in scd2_history(
+            ev, key="user_id", ts_col="ts", tiebreak_col="event_id",
+            state_col="event_type",
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[(10, 1)]["event_type"] == "view" and out[(10, 1)]["n_events"] == 2
+    assert out[(10, 1)]["valid_to"] == ts(9)
+    assert out[(10, 2)]["event_type"] == "error"
+    assert out[(10, 2)]["valid_from"] == ts(9) and out[(10, 2)]["valid_to"] == ts(15)
+    assert out[(10, 3)]["event_type"] == "view"
+    assert out[(10, 3)]["valid_to"].year == 2100  # open-end sentinel
+    assert out[(20, 1)]["n_events"] == 1
+    # point-in-time: state at minute 10 is 'error'
+    probe = ts(10)
+    hit = [
+        r for r in out.values()
+        if r["user_id"] == 10 and r["valid_from"] <= probe < r["valid_to"]
+    ]
+    assert len(hit) == 1 and hit[0]["event_type"] == "error"
