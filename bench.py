@@ -59,6 +59,13 @@ HEADLINE = [
     # in portable-md5 oracle mode (28.8 s at sf0.1 vs the xxhash64
     # scale default) — benching the oracle path would misrepresent it
     "q_pagerank",
+    # round-4 curation/graph additions (text-explode aggregates, the
+    # capped co-occurrence triangle census, z-order key computation)
+    "q_repetition_stats",
+    "q_tfidf_top_terms",
+    "q_triangle_count",
+    "q_zorder_cluster",
+    "q_scd2_history",
 ]
 
 
