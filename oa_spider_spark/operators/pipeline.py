@@ -548,3 +548,56 @@ def grouped_sample_exact_k(
         .filter(F.col("rank") <= k)
         .drop("_h", "_cut")
     )
+
+
+def bloom_filter_join(
+    big: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    how: str = "left_semi",
+    fpp: float = 0.01,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Runtime-filter join: semi/anti-join `big` against `keys` with a
+    sharded Bloom prefilter so most of `big` never reaches the shuffle
+    — the manual version of Spark's runtime bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter), which provably never
+    fires on this workload's plan shapes (BENCH notes), generalized
+    from the crawl's seen-path (frontier/seen.py, J2).
+
+    Exactness: the filter is a superset of `keys`' hash set, so a
+    Bloom MISS is definitive — for left_semi those rows drop before
+    any join; for left_anti they pass through without joining. Only
+    the maybe-set (hits ∪ false positives, ~fpp of the misses) pays
+    the exact confirm join. Row-identical to
+    `big.join(keys, key_col, how)` by construction — the oracle IS the
+    plain join.
+
+    Scale shape: keys aggregate into n_shards bitmaps (one count job to
+    size the filter); `big` co-shuffles on pmod(hash, n_shards) and
+    probes via cogrouped applyInPandas — the bitmap materializes once
+    per task, NEVER copied onto rows (the 601s-vs-108s lesson,
+    CLAUDE.md). At a billion-row `big` against a million-key dim this
+    replaces a full-table shuffle with a row-local filter + a
+    maybe-set join ~1% of the size."""
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"bloom_filter_join supports semi/anti, got {how!r}")
+    from ..frontier.seen import bloom_params, build_bloom_shards, mark_maybe_seen
+
+    kh = F.xxhash64(F.col(key_col).cast("string"))
+    key_hashes = keys.select(kh.alias("url_hash")).distinct()
+    n = key_hashes.count()
+    m_total, k = bloom_params(n, fpp)
+    m_shard = max(64, -(-m_total // n_shards))
+    shards = build_bloom_shards(key_hashes, n_shards, m_shard, k)
+    probed = mark_maybe_seen(
+        big.withColumn("url_hash", kh), shards, n_shards, m_shard, k
+    )
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "shard", "url_hash")
+    definite_miss = probed.filter(~F.col("maybe_seen")).drop(
+        "maybe_seen", "shard", "url_hash"
+    )
+    confirmed = maybe.join(keys.select(key_col).distinct(), key_col, how)
+    if how == "left_semi":
+        return confirmed  # definite misses can never match
+    return definite_miss.unionByName(confirmed)

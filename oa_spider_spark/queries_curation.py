@@ -231,6 +231,35 @@ SELECT doc_id, lang, rank FROM (
 """
 
 
+# --- X63: runtime Bloom-filter join -------------------------------------------
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents semi-joined to a key set (long English doc_ids) through
+    the sharded Bloom prefilter + exact confirm
+    (operators/pipeline.py::bloom_filter_join) — row-identical to the
+    plain semi-join, which IS the oracle; the Bloom only decides who
+    pays the shuffle."""
+    from .operators.pipeline import bloom_filter_join
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 400)
+    ).select("doc_id")
+    return bloom_filter_join(docs, keys, "doc_id", how="left_semi").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id IN (
+  SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 400
+)
+"""
+
+
 # --- X62: SCD2 entity state history -------------------------------------------
 
 
@@ -421,6 +450,7 @@ def register(
             "q_edit1_titles": q_edit1_titles,
             "q_rollup_orders": q_rollup_orders,
             "q_scd2_history": q_scd2_history,
+            "q_bloom_semi_join": q_bloom_semi_join,
         }
     )
     oracles.update(
@@ -434,5 +464,6 @@ def register(
             "q_edit1_titles": SQL_EDIT1_TITLES,
             "q_rollup_orders": SQL_ROLLUP_ORDERS,
             "q_scd2_history": SQL_SCD2_HISTORY,
+            "q_bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
         }
     )

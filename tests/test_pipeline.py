@@ -389,3 +389,20 @@ def test_grouped_sample_exactly_k_per_group(spark):
     assert sorted((r["doc_id"], r["rank"]) for r in out) == sorted(
         (r["doc_id"], r["rank"]) for r in again
     )
+
+
+def test_bloom_filter_join_identical_to_plain_join(spark):
+    """Semi AND anti variants must be row-identical to the plain join —
+    the Bloom only routes rows between the fast path (definite miss)
+    and the confirm join (maybe-set). Sized small so false positives
+    actually occur and must be caught by the confirm."""
+    from oa_spider_spark.operators.pipeline import bloom_filter_join
+
+    big = spark.range(0, 5000).selectExpr("id AS k", "id % 7 AS v")
+    keys = spark.range(0, 5000, 3).selectExpr("id AS k")  # every 3rd
+    for how in ("left_semi", "left_anti"):
+        got = sorted(
+            map(tuple, bloom_filter_join(big, keys, "k", how=how, fpp=0.2).collect())
+        )
+        want = sorted(map(tuple, big.join(keys, "k", how).collect()))
+        assert got == want, how
