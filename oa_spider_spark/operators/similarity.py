@@ -211,3 +211,64 @@ def quantize_embeddings(
         F.aggregate(q, zero, lambda a, x: a + x * x).alias("q_norm"),
         q.alias("q"),
     )
+
+
+def knn_classify(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batch k-NN majority-vote classification: for every query vector,
+    the k nearest candidates by cosine, then the plurality label
+    (ties → smaller label). Inputs carry (vec_id, embedding
+    array<double>, label); queries are broadcast (a classification
+    batch is small next to the candidate corpus).
+
+    Shapes: similarity is the JVM zip_with/aggregate fold (no Python);
+    per-query top-k is a window PARTITIONED BY query id — fine exactly
+    because batch classification has many queries (tasks = queries),
+    and each task scans its query's candidate slice linearly. At
+    corpus scale the candidate side is pre-pruned by IVF cells (X7)
+    before this operator; the semantics here are the exact reference.
+    Ranking uses the ROUNDED similarity on both engines (cosine-topk
+    discipline) so rank ties are deterministic cross-engine."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    j = candidates.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate("qe", F.lit(0.0), lambda acc, v: acc + v * v))
+    sim = F.round(dot / (na * nb), round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    nn = (
+        j.select("query_id", "true_label", "vec_id", "label", sim.alias("cos_sim"))
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+    )
+    votes = nn.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            "votes",
+            "true_label",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -231,6 +231,54 @@ SELECT doc_id, lang, rank FROM (
 """
 
 
+# --- X64: k-NN majority-vote classification -----------------------------------
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label the first 10 embedding vectors by the majority label of
+    their 5 exact-cosine nearest neighbors among the rest
+    (operators/similarity.py::knn_classify). Ranking on the rounded
+    similarity both engines, plurality ties to the smaller label."""
+    from .operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return knn_classify(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+SQL_KNN_CLASSIFY = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS true_label
+  FROM embeddings WHERE vec_id < 10
+), sims AS (
+  SELECT q.query_id, q.true_label, e.vec_id, e.label,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 10
+), nn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS nn_rank
+    FROM sims
+  ) WHERE nn_rank <= 5
+), votes AS (
+  SELECT query_id, true_label, label, count(*) AS votes
+  FROM nn GROUP BY query_id, true_label, label
+)
+SELECT query_id, label AS pred_label, votes, true_label,
+       (label = true_label) AS correct
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, label ASC) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
+
 # --- X63: runtime Bloom-filter join -------------------------------------------
 
 
@@ -451,6 +499,7 @@ def register(
             "q_rollup_orders": q_rollup_orders,
             "q_scd2_history": q_scd2_history,
             "q_bloom_semi_join": q_bloom_semi_join,
+            "q_knn_classify": q_knn_classify,
         }
     )
     oracles.update(
@@ -465,5 +514,6 @@ def register(
             "q_rollup_orders": SQL_ROLLUP_ORDERS,
             "q_scd2_history": SQL_SCD2_HISTORY,
             "q_bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+            "q_knn_classify": SQL_KNN_CLASSIFY,
         }
     )

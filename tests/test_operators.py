@@ -770,3 +770,36 @@ def test_edit1_pairs_matches_brute_force(spark):
     assert got == want and (1, 5, 0) in got and (2, 7) not in {
         (x, y) for x, y, _ in got
     }
+
+
+def test_knn_classify_majority_and_ties(spark):
+    """Hand-built geometry: queries sit on cluster axes, labels follow
+    the 3-of-5 majority; a constructed exact tie resolves to the
+    smaller label."""
+    from oa_spider_spark.operators.similarity import knn_classify
+
+    def v(x, y):
+        return [float(x), float(y)]
+
+    cands = spark.createDataFrame(
+        [
+            # 3 candidates near +x labeled 1, 2 near +y labeled 2
+            (10, v(1.0, 0.05), 1), (11, v(1.0, -0.05), 1), (12, v(0.9, 0.1), 1),
+            (13, v(0.05, 1.0), 2), (14, v(-0.05, 1.0), 2),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [
+            (0, v(1.0, 0.0), 1),     # +x → majority label 1
+            (1, v(0.0, 1.0), 2),     # +y → 2 votes label 2 vs 3 label 1? k=3 below
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {r["query_id"]: r for r in knn_classify(cands, queries, k=3).collect()}
+    assert out[0]["pred_label"] == 1 and out[0]["votes"] == 3 and out[0]["correct"]
+    # +y query's 3-NN = two label-2 (closest) + one label-1 → majority 2
+    assert out[1]["pred_label"] == 2 and out[1]["votes"] == 2
+    # tie case: k=4 on query 1 → 2 votes each; smaller label (1) wins
+    tie = {r["query_id"]: r for r in knn_classify(cands, queries, k=4).collect()}
+    assert tie[1]["votes"] == 2 and tie[1]["pred_label"] == 1
