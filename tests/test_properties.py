@@ -117,3 +117,98 @@ def test_glyph_features_fixed_size_any_glyph(glyph):
     assert f.shape == (GRID_H * GRID_W + 1,)
     assert f[-1] == 1.0
     assert set(np.unique(f[:-1])) <= {0.0, 1.0}
+
+
+# --- round-4 operator arithmetic (engine-free twins) ------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-10_000, 10_000), st.integers(-10_000, 10_000)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_morton_zvalue_sql_matches_python_reference(points):
+    """The generated z-order SQL (the DuckDB oracle side) reproduces a
+    direct Python Morton encoding for ANY integer point set — pinning
+    the quantize+interleave arithmetic both engines share."""
+    import duckdb
+
+    from oa_spider_spark.operators.layout import zvalue_sql
+
+    bits = 8
+    xs, ys = [p[0] for p in points], [p[1] for p in points]
+    lox, hix, loy, hiy = min(xs), max(xs), min(ys), max(ys)
+    top = (1 << bits) - 1
+
+    def q(v, lo, hi):
+        span = max(hi - lo, 1)
+        return max(0, min(top, ((v - lo) * top) // span))
+
+    def morton(x, y):
+        qx, qy = q(x, lox, hix), q(y, loy, hiy)
+        z = 0
+        for i in range(bits):
+            z |= ((qx >> i) & 1) << (2 * i)
+            z |= ((qy >> i) & 1) << (2 * i + 1)
+        return z
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts AS SELECT * FROM (VALUES {}) t(x, y)".format(
+        ", ".join(f"({x}, {y})" for x, y in points)
+    ))
+    got = [r[0] for r in con.execute(
+        f"SELECT {zvalue_sql('pts', ['x', 'y'], bits=bits)} FROM pts"
+    ).fetchall()]
+    assert got == [morton(x, y) for x, y in points]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=6), min_size=2, max_size=12))
+def test_deletion_neighborhood_blocking_is_complete_for_distance_1(words):
+    """FastSS soundness property behind X60: lev(a,b) ≤ 1 ⟹ a and b
+    share a member of D1 = {s} ∪ single-deletions(s), for ANY strings."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def d1(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    for i, a in enumerate(words):
+        for b in words[i + 1:]:
+            if lev(a, b) <= 1:
+                assert d1(a) & d1(b), (a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=200),
+    st.integers(1, 64),
+)
+def test_systematic_pps_arithmetic_sums_to_k(weights, k):
+    """The floor-difference pick rule behind X50: Σ n_picks == k for ANY
+    weight vector with positive total, and every row's pick count is
+    within 1 of its exact PPS expectation k·w/W."""
+    W = sum(weights)
+    if W == 0:
+        return
+    cum = 0
+    picks = []
+    for w in weights:
+        prev = cum
+        cum += w
+        picks.append((k * cum) // W - (k * prev) // W)
+    assert sum(picks) == k
+    for w, p in zip(weights, picks):
+        assert abs(p - k * w / W) <= 1
