@@ -231,6 +231,53 @@ SELECT doc_id, lang, rank FROM (
 """
 
 
+# --- X65: hopping (sliding) window rates --------------------------------------
+
+_HOP_SLIDE_US = 5 * 60 * 1_000_000
+_HOP_WIDTH_US = 10 * 60 * 1_000_000
+
+
+def q_hopping_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event counts and exact cent totals over 10-minute
+    windows hopping every 5 — each event lands in W/S = 2 overlapping
+    windows via Spark's native F.window (one explode + one groupBy;
+    state cost W/S × tumbling). Completes the window family: tumbling
+    (X41), session (X44), hopping (this). The oracle replicates
+    F.window's assignment rule — wstart = floor(t/S)·S − k·S,
+    k ∈ {0,1} — in integer epoch-micro arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.select("event_type", F.col("ts"), cents.alias("c"))
+        .groupBy("event_type", w.alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum("c").alias("value_cents"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+SQL_HOPPING_RATES = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS tu,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), x AS (
+  SELECT event_type, c,
+         make_timestamp((tu // {_HOP_SLIDE_US}) * {_HOP_SLIDE_US}
+                        - k * {_HOP_SLIDE_US}) AS window_start
+  FROM e, unnest([0, 1]) AS t(k)
+)
+SELECT event_type, window_start,
+       count(*) AS n_events, sum(c)::BIGINT AS value_cents
+FROM x GROUP BY event_type, window_start
+"""
+
+
 # --- X64: k-NN majority-vote classification -----------------------------------
 
 
@@ -500,6 +547,7 @@ def register(
             "q_scd2_history": q_scd2_history,
             "q_bloom_semi_join": q_bloom_semi_join,
             "q_knn_classify": q_knn_classify,
+            "q_hopping_rates": q_hopping_rates,
         }
     )
     oracles.update(
@@ -515,5 +563,6 @@ def register(
             "q_scd2_history": SQL_SCD2_HISTORY,
             "q_bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
             "q_knn_classify": SQL_KNN_CLASSIFY,
+            "q_hopping_rates": SQL_HOPPING_RATES,
         }
     )
