@@ -84,13 +84,20 @@ def synthetic_fetch_batch(batch: pa.RecordBatch, n_hosts: int) -> pa.RecordBatch
     return pa.RecordBatch.from_arrays(cols, names=names)
 
 
-def fetch_stage(selected: DataFrame, n_hosts: int = 20) -> DataFrame:
-    """Append fetch columns to the selected frontier rows via mapInArrow."""
+def fetch_stage(selected: DataFrame, n_hosts: int = 20, fetch_fn=None) -> DataFrame:
+    """Append fetch columns to the selected frontier rows via mapInArrow.
+
+    `fetch_fn(batch, n_hosts) -> batch + FETCH_FIELDS` swaps the
+    transport: default is the deterministic synthetic universe; the
+    production HTTP transport is
+    `transport.http_fetch_batch_fn()` (same contract, real sockets —
+    tested against a local server in tests/test_transport.py)."""
+    fn = fetch_fn or synthetic_fetch_batch
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             if b.num_rows:
-                yield synthetic_fetch_batch(b, n_hosts)
+                yield fn(b, n_hosts)
 
     in_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in selected.schema.fields)
     return selected.mapInArrow(run, schema=f"{in_ddl}, {FETCH_OUT_DDL}")
