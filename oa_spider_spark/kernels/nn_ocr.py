@@ -101,10 +101,47 @@ def classify_glyph(glyph: np.ndarray, W: np.ndarray | None = None) -> str:
     return str(int(np.argmax(logits)))
 
 
-def hack_captcha_nn(arr: np.ndarray, n: int = 4) -> str:
+def hack_captcha_nn(arr: np.ndarray, n: int = 4, predict=None) -> str:
     """K10 pipeline: binarize → despeckle → split → NN classify, truncate
     to n chars — drop-in twin of image_ops.hack_captcha (K8) with the
-    learned backend instead of template matching."""
-    W = glyph_classifier()
+    learned backend instead of template matching.
+
+    `predict(glyphs: list[np.ndarray]) -> list[str]` swaps the model:
+    default is the in-repo deterministic linear classifier; a real
+    deployment passes `onnx_glyph_backend(path)` (the ddddocr analog,
+    reference oa.py:302-303). The preprocessing/segmentation/order/
+    truncation plumbing is backend-agnostic (pinned by test with an
+    injected backend)."""
     glyphs = split_glyphs(despeckle(binarize(arr)))
-    return "".join(classify_glyph(g, W) for g in glyphs)[:n]
+    if predict is None:
+        W = glyph_classifier()
+        return "".join(classify_glyph(g, W) for g in glyphs)[:n]
+    return "".join(predict(list(glyphs)))[:n]
+
+
+def onnx_glyph_backend(model_path: str, providers: list[str] | None = None):
+    """Real-model OCR backend: an ONNX session over the same glyph
+    features (the ddddocr swap seam, reference oa.py:302-303). Returns
+    a `predict(glyphs) -> labels` callable for hack_captcha_nn.
+    Import-gated: raises with install guidance where onnxruntime is
+    absent (this sandbox); validated by a skip-gated test wherever it
+    IS installed (same policy as the PIL JPEG seam, codec.py)."""
+    try:
+        import onnxruntime as ort  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "the ONNX OCR backend needs onnxruntime (pip install "
+            "onnxruntime); the in-sandbox deterministic backend is the "
+            "default — see kernels/nn_ocr.py swap seam"
+        ) from exc
+    sess = ort.InferenceSession(
+        model_path, providers=providers or ["CPUExecutionProvider"]
+    )
+    inp = sess.get_inputs()[0].name
+
+    def predict(glyphs: list[np.ndarray]) -> list[str]:
+        feats = np.stack([glyph_features(g) for g in glyphs]).astype(np.float32)
+        logits = sess.run(None, {inp: feats})[0]
+        return [str(int(i)) for i in logits.argmax(axis=1)]
+
+    return predict
