@@ -53,6 +53,7 @@ def streaming_crawl(
     available_now: bool = True,
     max_depth: int = 2,
     links_out_dir: str | None = None,
+    maintain_bloom: bool = True,
 ):
     """Run the crawl as a streaming query; returns the StreamingQuery.
 
@@ -78,8 +79,16 @@ def streaming_crawl(
         sess = batch_df.sparkSession
         active = dedup_frontier(batch_df).filter(F.col("depth") <= max_depth)
         seen = catalog.read(sess, "seen")
-        if seen is not None:
-            active = active.join(seen.select("url_hash"), "url_hash", "left_anti")
+        # same seen-path scale machinery as the batch engine
+        # (frontier/round.py): the persisted Bloom index gates the exact
+        # anti-join so a long-running stream never re-hashes or
+        # re-shuffles the full seen table per micro-batch. Semantics are
+        # identical (superset filter + exact confirm) — streaming↔batch
+        # equivalence tests are unaffected by construction.
+        from ..frontier.seen import anti_join_seen, read_bloom_index
+
+        bloom_index = read_bloom_index(sess, catalog) if maintain_bloom else None
+        active = anti_join_seen(active, seen, use_bloom="auto", index=bloom_index)
         active = active.withColumn("budget_per_round", F.lit(default_budget))
         # keep a handle on the persisted selection BEFORE .drop (the drop
         # loses the _ordered_cache attribute) so the cache can be released
@@ -141,18 +150,28 @@ def streaming_crawl(
             # staged-fetch scan + explode/canonicalize pass, violating the
             # one-staged-pass doctrine (frontier/round.py module docstring)
             new_links = sess.read.schema(FRONTIER_DDL).parquet(dest)
-        catalog.commit_round(
-            round_id,
-            {
-                "fetched": [staged_path],
-                "seen": [catalog.stage(seen_append, "seen", round_id)],
-                "frontier": [
-                    catalog.stage(backlog, "frontier", round_id),
-                    catalog.stage(retries, "frontier", round_id),
-                    catalog.stage(new_links, "frontier", round_id),
-                ],
-            },
-        )
+        staged_tables = {
+            "fetched": [staged_path],
+            "seen": [catalog.stage(seen_append, "seen", round_id)],
+            "frontier": [
+                catalog.stage(backlog, "frontier", round_id),
+                catalog.stage(retries, "frontier", round_id),
+                catalog.stage(new_links, "frontier", round_id),
+            ],
+        }
+        if maintain_bloom:
+            from ..frontier.seen import update_bloom_index
+
+            # parquet count() on the just-staged delta is footer-metadata
+            # only — no second scan of the fetch output
+            delta_n = sess.read.parquet(*staged_tables["seen"]).count()
+            staged_tables.update(
+                update_bloom_index(
+                    sess, catalog, round_id, staged_tables["seen"],
+                    delta_count=delta_n,
+                )
+            )
+        catalog.commit_round(round_id, staged_tables)
         cache = getattr(ordered, "_ordered_cache", None)
         if cache is not None:
             cache.unpersist()

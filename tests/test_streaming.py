@@ -386,3 +386,27 @@ def test_watermark_dedup_drops_in_window_and_expires_state(spark, tmp_path):
     got3: list = []
     _drain_dedup(spark, in_dir + "/*", ckpt, got3)
     assert (1, "revisit") in got3  # re-emitted after expiry
+
+
+def test_streaming_maintains_persisted_bloom_index(spark, tmp_path):
+    """The stream shares the batch engine's seen-path scale machinery:
+    every epoch commits its Bloom-index delta atomically with its seen
+    rows, so read_bloom_index is fresh (covers ALL streamed seen rows)
+    after the drain — a later batch round or next drain probes the
+    persisted shards instead of rescanning the seen table."""
+    from oa_spider_spark.frontier.seen import read_bloom_index
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    rows = datagen.seed_frontier_rows(150, n_hosts=5)
+    df = normalize_frontier(spark, rows)
+    df.limit(80).write.parquet(f"{in_dir}/b0")
+    df.write.parquet(f"{in_dir}/b1")
+    cat = Catalog(tmp_path / "cat")
+    q = streaming_crawl(spark, cat, in_dir + "/*", ckpt, n_hosts=5, default_budget=40)
+    q.awaitTermination(180)
+    idx = read_bloom_index(spark, cat)
+    assert idx is not None, "index stale or missing after streaming drain"
+    shards, meta = idx
+    n_seen = cat.read(spark, "seen").count()
+    assert meta.n_items == n_seen and n_seen > 0
+    assert meta.capacity >= meta.n_items
