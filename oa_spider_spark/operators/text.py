@@ -289,3 +289,51 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score_milli", "rank")
     )
+
+
+# --- X67: corpus-trained bigram fluency score --------------------------------
+
+
+def bigram_fluency(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """LM-based quality filtering (the CCNet/KenLM pattern: score each
+    document under a language model trained on the corpus, drop the
+    tail) as an exact-integer twin: the "model" is corpus bigram/prefix
+    counts, and a document's score is the mean transition frequency
+
+        score_micro = (Σ_bigrams floor(10⁶·c(a,b)/c(a·))) div n_bigrams
+
+    — high for documents whose word transitions are common in the
+    corpus, low for shuffled/garbled text. No logs, no floats: every
+    step is BIGINT arithmetic, so the DuckDB oracle is value-exact and
+    the score is stable under any partitioning (real perplexity needs
+    log-probs; the RANKING this filter needs survives the monotone
+    transform, same argument as integer TF-IDF).
+
+    Scale shape: one bigram explode feeding two count aggregations
+    (the trained "model" tables — vocab-sized, persistable exactly like
+    the dedup corpus index), then one join of doc-bigrams to model
+    counts on the bigram key and a per-doc aggregate. All shuffles on
+    high-cardinality keys; map-side combine everywhere; no Python."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select("doc_id", toks.alias("_t"))
+    bigrams = F.expr(
+        "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
+        " (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    db = base.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    model_bi = db.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    model_uni = db.groupBy("w1").agg(F.count("*").alias("c_a"))
+    scored = (
+        db.join(model_bi, ["w1", "w2"])
+        .join(model_uni, "w1")
+        .withColumn("_tf", F.expr("(1000000 * c_ab) div c_a"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr("sum(_tf) div count(*)").cast("long").alias("score_micro"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+    )

@@ -231,6 +231,40 @@ SELECT doc_id, lang, rank FROM (
 """
 
 
+# --- X67: corpus-trained bigram fluency score ----------------------------------
+
+
+def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style LM quality filter as an exact-integer twin:
+    mean corpus-transition frequency per document
+    (operators/text.py::bigram_fluency) — garbled word order scores
+    low, common phrasing high; no logs, no floats, value-exact oracle."""
+    from .operators.text import bigram_fluency
+
+    return bigram_fluency(_t(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_FLUENCY = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), db AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(2, len(t)), i -> t[i-1])) AS w1,
+         unnest(list_transform(generate_series(2, len(t)), i -> t[i])) AS w2
+  FROM toks WHERE len(t) >= 2
+), model_bi AS (
+  SELECT w1, w2, count(*) AS c_ab FROM db GROUP BY w1, w2
+), model_uni AS (
+  SELECT w1, count(*) AS c_a FROM db GROUP BY w1
+)
+SELECT doc_id,
+       (sum((1000000 * c_ab) // c_a) // count(*))::BIGINT AS score_micro,
+       count(*) AS n_bigrams
+FROM db JOIN model_bi USING (w1, w2) JOIN model_uni USING (w1)
+GROUP BY doc_id
+"""
+
+
 # --- X65: hopping (sliding) window rates --------------------------------------
 
 _HOP_SLIDE_US = 5 * 60 * 1_000_000
@@ -548,6 +582,7 @@ def register(
             "q_bloom_semi_join": q_bloom_semi_join,
             "q_knn_classify": q_knn_classify,
             "q_hopping_rates": q_hopping_rates,
+            "q_bigram_fluency": q_bigram_fluency,
         }
     )
     oracles.update(
@@ -564,5 +599,6 @@ def register(
             "q_bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
             "q_knn_classify": SQL_KNN_CLASSIFY,
             "q_hopping_rates": SQL_HOPPING_RATES,
+            "q_bigram_fluency": SQL_BIGRAM_FLUENCY,
         }
     )

@@ -80,6 +80,7 @@ AUDITED = [
     "q_bloom_semi_join",
     "q_knn_classify",
     "q_hopping_rates",
+    "q_bigram_fluency",
 ]
 
 

@@ -406,3 +406,20 @@ def test_bloom_filter_join_identical_to_plain_join(spark):
         )
         want = sorted(map(tuple, big.join(keys, "k", how).collect()))
         assert got == want, how
+
+
+def test_bigram_fluency_ranks_garbled_below_fluent(spark):
+    """The filter's reason to exist: a document reusing the corpus's
+    common transitions outscores one with the same words in an order
+    the corpus never produces."""
+    from oa_spider_spark.operators.text import bigram_fluency
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(10)]
+        + [(100, "dog the over fox lazy brown jumps quick the")],  # same words, shuffled
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score_micro"] for r in bigram_fluency(docs).collect()}
+    assert out[0] > out[100]
+    assert out[0] == out[5]  # identical docs score identically
