@@ -239,3 +239,49 @@ def test_exact_resume_on_bucketed_catalog(spark, tmp_path):
     cat2 = Catalog(tmp_path / "cat")
     again = run_crawl(spark, cat2, 2, n_hosts=10, default_budget=250)
     assert again == []  # both rounds already committed
+
+
+def test_full_scale_stack_crawl_equivalence(spark, tmp_path):
+    """ALL the scale-storage features at once — bucketed CLUSTERED-BY
+    layout + persisted incremental Bloom index + per-round frontier
+    compaction — against the plain baseline: identical round results,
+    identical seen rows, a fresh index covering the seen table, a
+    horizon-sized live frontier, and the zero-exchange selection plan
+    SURVIVING compaction rewrites (the compacted snapshot re-clusters).
+    Features are tested individually elsewhere; this pins their
+    interactions."""
+    plain_cat, plain = _crawl(spark, tmp_path / "plain")
+    cat = Catalog(tmp_path / "stack", bucketed=SCALE_LAYOUT)
+    seed_catalog(spark, cat, datagen.seed_frontier_rows(2500, n_hosts=10))
+    res = run_crawl(
+        spark, cat, 3, n_hosts=10, default_budget=250,
+        compact_every=1, maintain_bloom=True, use_bloom=True,
+    )
+    assert [
+        (r.selected, r.fetched_ok, r.retried, r.failed, r.new_links) for r in plain
+    ] == [(r.selected, r.fetched_ok, r.retried, r.failed, r.new_links) for r in res]
+    assert sorted(map(tuple, plain_cat.read(spark, "seen").collect())) == sorted(
+        map(tuple, cat.read(spark, "seen").collect())
+    )
+    # index stayed fresh through the compaction rewrites
+    idx = read_bloom_index(spark, cat)
+    assert idx is not None and idx[1].n_items == cat.read(spark, "seen").count()
+    # live frontier = pending horizon, not history
+    assert (
+        cat.read(spark, "frontier").count()
+        < plain_cat.read(spark, "frontier").count()
+    )
+    # zero-exchange selection on the POST-compaction layout
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sel = anti_join_seen(
+            dedup_frontier(cat.read(spark, "frontier")),
+            cat.read(spark, "seen"),
+            use_bloom=False,
+        )
+        plan = sel._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 2, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
