@@ -66,6 +66,9 @@ HEADLINE = [
     "q_triangle_count",
     "q_zorder_cluster",
     "q_scd2_history",
+    "q_edit1_titles",
+    "q_bloom_semi_join",
+    "q_bigram_fluency",
 ]
 
 
