@@ -601,3 +601,54 @@ def bloom_filter_join(
     if how == "left_semi":
         return confirmed  # definite misses can never match
     return definite_miss.unionByName(confirmed)
+
+
+def grouped_trend(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact per-group OLS slope (micro-units): the "is this segment's
+    metric trending up?" aggregate, computed so the value is
+    bit-identical on any engine/partitioning:
+
+      slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    * x is centered per group (x − min x) so products stay small;
+    * every sum is cast to DECIMAL(38,0) BEFORE summing (ANSI mode
+      throws on int64 overflow otherwise — CLAUDE.md invariant);
+    * the ×10⁶ scaling and the division use the exact-division trick:
+      subtract `((nm % den) + den) % den` (the canonical non-negative
+      remainder) so the numerator divides EVENLY — dodging both
+      Spark's floor-toward−∞ decimal floor and DuckDB's
+      truncate-toward-zero `//`, which disagree on negative slopes.
+
+    One broadcast of per-group minima + one groupBy — two shuffles on
+    the group key, no Python, no floats anywhere."""
+    dec = "decimal(38,0)"
+    mins = df.groupBy(group_col).agg(F.min(x_col).alias("_x0"))
+    d = df.join(F.broadcast(mins), group_col).select(
+        group_col,
+        (F.col(x_col) - F.col("_x0")).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    s = d.groupBy(group_col).agg(
+        F.count("*").cast(dec).alias("_n"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(dec)).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_sxx"),
+    )
+    c = s.select(
+        group_col,
+        F.col("_n").cast("long").alias("n_rows"),
+        (F.expr("_n * _sxy - _sx * _sy") * F.lit(1000000).cast(dec)).alias("_nm"),
+        F.expr("_n * _sxx - _sx * _sx").alias("_den"),
+    )
+    exact_q = F.expr("(_nm - ((_nm % _den + _den) % _den)) / _den")
+    return c.select(
+        group_col,
+        "n_rows",
+        F.when(F.col("_den") == 0, F.lit(None))
+        .otherwise(exact_q)
+        .cast("long")
+        .alias("slope_micro"),
+    )

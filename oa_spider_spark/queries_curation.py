@@ -231,6 +231,52 @@ SELECT doc_id, lang, rank FROM (
 """
 
 
+# --- X68: grouped exact-OLS trend -----------------------------------------------
+
+
+def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trend of event value over time: exact integer OLS slope
+    in micro-units (operators/pipeline.py::grouped_trend) — x = epoch
+    seconds, y = value cents. The segment-metric-trend aggregate with a
+    value-exact oracle (DECIMAL sums + the exact-division trick)."""
+    from .operators.pipeline import grouped_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("xs"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return grouped_trend(ev, "user_id", "xs", "cents")
+
+
+SQL_GROUPED_TREND = """
+WITH e AS (
+  SELECT user_id, (epoch_us(ts) // 1000000)::BIGINT AS xs,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), g AS (
+  SELECT user_id, min(xs) AS x0 FROM e GROUP BY user_id
+), d AS (
+  SELECT e.user_id, (xs - x0)::HUGEINT AS x, cents::HUGEINT AS y
+  FROM e JOIN g USING (user_id)
+), s AS (
+  SELECT user_id, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM d GROUP BY user_id
+), c AS (
+  SELECT user_id, n::BIGINT AS n_rows,
+         (n * sxy - sx * sy) * 1000000 AS nm,
+         (n * sxx - sx * sx) AS den
+  FROM s
+)
+SELECT user_id, n_rows,
+       CASE WHEN den = 0 THEN NULL
+            ELSE ((nm - ((nm % den + den) % den)) // den)::BIGINT
+       END AS slope_micro
+FROM c
+"""
+
+
 # --- X67: corpus-trained bigram fluency score ----------------------------------
 
 
@@ -583,6 +629,7 @@ def register(
             "q_knn_classify": q_knn_classify,
             "q_hopping_rates": q_hopping_rates,
             "q_bigram_fluency": q_bigram_fluency,
+            "q_grouped_trend": q_grouped_trend,
         }
     )
     oracles.update(
@@ -600,5 +647,6 @@ def register(
             "q_knn_classify": SQL_KNN_CLASSIFY,
             "q_hopping_rates": SQL_HOPPING_RATES,
             "q_bigram_fluency": SQL_BIGRAM_FLUENCY,
+            "q_grouped_trend": SQL_GROUPED_TREND,
         }
     )

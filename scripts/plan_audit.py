@@ -81,6 +81,7 @@ AUDITED = [
     "q_knn_classify",
     "q_hopping_rates",
     "q_bigram_fluency",
+    "q_grouped_trend",
 ]
 
 

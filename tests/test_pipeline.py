@@ -423,3 +423,28 @@ def test_bigram_fluency_ranks_garbled_below_fluent(spark):
     out = {r["doc_id"]: r["score_micro"] for r in bigram_fluency(docs).collect()}
     assert out[0] > out[100]
     assert out[0] == out[5]  # identical docs score identically
+
+
+def test_grouped_trend_exact_slopes(spark):
+    """Hand-checked slopes in micro-units, including a NEGATIVE slope
+    (the floor-vs-truncate divergence case the exact-division trick
+    exists for), a constant-x group (NULL), and partition invariance."""
+    from oa_spider_spark.operators.pipeline import grouped_trend
+
+    rows = (
+        [("up", x, 10 + 3 * x) for x in range(50)]          # slope exactly 3
+        + [("down", x, 1000 - 7 * x) for x in range(50)]    # slope exactly -7
+        + [("third", x, x // 3) for x in range(30)]         # slope 1/3: floor(1e6/3)
+        + [("flat_x", 5, y) for y in range(10)]             # den = 0 → NULL
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r["slope_micro"] for r in grouped_trend(df, "g", "x", "y").collect()}
+    assert out["up"] == 3_000_000
+    assert out["down"] == -7_000_000
+    assert 320_000 <= out["third"] <= 340_000  # ≈ 1/3, floored micro
+    assert out["flat_x"] is None
+    out2 = {
+        r["g"]: r["slope_micro"]
+        for r in grouped_trend(df.repartition(13), "g", "x", "y").collect()
+    }
+    assert out == out2
