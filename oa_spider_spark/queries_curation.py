@@ -231,6 +231,55 @@ SELECT doc_id, lang, rank FROM (
 """
 
 
+# --- X69: new-vs-returning daily actives ----------------------------------------
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day activity split by first-touch attribution: events,
+    distinct active users, and how many of them are NEW that day (their
+    first event ever). Two aggregations + one join on the user key —
+    the growth-analytics staple, exact by construction (date_trunc and
+    counts only). At corpus scale the first-seen table is user-sized
+    and persistable; each new day appends via min-merge — the same
+    incremental-index pattern as the Bloom seen-set."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ev.join(first, "user_id")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+            ).alias("n_new_users"),
+        )
+        .withColumn(
+            "n_returning", (F.col("n_users") - F.col("n_new_users")).cast("long")
+        )
+    )
+
+
+SQL_NEW_VS_RETURNING = """
+WITH e AS (
+  SELECT user_id, date_trunc('day', ts) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id
+)
+SELECT day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CASE WHEN day = first_day THEN user_id END) AS n_new_users,
+       (count(DISTINCT user_id)
+        - count(DISTINCT CASE WHEN day = first_day THEN user_id END))::BIGINT
+         AS n_returning
+FROM e JOIN first USING (user_id)
+GROUP BY day
+"""
+
+
 # --- X68: grouped exact-OLS trend -----------------------------------------------
 
 
@@ -630,6 +679,7 @@ def register(
             "q_hopping_rates": q_hopping_rates,
             "q_bigram_fluency": q_bigram_fluency,
             "q_grouped_trend": q_grouped_trend,
+            "q_new_vs_returning": q_new_vs_returning,
         }
     )
     oracles.update(
@@ -648,5 +698,6 @@ def register(
             "q_hopping_rates": SQL_HOPPING_RATES,
             "q_bigram_fluency": SQL_BIGRAM_FLUENCY,
             "q_grouped_trend": SQL_GROUPED_TREND,
+            "q_new_vs_returning": SQL_NEW_VS_RETURNING,
         }
     )

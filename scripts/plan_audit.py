@@ -82,6 +82,7 @@ AUDITED = [
     "q_hopping_rates",
     "q_bigram_fluency",
     "q_grouped_trend",
+    "q_new_vs_returning",
 ]
 
 
