@@ -231,6 +231,92 @@ SELECT doc_id, lang, rank FROM (
 """
 
 
+# --- X70: ordered funnel analysis ------------------------------------------------
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel per user — view → click → purchase, each
+    step's timestamp the EARLIEST occurrence strictly after the prior
+    step (the product-analytics funnel, not mere set membership: a
+    purchase before the first view does not count). Three keyed
+    aggregations chained by join — no window over the whole event
+    stream, no Python; missing steps carry the −1 sentinel so the
+    result is NULL-free and value-hashable."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    base = ev.select("user_id").distinct()
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    out = (
+        base.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+    )
+    depth = (
+        F.col("t_view").isNotNull().cast("int")
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("t_view", F.lit(-1)).alias("t_view"),
+        F.coalesce("t_click", F.lit(-1)).alias("t_click"),
+        F.coalesce("t_purchase", F.lit(-1)).alias("t_purchase"),
+        depth.cast("int").alias("depth"),
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), base AS (SELECT DISTINCT user_id FROM e),
+t1 AS (
+  SELECT user_id, min(us) AS t_view FROM e WHERE event_type = 'view'
+  GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(us) AS t_click
+  FROM e JOIN t1 USING (user_id)
+  WHERE event_type = 'click' AND us > t_view
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(us) AS t_purchase
+  FROM e JOIN t2 USING (user_id)
+  WHERE event_type = 'purchase' AND us > t_click
+  GROUP BY e.user_id
+)
+SELECT base.user_id,
+       coalesce(t_view, -1) AS t_view,
+       coalesce(t_click, -1) AS t_click,
+       coalesce(t_purchase, -1) AS t_purchase,
+       ((t_view IS NOT NULL)::INT + (t_click IS NOT NULL)::INT
+        + (t_purchase IS NOT NULL)::INT)::INT AS depth
+FROM base
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+"""
+
+
 # --- X69: new-vs-returning daily actives ----------------------------------------
 
 
@@ -680,6 +766,7 @@ def register(
             "q_bigram_fluency": q_bigram_fluency,
             "q_grouped_trend": q_grouped_trend,
             "q_new_vs_returning": q_new_vs_returning,
+            "q_funnel_steps": q_funnel_steps,
         }
     )
     oracles.update(
@@ -699,5 +786,6 @@ def register(
             "q_bigram_fluency": SQL_BIGRAM_FLUENCY,
             "q_grouped_trend": SQL_GROUPED_TREND,
             "q_new_vs_returning": SQL_NEW_VS_RETURNING,
+            "q_funnel_steps": SQL_FUNNEL_STEPS,
         }
     )

@@ -83,6 +83,7 @@ AUDITED = [
     "q_bigram_fluency",
     "q_grouped_trend",
     "q_new_vs_returning",
+    "q_funnel_steps",
 ]
 
 
