@@ -102,6 +102,10 @@ def main() -> None:
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
             "spark.eventLog.compress": "false",
+            # the JVM console progress bar emits \r-framed lines that can
+            # interleave with the final JSON in captured output (the r04
+            # driver artifact failed to parse for exactly this reason)
+            "spark.ui.showConsoleProgress": "false",
         },
     )
 
@@ -292,8 +296,7 @@ def main() -> None:
         import shutil
 
         shutil.rmtree(evdir, ignore_errors=True)
-    print(
-        json.dumps(
+    result_line = json.dumps(
             {
                 "metric": "headline queries + one crawl round, wall seconds",
                 "value": total,
@@ -319,7 +322,19 @@ def main() -> None:
                 },
             }
         )
+    # Parse-safe emission (VERDICT r04 item 5): any stray \r-framed JVM
+    # output interleaved into a combined-stream capture breaks line-based
+    # JSON parsing. Flush stderr first, start the JSON at column 0 of a
+    # fresh line, and persist a byte-identical copy next to this script so
+    # the artifact survives even a mangled stdout capture.
+    result_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"
     )
+    with open(result_path, "w") as fh:
+        fh.write(result_line + "\n")
+    sys.stderr.flush()
+    sys.stdout.write("\n" + result_line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

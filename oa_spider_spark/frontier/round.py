@@ -39,7 +39,12 @@ from .politeness import (
     robots_allowed,
     salted_repartition,
 )
-from .seen import anti_join_seen, read_bloom_index, update_bloom_index
+from .seen import (
+    SEEN_INDEX_MIN,
+    anti_join_seen,
+    read_bloom_index,
+    update_bloom_index,
+)
 
 FRONTIER_COLS = [
     "url", "url_canon", "url_hash", "host", "kind",
@@ -125,7 +130,8 @@ def run_round(
     round_limit: int | None = None,
     max_depth: int = 2,
     use_bloom: bool | str = "auto",
-    maintain_bloom: bool = True,
+    maintain_bloom: bool | str = "auto",
+    seen_index_min: int | None = None,
     hosts_table: DataFrame | None = None,
     partitions: int | None = None,
     salt: int | None = None,
@@ -136,7 +142,17 @@ def run_round(
     regressions are attributable without a separate profiling session
     (VERDICT r02 item 6). Phases are split at the EAGER points — plan
     building is lazy, so each phase's number is the materialization it
-    triggers, which is also how a cluster would account it."""
+    triggers, which is also how a cluster would account it.
+
+    `maintain_bloom="auto"` (default) mirrors the probe's adaptive policy
+    (VERDICT r04 item 2): per-round index maintenance starts only once
+    the cumulative seen count crosses `seen_index_min` (default
+    seen.SEEN_INDEX_MIN = the measured ~2×10⁷ probe breakeven) — below
+    that the auto probe takes the plain left_anti anyway, so shard upkeep
+    is pure overhead. Once an index EXISTS it is always kept fresh (a
+    skipped update would strand it stale — read_bloom_index discards
+    anything older than the last seen commit). True/False force the old
+    unconditional behaviors; staleness semantics are unchanged."""
     import time as _time
 
     _t0 = _time.perf_counter()
@@ -158,8 +174,19 @@ def run_round(
     # seen delta) gates the anti-join so the seen table is never re-hashed
     # per round; its meta carries n_items so no count job runs either.
     bloom_index = read_bloom_index(spark, catalog) if maintain_bloom else None
+    # running seen count from commit-log metadata (index meta when one
+    # exists): feeds both the probe's auto policy and the maintenance
+    # decision below with ZERO count jobs. None = legacy log, fall back.
+    n_seen_before = (
+        bloom_index[1].n_items
+        if bloom_index is not None
+        else catalog.cumulative_count("seen")
+    )
     active = dedup_frontier(frontier).filter(F.col("depth") <= max_depth)
-    active = anti_join_seen(active, seen, use_bloom=use_bloom, index=bloom_index)
+    active = anti_join_seen(
+        active, seen, use_bloom=use_bloom, index=bloom_index,
+        est_seen=n_seen_before,
+    )
     active = robots_allowed(active, hosts_table)
     selected_full = budget_and_order(active, default_budget, round_limit)
     selected = selected_full.drop(
@@ -241,17 +268,29 @@ def run_round(
         "seen": [catalog.stage(seen_append, "seen", round_id)],
         "lineage": [catalog.stage(lineage, "lineage", round_id)],
     }
-    if maintain_bloom:
+    delta_seen = seen_obs.get["n"]
+    if maintain_bloom == "auto":
+        threshold = seen_index_min if seen_index_min is not None else SEEN_INDEX_MIN
+        if n_seen_before is None and seen is not None:
+            n_seen_before = seen.count()  # legacy log without counts: one job
+        do_maintain = bloom_index is not None or (
+            (n_seen_before or 0) + delta_seen >= threshold
+        )
+    else:
+        do_maintain = bool(maintain_bloom)
+    if do_maintain:
         # OR this round's delta into the persisted shards; committed in
         # the SAME round entry so index and rows stay atomic together
         staged_paths.update(
             update_bloom_index(
                 spark, catalog, round_id, staged_paths["seen"],
-                delta_count=seen_obs.get["n"],
+                delta_count=delta_seen,
             )
         )
     _mark("derived_stage")
-    catalog.commit_round(round_id, staged_paths)
+    # the seen count rides the commit entry so the NEXT round's adaptive
+    # decisions (probe mode + maintenance) read the log, not the table
+    catalog.commit_round(round_id, staged_paths, counts={"seen": delta_seen})
 
     totals = (
         spark.read.parquet(*staged_paths["lineage"])

@@ -22,6 +22,7 @@ derived from the already-computed 64-bit url_hash by splitmix64 remixing
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -249,6 +250,15 @@ def update_bloom_index(
 # shards pay off when the seen table is too big to re-shuffle against the
 # frontier every round (10^8+; the 10^10 design point is the north rule).
 BLOOM_MIN_SEEN = 20_000_000
+
+# Index MAINTENANCE gates on the same breakeven as the probe (VERDICT r04
+# item 2): paying delta-hash + shard-OR + shard rewrite every round only
+# makes sense once the probe those shards feed is itself the winning plan.
+# Below this, run_round(maintain_bloom="auto") skips the build entirely
+# (measured: unconditional maintenance cost the sf0.1 bench 8.7 s/round of
+# derived_stage for an index the auto probe never used). Env-overridable
+# for deployments whose breakeven differs (faster disks shift it down).
+SEEN_INDEX_MIN = int(os.environ.get("SEEN_INDEX_MIN", BLOOM_MIN_SEEN))
 
 
 def anti_join_seen(

@@ -53,7 +53,7 @@ def streaming_crawl(
     available_now: bool = True,
     max_depth: int = 2,
     links_out_dir: str | None = None,
-    maintain_bloom: bool = True,
+    maintain_bloom: bool | str = "auto",
 ):
     """Run the crawl as a streaming query; returns the StreamingQuery.
 
@@ -88,7 +88,15 @@ def streaming_crawl(
         from ..frontier.seen import anti_join_seen, read_bloom_index
 
         bloom_index = read_bloom_index(sess, catalog) if maintain_bloom else None
-        active = anti_join_seen(active, seen, use_bloom="auto", index=bloom_index)
+        n_seen_before = (
+            bloom_index[1].n_items
+            if bloom_index is not None
+            else catalog.cumulative_count("seen")
+        )
+        active = anti_join_seen(
+            active, seen, use_bloom="auto", index=bloom_index,
+            est_seen=n_seen_before,
+        )
         active = active.withColumn("budget_per_round", F.lit(default_budget))
         # keep a handle on the persisted selection BEFORE .drop (the drop
         # loses the _ordered_cache attribute) so the cache can be released
@@ -159,19 +167,32 @@ def streaming_crawl(
                 catalog.stage(new_links, "frontier", round_id),
             ],
         }
-        if maintain_bloom:
+        # parquet count() on the just-staged delta is footer-metadata
+        # only — no second scan of the fetch output
+        delta_n = sess.read.parquet(*staged_tables["seen"]).count()
+        if maintain_bloom == "auto":
+            # same adaptive policy as the batch engine (frontier/round.py):
+            # maintain once an index exists or the corpus crosses the
+            # probe breakeven; below it the auto probe never uses shards
+            from ..frontier.seen import SEEN_INDEX_MIN
+
+            if n_seen_before is None and seen is not None:
+                n_seen_before = seen.count()  # legacy log without counts
+            do_maintain = bloom_index is not None or (
+                (n_seen_before or 0) + delta_n >= SEEN_INDEX_MIN
+            )
+        else:
+            do_maintain = bool(maintain_bloom)
+        if do_maintain:
             from ..frontier.seen import update_bloom_index
 
-            # parquet count() on the just-staged delta is footer-metadata
-            # only — no second scan of the fetch output
-            delta_n = sess.read.parquet(*staged_tables["seen"]).count()
             staged_tables.update(
                 update_bloom_index(
                     sess, catalog, round_id, staged_tables["seen"],
                     delta_count=delta_n,
                 )
             )
-        catalog.commit_round(round_id, staged_tables)
+        catalog.commit_round(round_id, staged_tables, counts={"seen": delta_n})
         cache = getattr(ordered, "_ordered_cache", None)
         if cache is not None:
             cache.unpersist()

@@ -205,6 +205,7 @@ class Catalog:
         round_id: int,
         staged: dict[str, list[str]],
         replaces: list[str] | None = None,
+        counts: dict[str, int] | None = None,
     ) -> None:
         """Atomically publish all staged snapshots of one crawl round.
         `staged` maps table name -> list of staged snapshot paths.
@@ -213,7 +214,12 @@ class Catalog:
         supersede all prior snapshots of that table (Iceberg
         rewrite-files semantics — compaction). Superseded files are NOT
         deleted: time-travel reads with as_of_round before this commit
-        still see them."""
+        still see them.
+
+        `counts` optionally records row counts of this commit's snapshots
+        (table -> rows). `cumulative_count` folds them into a running
+        total the engine reads driver-side — the Iceberg analog is the
+        snapshot summary's `total-records` property."""
         entries = self._read_log()
         if any(e["round"] == round_id for e in entries):
             raise ValueError(f"round {round_id} already committed")
@@ -223,8 +229,28 @@ class Catalog:
             if unknown:
                 raise ValueError(f"replaces names unstaged tables: {sorted(unknown)}")
             entry["replaces"] = sorted(replaces)
+        if counts:
+            entry["counts"] = {t: int(n) for t, n in counts.items()}
         entries.append(entry)
         self._write_log(entries)
+
+    def cumulative_count(self, table: str) -> int | None:
+        """Committed row count of `table` from per-commit `counts`
+        metadata — pure driver-side log fold, no Spark job. A `replaces`
+        entry resets the total to its own count (rewrite semantics match
+        `snapshot_paths`). Returns None when any contributing commit
+        lacks a count (legacy log) so callers fall back to counting."""
+        total: int | None = 0
+        for e in self._read_log():
+            if table in e.get("replaces", []):
+                total = 0
+            if e["tables"].get(table):
+                c = e.get("counts", {}).get(table)
+                if c is None:
+                    total = None
+                elif total is not None:
+                    total += c
+        return total
 
     # -- reads ------------------------------------------------------------
 

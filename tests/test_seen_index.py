@@ -32,6 +32,9 @@ from oa_spider_spark.tables import SCALE_LAYOUT, Catalog
 def _crawl(spark, root, rounds=3, bucketed=None, **kw):
     cat = Catalog(root, bucketed=bucketed)
     seed_catalog(spark, cat, datagen.seed_frontier_rows(2500, n_hosts=10))
+    # force index maintenance at toy corpus size (the "auto" default
+    # skips it below the SEEN_INDEX_MIN breakeven — tested separately)
+    kw.setdefault("maintain_bloom", True)
     res = run_crawl(spark, cat, rounds, n_hosts=10, default_budget=250, **kw)
     return cat, res
 
@@ -80,7 +83,7 @@ def test_stale_index_is_discarded(spark, tmp_path):
     run_round(spark, cat, 2, n_hosts=10, default_budget=250, maintain_bloom=False)
     assert read_bloom_index(spark, cat) is None
     # the next maintained round detects staleness and rebuilds in full
-    run_round(spark, cat, 3, n_hosts=10, default_budget=250)
+    run_round(spark, cat, 3, n_hosts=10, default_budget=250, maintain_bloom=True)
     shards, meta = read_bloom_index(spark, cat)
     seen_keys = cat.read(spark, "seen").select("url_hash")
     assert meta.n_items == seen_keys.count()
@@ -110,6 +113,52 @@ def test_capacity_overflow_triggers_geometric_rebuild(spark, tmp_path, monkeypat
     assert {r["shard"]: r["bits"] for r in shards.collect()} == {
         r["shard"]: r["bits"] for r in fresh.collect()
     }
+
+
+def test_auto_maintenance_skips_below_breakeven_then_builds_at_crossing(
+    spark, tmp_path
+):
+    """maintain_bloom="auto" (the default): no shard upkeep while the
+    corpus is below the breakeven (the auto PROBE takes the plain
+    left_anti there, so shards would be dead weight — VERDICT r04 item
+    2), first build exactly when cumulative seen crosses the threshold,
+    kept fresh every round thereafter; crawl results identical to the
+    forced-maintenance run throughout."""
+    forced_cat, forced = _crawl(spark, tmp_path / "forced")  # True via _crawl
+    cat = Catalog(tmp_path / "auto")
+    seed_catalog(spark, cat, datagen.seed_frontier_rows(2500, n_hosts=10))
+    r0 = run_round(
+        spark, cat, 0, n_hosts=10, default_budget=250, seen_index_min=10**9
+    )
+    assert read_bloom_index(spark, cat) is None  # below breakeven: skipped
+    n0 = cat.cumulative_count("seen")
+    assert n0 == cat.read(spark, "seen").count()  # log metadata is exact
+    # threshold just above the current count → this round's delta crosses
+    # it and triggers the FIRST build (full scan, geometric capacity)
+    r1 = run_round(
+        spark, cat, 1, n_hosts=10, default_budget=250, seen_index_min=n0 + 1
+    )
+    idx = read_bloom_index(spark, cat)
+    assert idx is not None
+    assert idx[1].n_items == cat.read(spark, "seen").count()
+    # once the index exists, auto keeps it fresh even when the threshold
+    # says skip — a skipped update would strand it stale
+    r2 = run_round(
+        spark, cat, 2, n_hosts=10, default_budget=250, seen_index_min=10**9
+    )
+    idx2 = read_bloom_index(spark, cat)
+    assert idx2 is not None and idx2[1].n_items == cat.read(spark, "seen").count()
+    # the policy is pure bookkeeping: identical crawl to forced maintenance
+    assert [
+        (r.selected, r.fetched_ok, r.retried, r.failed, r.new_links)
+        for r in (r0, r1, r2)
+    ] == [
+        (r.selected, r.fetched_ok, r.retried, r.failed, r.new_links)
+        for r in forced
+    ]
+    assert sorted(map(tuple, cat.read(spark, "seen").collect())) == sorted(
+        map(tuple, forced_cat.read(spark, "seen").collect())
+    )
 
 
 # --- bucketed catalog layout ---------------------------------------------
