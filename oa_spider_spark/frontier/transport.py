@@ -59,7 +59,7 @@ def _classify(code: int) -> str:
     return "failed"
 
 
-def _fetch_one(url: str, timeout_s: float) -> dict:
+def _fetch_one(url: str, timeout_s: float, headers: dict | None = None) -> dict:
     t0 = time.perf_counter()
     out = {
         "status": "failed", "bytes": None, "w": None, "h": None,
@@ -67,7 +67,9 @@ def _fetch_one(url: str, timeout_s: float) -> dict:
         "reason": None,
     }
     try:
-        req = urllib.request.Request(url, headers={"User-Agent": "oa-spider-spark"})
+        req = urllib.request.Request(
+            url, headers={"User-Agent": "oa-spider-spark", **(headers or {})}
+        )
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
             body = resp.read()
             ctype = resp.headers.get("Content-Type", "")
@@ -108,16 +110,26 @@ def _fetch_one(url: str, timeout_s: float) -> dict:
     return out
 
 
-def http_fetch_batch_fn(timeout_s: float = 10.0, max_workers: int = 16):
+def http_fetch_batch_fn(
+    timeout_s: float = 10.0, max_workers: int = 16, headers: dict | None = None
+):
     """Returns a batch function with synthetic_fetch_batch's contract,
     fetching over real HTTP. Use:
-    `fetch_stage(selected, fetch_fn=http_fetch_batch_fn())`."""
+    `fetch_stage(selected, fetch_fn=http_fetch_batch_fn())`.
+
+    `headers` ride every request — the authenticated-session path passes
+    its cookie here (frontier/auth.py::AuthSession.fetch_fn), mirroring
+    the reference's post-login `self.session` reuse (oa.py:345+)."""
 
     def http_fetch_batch(batch: pa.RecordBatch, n_hosts: int = 0) -> pa.RecordBatch:
         from .fetch import FETCH_FIELDS
 
         urls = batch.column("url_canon").to_pylist()
-        results = list(_pool(max_workers).map(lambda u: _fetch_one(u, timeout_s), urls))
+        results = list(
+            _pool(max_workers).map(
+                lambda u: _fetch_one(u, timeout_s, headers), urls
+            )
+        )
         cols = {
             "status": pa.array([r["status"] for r in results], pa.string()),
             "bytes": pa.array([r["bytes"] for r in results], pa.binary()),

@@ -2031,3 +2031,15 @@ _register_temporal(QUERIES, ORACLES)
 from .queries_curation import register as _register_curation  # noqa: E402
 
 _register_curation(QUERIES, ORACLES)
+
+# Login-envelope composition (K8 OCR → F9/F10 validate → F8 RSA seal;
+# the batch twin of frontier/auth.py's real-socket login).
+from .queries_auth import register as _register_auth  # noqa: E402
+
+_register_auth(QUERIES, ORACLES)
+
+# Storage-strategy queries (bucketed co-located join, value-oracled
+# against the plain join; see queries_storage.py).
+from .queries_storage import register as _register_storage  # noqa: E402
+
+_register_storage(QUERIES, ORACLES)

@@ -630,12 +630,69 @@ WHERE (100 * c) // w - (100 * (c - coalesce(n_chars, 0))) // w >= 1
 """
 
 
+# --- X44: streaming-native sessionization (F.session_window) --------------
+#
+# q_user_sessions oracles the window/lag batch sessionizer; THIS entry
+# oracles the Structured-Streaming-native formulation directly (VERDICT
+# r04 item 7) — same event log, same 21600 s gap, value-checked against
+# an independent DuckDB gap-islands rewrite. Both split only at
+# gap > g (Spark's session window closes at last_event + g INCLUSIVE),
+# which is exactly what `> {gap}` in the oracle's new-session predicate
+# encodes. Streaming relevance: this same expression runs unchanged
+# under readStream + watermark — the batch/streaming twin property
+# test_session_window_matches_sessionize pins.
+
+SW_GAP_S = 21600
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(
+                F.col("ts").cast("timestamp"), f"{SW_GAP_S} seconds"
+            ).alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("start_us"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("end_us"),
+        )
+        .select("user_id", "start_us", "end_us", "n_events")
+    )
+
+
+SQL_SESSION_WINDOW = f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SW_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT user_id, us,
+         CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS session_seq
+  FROM t
+)
+SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
 ) -> None:
     queries.update(
         {
+            "q_session_window": q_session_window,
             "q_hll_distinct": q_hll_distinct,
             "q_asof_prior_click": q_asof_prior_click,
             "q_error_window_activity": q_error_window_activity,
@@ -652,6 +709,7 @@ def register(
     )
     oracles.update(
         {
+            "q_session_window": SQL_SESSION_WINDOW,
             "q_hll_distinct": SQL_HLL_DISTINCT,
             "q_asof_prior_click": SQL_ASOF_PRIOR_CLICK,
             "q_error_window_activity": SQL_ERROR_WINDOW_ACTIVITY,

@@ -32,6 +32,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 AUDITED = [
+    "q_login_envelope",
+    "q_session_window",
+    "q_bucketed_join",
     "q_crawl_select",
     "q_budget_window",
     "q_topk_priority",
