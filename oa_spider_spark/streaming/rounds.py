@@ -32,14 +32,22 @@ FRONTIER_DDL = (
 )
 
 
-def frontier_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+def frontier_stream(
+    spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over a directory receiving frontier parquet
-    appends (in production: Kafka topic of discovered URLs)."""
-    return (
-        spark.readStream.schema(FRONTIER_DDL)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(in_dir)
-    )
+    appends (in production: Kafka topic of discovered URLs).
+
+    `max_files_per_trigger` defaults to UNSET: an AvailableNow drain then
+    takes everything pending as ONE micro-batch, amortizing the per-epoch
+    fixed cost (selection windows, derived-append write jobs, commit —
+    measured ~3.5 s/epoch regardless of batch size, the whole r04
+    streaming-vs-batch gap). A long-running low-latency deployment sets
+    it to bound per-batch work instead."""
+    reader = spark.readStream.schema(FRONTIER_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(in_dir)
 
 
 def streaming_crawl(
@@ -54,6 +62,9 @@ def streaming_crawl(
     max_depth: int = 2,
     links_out_dir: str | None = None,
     maintain_bloom: bool | str = "auto",
+    epoch_log: list | None = None,
+    max_files_per_trigger: int | None = None,
+    partitions: int | None = None,
 ):
     """Run the crawl as a streaming query; returns the StreamingQuery.
 
@@ -71,11 +82,23 @@ def streaming_crawl(
     nothing, and never deletes files a restarted source already listed."""
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        _wall0 = _t0 = _time.perf_counter()
+        phases: dict[str, float] = {}
+
+        def _mark(key: str) -> None:
+            nonlocal _t0
+            now = _time.perf_counter()
+            phases[key] = round(now - _t0, 3)
+            _t0 = now
+
         round_id = 10_000 + int(epoch_id)
         if round_id in set(catalog.committed_rounds()):
             return  # replay after failure: already committed, skip (exactly-once)
         if batch_df.isEmpty():
             return
+        _mark("empty_check")
         sess = batch_df.sparkSession
         active = dedup_frontier(batch_df).filter(F.col("depth") <= max_depth)
         seen = catalog.read(sess, "seen")
@@ -104,20 +127,30 @@ def streaming_crawl(
         # MEMORY_AND_DISK DataFrame (mirrors run_round's unpersist)
         ordered = budget_and_order(active, default_budget)
         selected = ordered.drop("budget_per_round")
-        # over-budget rows are NOT dropped: they re-enter the frontier
-        # table as backlog for the next round (the batch engine's
-        # unselected-rows-stay semantics, frontier/round.py)
-        backlog = active.drop("budget_per_round").join(
-            selected.select("url_hash"), "url_hash", "left_anti"
-        ).select(*FRONTIER_COLS)
+        # 2× the core count by default, matching the batch engine's bench
+        # shape: the Arrow fetch is the long pole, and a single wave of
+        # core-count tasks idles cores behind its stragglers — two waves
+        # keep them fed (same reasoning as run_round's partitions arg)
+        nparts = partitions or 2 * sess.sparkContext.defaultParallelism
         fetched = fetch_stage(
-            salted_repartition(selected, sess.sparkContext.defaultParallelism),
+            salted_repartition(selected, nparts),
             n_hosts=n_hosts,
         ).withColumn("round", F.lit(round_id)).withColumn(
             "partition_id", F.spark_partition_id()
         )
         staged_path = catalog.stage(fetched, "fetched", round_id)
+        _mark("fetch_stage")  # first action: selection + fetch + staging
         staged = sess.read.parquet(staged_path)
+        # over-budget rows are NOT dropped: they re-enter the frontier
+        # table as backlog for the next round (the batch engine's
+        # unselected-rows-stay semantics, frontier/round.py). The
+        # selected-key side comes from the STAGED fetch output, not the
+        # `selected` plan — joining against `selected` would re-run the
+        # whole budget/rank window pipeline a second time per epoch
+        # (the input is cached; the windows are not)
+        backlog = active.drop("budget_per_round").join(
+            staged.select("url_hash"), "url_hash", "left_anti"
+        ).select(*FRONTIER_COLS)
         # seen = processed-and-done, matching the batch engine: ok, fatal,
         # and retry-exhausted (dead-letter) rows
         seen_append = staged.filter(
@@ -158,14 +191,19 @@ def streaming_crawl(
             # staged-fetch scan + explode/canonicalize pass, violating the
             # one-staged-pass doctrine (frontier/round.py module docstring)
             new_links = sess.read.schema(FRONTIER_DDL).parquet(dest)
+        # ONE frontier staging write for backlog + retries + links: three
+        # separate writes cost three job setups + output commits per epoch
+        # — a fixed ~2 s/epoch that dwarfed small batches (the r04
+        # streaming bench's vs_batch 0.45). The union is schema-identical
+        # (FRONTIER_COLS) and the derived branches still read the staged
+        # fetch output column-pruned, exactly once each.
+        frontier_append = backlog.unionByName(retries).unionByName(
+            new_links.select(*FRONTIER_COLS)
+        )
         staged_tables = {
             "fetched": [staged_path],
             "seen": [catalog.stage(seen_append, "seen", round_id)],
-            "frontier": [
-                catalog.stage(backlog, "frontier", round_id),
-                catalog.stage(retries, "frontier", round_id),
-                catalog.stage(new_links, "frontier", round_id),
-            ],
+            "frontier": [catalog.stage(frontier_append, "frontier", round_id)],
         }
         # parquet count() on the just-staged delta is footer-metadata
         # only — no second scan of the fetch output
@@ -192,13 +230,18 @@ def streaming_crawl(
                     delta_count=delta_n,
                 )
             )
+        _mark("derived_stage")
         catalog.commit_round(round_id, staged_tables, counts={"seen": delta_n})
         cache = getattr(ordered, "_ordered_cache", None)
         if cache is not None:
             cache.unpersist()
+        _mark("commit")
+        if epoch_log is not None:
+            phases["epoch_wall"] = round(_time.perf_counter() - _wall0, 3)
+            epoch_log.append({"epoch": int(epoch_id), **phases})
 
     writer = (
-        frontier_stream(spark, in_dir)
+        frontier_stream(spark, in_dir, max_files_per_trigger)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
