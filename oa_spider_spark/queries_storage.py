@@ -30,10 +30,19 @@ def _bucketed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, lang, n_chars) as a CLUSTERED BY (doc_id) table,
     created once per (session, sf_dir) — reruns reuse the existing table
     exactly like a production catalog would."""
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # the location carries the Spark application id: a CTAS at a leftover
+    # LOCATION from a previous session's run fails (the dir outlives the
+    # in-memory catalog entry), so each session gets its own directory
+    digest = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
     name = f"oa_docs_bucketed_{digest}"
     if not spark.catalog.tableExists(name):
         loc = f"{_STAGE}/{name}"
+        if os.path.isdir(loc):  # crashed prior run of THIS session id
+            import shutil
+
+            shutil.rmtree(loc)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         docs.createOrReplaceTempView(f"_src_{name}")
         spark.sql(
