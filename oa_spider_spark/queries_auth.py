@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 N_LOGINS = 40
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def q_login_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.rsa import RSA_CODE, RSA_FLAG, rsa_encrypt_portable
     from .functions.scalar import squeeze_digits, valid_code
@@ -92,6 +96,55 @@ FROM ({inner})
 """
 
 
+def q_rsa_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — RSA auth-token encryption (reference JSEncrypt.py:17-19,
+    oa.py:321-332: `encrpt(username + rsa_code, pub) + rsa_flag`).
+    Portable textbook mode over the fixed 61-bit key: token →
+    md5h60 % n → m^65537 mod n (one Arrow-batch modpow; md5 JVM-side).
+    The oracle replays the exact modpow in DuckDB HUGEINT as sixteen
+    squarings + one multiply (e = 2^16 + 1). The full-width PKCS#1
+    envelope path (functions/rsa.py::rsa_encrypt) is roundtrip-pinned in
+    tests/test_functions.py."""
+    from .functions.rsa import RSA_CODE, RSA_FLAG, rsa_encrypt_portable
+
+    d = _t(spark, sf_dir, "documents")
+    token = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit(":" + RSA_CODE)
+    )
+    c = rsa_encrypt_portable(token)
+    return d.select(
+        "doc_id",
+        c.alias("cipher"),
+        F.concat(c.cast("string"), F.lit(RSA_FLAG)).alias("auth_token"),
+    )
+
+
+def _sql_rsa_auth() -> str:
+    """Generated oracle: md5h60(token) % n, then the e=65537 modpow
+    unrolled as 16 nested HUGEINT squaring subqueries + final multiply.
+    Nested (not textually expanded) so the SQL stays linear in size."""
+    from .functions.rsa import PORTABLE_N, RSA_CODE, RSA_FLAG
+
+    n = PORTABLE_N
+    inner = f"""
+SELECT doc_id, m, m AS x FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('user' || doc_id::VARCHAR || ':{RSA_CODE}'), 1, 15))::BIGINT
+              % {n} AS HUGEINT) AS m
+  FROM documents
+)"""
+    for _ in range(16):
+        inner = f"SELECT doc_id, m, (x * x) % {n} AS x FROM ({inner})"
+    return f"""
+SELECT doc_id,
+       CAST((x * m) % {n} AS BIGINT) AS cipher,
+       CAST((x * m) % {n} AS BIGINT)::VARCHAR || '{RSA_FLAG}' AS auth_token
+FROM ({inner})
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["q_login_envelope"] = q_login_envelope
     oracles["q_login_envelope"] = _sql_login_envelope()
+    queries["q_rsa_auth"] = q_rsa_auth
+    oracles["q_rsa_auth"] = _sql_rsa_auth()

@@ -1,0 +1,200 @@
+"""Content extraction + rendering queries (SURVEY S5/S9/J4/F15/F17/F18):
+CSS-selector HTML parse, /word/view link harvest, doc→attachments equi
+join, digest ol/li render — the scrape-and-render surface over synthetic
+pages derived relationally from the documents table. Split out of
+queries.py (VERDICT r04 #8, pure hygiene — no behavior change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _synth_page(d: DataFrame):
+    """Deterministic per-doc HTML page with the reference's structures:
+    id-div (oa.py:390), center file anchors incl. a /word/view preview
+    (oa.py:771-776), .ul1 li card list (oa.py:806-817), and a plain table
+    (oa.py:922-941). Pure column concat — the PARSING is the operator."""
+    sid = F.col("doc_id").cast("string")
+    cards = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int")),
+            lambda i: F.concat(
+                F.lit('<li><a href="/doc/'), sid, F.lit("-"), i.cast("string"),
+                F.lit('">card '), i.cast("string"), F.lit("</a></li>"),
+            ),
+        ),
+    )
+    return F.concat(
+        F.lit('<html><body><div id="weaDocDetailHtmlContent"><p>'),
+        F.substring("text", 1, 20),
+        F.lit("</p><b>doc "), sid,
+        F.lit('</b></div><center><a href="/word/view?id='), sid,
+        F.lit('">preview</a><a href="/docs/file_'), sid,
+        F.lit('.pdf"></a></center><ul class="ul1">'), cards,
+        F.lit("</ul><table><tr><td>h1</td><td>h2</td></tr><tr><td>"),
+        F.col("source"), F.lit("</td><td>"), F.col("n_chars").cast("string"),
+        F.lit("</td></tr></table></body></html>"),
+    )
+
+
+def q_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/F15 — REAL HTML parse stage (DOM build + CSS-subset selectors
+    inside mapInArrow, operators/html.py), reproducing the reference's
+    PyQuery shapes: #id select, descendant anchors with /word/view skip,
+    .class li cards, nth-child table cell. The oracle recomputes every
+    extracted field from the doc columns the page was synthesized from —
+    a wrong parse (dropped node, bad nth-child indexing, text not
+    collapsed) mismatches values."""
+    from .operators.html import parse_fields
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select("doc_id", _synth_page(d).alias("page"))
+    return parse_fields(
+        pages,
+        "page",
+        {
+            "content_text": ("#weaDocDetailHtmlContent", "text"),
+            "first_file_href": ("center a", "first_href"),
+            "n_cards": (".ul1 li a", "count"),
+            "cell_text": ("table tr:nth-child(2) td:nth-child(2)", "text"),
+        },
+    )
+
+
+SQL_HTML_PARSE = r"""
+SELECT doc_id,
+       trim(regexp_replace(substring(text, 1, 20) || ' doc ' || doc_id::VARCHAR,
+                           '\s+', ' ', 'g')) AS content_text,
+       '/docs/file_' || doc_id::VARCHAR || '.pdf' AS first_file_href,
+       CAST(doc_id % 3 + 1 AS INT) AS n_cards,
+       n_chars::VARCHAR AS cell_text
+FROM documents
+"""
+
+
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/P6/F13 — parsed link scrape: explode (href, name) per page from
+    real DOM anchors, skipping /word/view previews; textless anchors fall
+    back to the url tail (oa.py:775-776)."""
+    from .operators.html import extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select("doc_id", _synth_page(d).alias("page"))
+    return extract_links(pages, "page", "body a")
+
+
+SQL_HTML_LINKS = """
+SELECT doc_id,
+       '/docs/file_' || doc_id::VARCHAR || '.pdf' AS href,
+       'file_' || doc_id::VARCHAR || '.pdf' AS name
+FROM documents
+UNION ALL
+SELECT d.doc_id,
+       '/doc/' || d.doc_id::VARCHAR || '-' || r.i::VARCHAR AS href,
+       'card ' || r.i::VARCHAR AS name
+FROM documents d JOIN range(3) r(i) ON r.i <= d.doc_id % 3
+"""
+
+
+
+
+def q_attachments_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — doc→attachments child-table equi-join (the reference's second
+    fetch attaching an attachment list to its parent doc, oa.py:372-382,
+    1056-1062). The child table is a deterministic fan-out of documents
+    (doc_id % 3 + 1 attachments per doc); the join is a plain equi-join
+    on doc_id — at scale both sides are hash-partitioned on the key, and
+    since the child derives from the parent here the join co-locates
+    (one shuffle each, no broadcast needed for a same-cardinality child;
+    a small dimension-side child would take F.broadcast)."""
+    d = _t(spark, sf_dir, "documents")
+    atts = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))).alias("i"),
+    ).select(
+        "doc_id",
+        (F.col("doc_id") * 10 + F.col("i")).alias("att_id"),
+        F.concat(
+            F.lit("att_"), (F.col("doc_id") * 10 + F.col("i")).cast("string"), F.lit(".bin")
+        ).alias("filename"),
+        ((F.col("doc_id") * 7919 + F.col("i") * 131) % 100000).alias("att_bytes"),
+    )
+    docs = d.select("doc_id", "source", F.substring("text", 1, 12).alias("title"))
+    return docs.join(atts, "doc_id").select(
+        "doc_id", "source", "title", "att_id", "filename", "att_bytes"
+    )
+
+
+SQL_ATTACHMENTS_JOIN = """
+SELECT d.doc_id, d.source, substring(d.text, 1, 12) AS title,
+       d.doc_id * 10 + r.i AS att_id,
+       'att_' || (d.doc_id * 10 + r.i)::VARCHAR || '.bin' AS filename,
+       (d.doc_id * 7919 + r.i * 131) % 100000 AS att_bytes
+FROM documents d JOIN range(3) r(i) ON r.i <= d.doc_id % 3
+"""
+
+
+def q_digest_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 — digest HTML render (reference notification.py:23-31 nested
+    ol/li/ul): each site's <li>source (n)<ul><li>title</li>…</ul></li>
+    fragment, rendered distributively with transform/concat (the final
+    <ol> page assembly is a trivial concat over ~n_sites rows). Titles
+    sorted for determinism."""
+    d = _t(spark, sf_dir, "documents")
+    title = F.substring(F.col("text"), 1, 20).alias("title")
+    agg = (
+        d.select("source", title)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("title")).alias("_titles"),
+        )
+    )
+    items = F.array_join(
+        F.transform("_titles", lambda t: F.concat(F.lit("<li>"), t, F.lit("</li>"))), ""
+    )
+    return agg.select(
+        "source",
+        F.concat(
+            F.lit("<li>"), F.col("source"),
+            F.lit(" ("), F.col("n_docs").cast("string"), F.lit(")<ul>"),
+            items, F.lit("</ul></li>"),
+        ).alias("digest_html"),
+    )
+
+
+SQL_DIGEST_RENDER = """
+SELECT source,
+       '<li>' || source || ' (' || count(*)::VARCHAR || ')<ul>'
+       || array_to_string(
+            list_transform(list_sort(list(substring(text, 1, 20))),
+                           t -> '<li>' || t || '</li>'), '')
+       || '</ul></li>' AS digest_html
+FROM documents GROUP BY source
+"""
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries.update(
+        {
+            "q_html_parse": q_html_parse,
+            "q_html_links": q_html_links,
+            "q_attachments_join": q_attachments_join,
+            "q_digest_render": q_digest_render,
+        }
+    )
+    oracles.update(
+        {
+            "q_html_parse": SQL_HTML_PARSE,
+            "q_html_links": SQL_HTML_LINKS,
+            "q_attachments_join": SQL_ATTACHMENTS_JOIN,
+            "q_digest_render": SQL_DIGEST_RENDER,
+        }
+    )
