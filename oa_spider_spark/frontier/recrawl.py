@@ -1,0 +1,127 @@
+"""Recrawl scheduling + crawl-trap guards — the frontier's *revisit*
+policy, the piece a continuous crawler needs once the first pass of a
+host is done (reference oa-spider revisits listing pages every run and
+re-fetches on change; generalized here to per-URL adaptive intervals).
+
+Both operators are pure integer column expressions (no floats, no UDFs)
+so they carry full DuckDB value oracles and are bit-stable under any
+partitioning / AQE re-plan:
+
+* `recrawl_schedule` — estimate a per-URL change rate from the visit
+  history (changes observed / visits made, in milli-units) and derive
+  the next-fetch time by scaling a base interval inversely with the
+  rate, clamped to [min_hours, max_hours]. This is the classic
+  freshness-driven revisit policy (Cho & Garcia-Molina's uniform-vs-
+  proportional result: proportional-to-change-rate with clamps): hot
+  pages converge to the floor, dead pages to the ceiling. All division
+  is integer `div` on named columns (float `/` corrupts past 2^53 and
+  Spark/DuckDB disagree on decimal rounding).
+* `crawl_trap_stats` — per-host URL-template amplification: collapse
+  digit runs in the path to a sentinel and compare distinct URLs vs
+  distinct templates. A calendar widget or session-id explosion shows
+  up as ONE template spanning thousands of URLs (amplification ≫ 1);
+  the frontier uses the flag to stop enqueueing that host's tail.
+
+Scale notes (10^10-URL frontier): both are single keyed aggregations —
+one shuffle each on url_id / (host, template) with map-side combine;
+the window in `recrawl_schedule` is keyed by url_id (bounded per-key
+history), never partition-less. Output is frontier-metadata-sized (one
+row per URL / per host-template), joinable back onto the frontier by
+key without any broadcast of large state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Milli-rate floor: treat anything below 1 change per 8 visits as this
+# value so the interval stays finite; 24h base at the floor hits the
+# 168h ceiling.
+RATE_FLOOR_MILLI = 125
+
+
+def recrawl_schedule(
+    visits: DataFrame,
+    url_col: str = "url_id",
+    ts_col: str = "ts",
+    changed_col: str = "changed",
+    base_hours: int = 24,
+    min_hours: int = 6,
+    max_hours: int = 168,
+) -> DataFrame:
+    """Per-URL adaptive revisit schedule from a visit log.
+
+    visits: one row per (url, visit ts, changed∈{0,1}). Returns one row
+    per url: n_visits, n_changes, change_rate_milli (floor(1000·c/v)),
+    interval_hours = clamp(base_hours·1000 div max(rate, 125),
+    [min_hours, max_hours]), next_fetch_us = last visit epoch-µs +
+    interval_hours·3600·10^6. Integer throughout; timestamps compared
+    in unix_micros like every temporal operator in the repo.
+    """
+    agg = visits.groupBy(F.col(url_col).alias("url_id")).agg(
+        F.count("*").alias("n_visits"),
+        F.sum(F.col(changed_col).cast("long")).alias("n_changes"),
+        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("last_us"),
+    )
+    rated = agg.withColumn(
+        "change_rate_milli", F.expr("(1000 * n_changes) div n_visits")
+    )
+    interval = rated.withColumn(
+        "interval_hours",
+        F.least(
+            F.lit(max_hours).cast("long"),
+            F.greatest(
+                F.lit(min_hours).cast("long"),
+                F.expr(
+                    f"({base_hours} * 1000) div "
+                    f"greatest(change_rate_milli, {RATE_FLOOR_MILLI})"
+                ),
+            ),
+        ),
+    )
+    return interval.select(
+        "url_id",
+        "n_visits",
+        "n_changes",
+        "change_rate_milli",
+        "interval_hours",
+        (F.col("last_us") + F.col("interval_hours") * F.lit(3_600_000_000)).alias(
+            "next_fetch_us"
+        ),
+    )
+
+
+def crawl_trap_stats(
+    urls: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    trap_milli: int = 8000,
+) -> DataFrame:
+    """Per-host URL-template amplification (trap detector).
+
+    Collapses every digit run in the path to 'N' (regexp_replace is
+    replace-ALL in both Spark and DuckDB) and reports, per host:
+    n_urls (distinct paths), n_templates (distinct collapsed paths),
+    amplification_milli = floor(1000·n_urls/n_templates), and
+    is_trap = amplification_milli >= trap_milli. A host whose calendar/
+    session-id pages explode shows one template with thousands of URLs.
+    """
+    t = urls.select(
+        F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+        F.regexp_replace(F.col(path_col), "[0-9]+", "N").alias("template"),
+    )
+    agg = t.groupBy("host").agg(
+        F.count_distinct("path").alias("n_urls"),
+        F.count_distinct("template").alias("n_templates"),
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_templates",
+        F.expr("(1000 * n_urls) div n_templates").alias("amplification_milli"),
+        (F.expr("(1000 * n_urls) div n_templates") >= F.lit(trap_milli)).alias(
+            "is_trap"
+        ),
+    )

@@ -49,7 +49,7 @@ where exact distinct is a multi-TB shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import md5h60
@@ -302,4 +302,72 @@ def kmv_set_overlap(
     return row.withColumn(
         "inter_est_milli",
         F.expr("(rho * union_est_milli) div greatest(kk, 1)").cast("long"),
+    )
+
+
+# --- X75: mergeable fixed-width histogram quantiles -----------------------
+
+def histogram_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, width: int = 64
+) -> DataFrame:
+    """Fixed-width histogram sketch of a non-negative integer column:
+    one row per (group, bucket) with bucket = value div width. The
+    sketch MERGES by plain count-sum — across partitions, across
+    files, across crawl rounds (union two sketches and re-aggregate;
+    pinned in tests) — which is what makes it the scale path for
+    percentiles: exact per-group percentiles sort every row of every
+    group (operators/pipeline.py::exact_percentiles, the small-group
+    tool), while this shuffles at most value_range/width rows per
+    group no matter how many billions were scanned, with map-side
+    combine doing the heavy lifting scan-side. Bucket math is integer
+    `div` — bit-identical in DuckDB (`//`) — so the whole sketch +
+    quantile pipeline carries a value oracle."""
+    b = df.select(
+        *group_cols,
+        F.expr(f"cast({value_col} as bigint) div {int(width)}").alias("bucket"),
+    )
+    return b.groupBy(*group_cols, "bucket").agg(F.count("*").alias("cnt"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    permilles: tuple[int, ...] = (500, 950, 990),
+    width: int = 64,
+) -> DataFrame:
+    """Per-group quantiles from a histogram sketch: for each permille p,
+    the estimate is the INCLUSIVE UPPER BOUND of the first bucket whose
+    cumulative count reaches ceil(p·n/1000) — i.e. the true quantile is
+    guaranteed <= estimate < true + width. ceil is the pure-integer
+    (p·n + 999) div 1000; the cumulative sum is a keyed window over the
+    per-group bucket list (sketch-sized, never the raw data). Output:
+    one row per (group, permille) with n and estimate."""
+    gw = Window.partitionBy(*group_cols)
+    cw = gw.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        *group_cols,
+        "bucket",
+        F.sum("cnt").over(cw).alias("cum"),
+        F.sum("cnt").over(gw).alias("n"),
+    )
+    perm = cum.select(
+        *group_cols,
+        "bucket",
+        "cum",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in permilles])).alias("permille"),
+    ).withColumn("target", F.expr("(permille * n + 999) div 1000"))
+    hit = perm.groupBy(*group_cols, "permille").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= F.col("target"), F.col("bucket"))).alias(
+            "_b"
+        ),
+    )
+    return hit.select(
+        *group_cols,
+        "permille",
+        "n",
+        (F.col("_b") * F.lit(int(width)) + F.lit(int(width) - 1)).alias(
+            "estimate"
+        ),
     )

@@ -182,3 +182,42 @@ def scd2_history(
             "n_events",
         )
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """SCD1 MERGE: newest version per key wins; a version TIE goes to
+    the delta (the incoming batch is authoritative — the same rule
+    `MERGE INTO ... WHEN MATCHED THEN UPDATE` implements). Keys only in
+    one side pass through. base and delta must share a schema.
+
+    Formulated as union → keyed dedup window (rank over
+    (version DESC, src DESC), keep rank 1) rather than a full-outer
+    join: ONE shuffle on the key either way, but the union form also
+    dedups multi-row deltas (several updates for one key in a batch)
+    in the same pass, which the join form silently multiplies. The
+    window is keyed — per-key groups are update-history-sized, never a
+    partition-less sort. (key, version, side) must be unique: two delta
+    rows for one key at the SAME version have no defined winner. At 10^10 rows this is the standard lakehouse
+    upsert shape: shuffle both sides by key once, write back bucketed
+    (tables.py SCALE_LAYOUT keeps the bucketing so the NEXT merge's
+    shuffle is exchange-free on the base side).
+    """
+    cols = base.columns
+    if delta.columns != cols:
+        raise ValueError(f"schema mismatch: {delta.columns} vs {cols}")
+    tagged = base.select(*cols, F.lit(0).alias("_src")).unionByName(
+        delta.select(*cols, F.lit(1).alias("_src"))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(*cols, (F.col("_src") == 1).alias("from_delta"))
+    )

@@ -980,3 +980,9 @@ _register_auth(QUERIES, ORACLES)
 from .queries_storage import register as _register_storage  # noqa: E402
 
 _register_storage(QUERIES, ORACLES)
+
+# Crawl-operations queries (recrawl scheduling, SCD1 merge-upsert,
+# trap detection, histogram quantiles; see queries_crawlops.py).
+from .queries_crawlops import register as _register_crawlops  # noqa: E402
+
+_register_crawlops(QUERIES, ORACLES)

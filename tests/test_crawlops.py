@@ -1,0 +1,168 @@
+"""X72–X75 crawl-operations semantics: recrawl clamps, MERGE outcomes,
+trap flags, histogram-sketch mergeability + quantile error bound, and
+the no-partition-less-window / no-row-Python plan guardrails."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+
+# --- X72 recrawl ------------------------------------------------------------
+
+
+def test_recrawl_clamps_and_next_fetch(spark):
+    from oa_spider_spark.frontier.recrawl import recrawl_schedule
+
+    visits = spark.createDataFrame(
+        # url 1: changes every visit → rate 1000 → 24h (no clamp)
+        [(1, _ts(i), 1) for i in range(4)]
+        # url 2: never changes → rate 0 → floor 125 → 192h → max clamp 168
+        + [(2, _ts(i), 0) for i in range(4)]
+        # url 3: 1/4 changes → rate 250 → 96h
+        + [(3, _ts(i), 1 if i == 0 else 0) for i in range(4)],
+        "url_id long, ts timestamp, changed long",
+    )
+    out = {r["url_id"]: r for r in recrawl_schedule(visits).collect()}
+    assert out[1]["interval_hours"] == 24
+    assert out[2]["interval_hours"] == 168
+    assert out[3]["interval_hours"] == 96
+    # min clamp binds when the base interval is tiny
+    tight = {
+        r["url_id"]: r
+        for r in recrawl_schedule(visits, base_hours=4).collect()
+    }
+    assert tight[1]["interval_hours"] == 6
+    # next_fetch = last visit + interval, in epoch-µs
+    last_us = int(_ts(3).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert out[1]["next_fetch_us"] == last_us + 24 * 3_600_000_000
+
+
+# --- X73 merge upsert --------------------------------------------------------
+
+
+def test_merge_upsert_all_four_outcomes(spark):
+    from oa_spider_spark.operators.temporal import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "b1", 5), (2, "b2", 5), (3, "b3", 5), (4, "b4", 5)],
+        "k long, v string, version long",
+    )
+    delta = spark.createDataFrame(
+        [(1, "d1", 6), (2, "d2", 5), (3, "d3", 4), (9, "d9", 1)],
+        "k long, v string, version long",
+    )
+    out = {r["k"]: r for r in merge_upsert(base, delta, ["k"], "version").collect()}
+    assert out[1]["v"] == "d1" and out[1]["from_delta"]  # delta newer
+    assert out[2]["v"] == "d2" and out[2]["from_delta"]  # tie → delta
+    assert out[3]["v"] == "b3" and not out[3]["from_delta"]  # delta stale
+    assert out[4]["v"] == "b4"  # base passthrough
+    assert out[9]["v"] == "d9" and out[9]["from_delta"]  # insert
+    assert len(out) == 5
+
+
+def test_merge_upsert_dedups_multi_row_delta(spark):
+    from oa_spider_spark.operators.temporal import merge_upsert
+
+    base = spark.createDataFrame([(1, "b", 0)], "k long, v string, version long")
+    delta = spark.createDataFrame(
+        [(1, "mid", 3), (1, "new", 7)], "k long, v string, version long"
+    )
+    rows = merge_upsert(base, delta, ["k"], "version").collect()
+    assert len(rows) == 1 and rows[0]["v"] == "new"
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    from oa_spider_spark.operators.temporal import merge_upsert
+
+    base = spark.createDataFrame([(1, 0)], "k long, version long")
+    delta = spark.createDataFrame([(1, 0, "x")], "k long, version long, v string")
+    with pytest.raises(ValueError):
+        merge_upsert(base, delta, ["k"], "version")
+
+
+# --- X74 crawl traps ---------------------------------------------------------
+
+
+def test_crawl_trap_flags(spark):
+    from oa_spider_spark.frontier.recrawl import crawl_trap_stats
+
+    urls = spark.createDataFrame(
+        [("trap.org", f"/cal/{i}") for i in range(200)]
+        + [("ok.org", f"/page/{c}") for c in "abcdefghij"],
+        "host string, path string",
+    )
+    out = {r["host"]: r for r in crawl_trap_stats(urls).collect()}
+    assert out["trap.org"]["is_trap"] and out["trap.org"]["n_templates"] == 1
+    assert out["trap.org"]["amplification_milli"] == 200_000
+    assert not out["ok.org"]["is_trap"] and out["ok.org"]["n_templates"] == 10
+    assert out["ok.org"]["amplification_milli"] == 1000
+
+
+# --- X75 histogram quantiles ---------------------------------------------------
+
+
+def test_histogram_sketch_merges(spark):
+    """Union of two half-corpus sketches, re-aggregated, equals the
+    whole-corpus sketch — the property that lets rounds/partitions
+    combine without ever re-reading raw data."""
+    from oa_spider_spark.operators.sketch import histogram_sketch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = histogram_sketch(docs.filter(F.col("doc_id") % 2 == 0), ["lang"], "n_chars")
+    b = histogram_sketch(docs.filter(F.col("doc_id") % 2 == 1), ["lang"], "n_chars")
+    merged = (
+        a.unionByName(b)
+        .groupBy("lang", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = histogram_sketch(docs, ["lang"], "n_chars")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_histogram_quantile_error_bound(spark):
+    """estimate is an inclusive upper bound within one bucket width of
+    the exact quantile (same ceil-rank definition both sides)."""
+    from oa_spider_spark.operators.sketch import histogram_quantiles, histogram_sketch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    width = 64
+    sk = histogram_sketch(docs, ["lang"], "n_chars", width=width)
+    est = {
+        (r["lang"], r["permille"]): r["estimate"]
+        for r in histogram_quantiles(sk, ["lang"], (500, 950, 990), width).collect()
+    }
+    vals = {}
+    for r in docs.select("lang", "n_chars").collect():
+        vals.setdefault(r["lang"], []).append(r["n_chars"])
+    for lang, xs in vals.items():
+        xs.sort()
+        for p in (500, 950, 990):
+            exact = xs[-(-p * len(xs) // 1000) - 1]  # ceil-rank, 1-indexed
+            e = est[(lang, p)]
+            assert exact <= e < exact + width, (lang, p, exact, e)
+
+
+def test_crawlops_plans_are_keyed_and_jvm_only(spark):
+    """No partition-less window and no row-Python in any X72–X75 plan."""
+    for name in (
+        "q_recrawl_schedule",
+        "q_merge_upsert",
+        "q_crawl_traps",
+        "q_hist_quantiles",
+    ):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{marker} in {name}"
+        assert "SinglePartition" not in plan, f"partition-less window in {name}"
