@@ -121,12 +121,21 @@ def main() -> None:
     # warm EVERY headline query once so each timed run is a uniformly
     # warm second execution — warming only the first would hand that one
     # query a page-cache/codegen advantage and skew relative timings
-    for name in HEADLINE:
-        queries[name](spark, sf_dir).count()
+    if not os.environ.get("SPARK_GRAFT_CRAWL_ONLY"):
+        for name in HEADLINE:
+            queries[name](spark, sf_dir).count()
+
+    # Crawl-only mode (scaling-gate reps): the N vs 4N efficiency ratio
+    # reads ONLY the crawl round's frontier_urls_per_sec — the query
+    # preamble contributes nothing to it except wall-clock exposure to
+    # host drift, which is exactly what kills healthy windows (see the
+    # gated-attempt history in BENCH/BASELINE.md). scripts/scaling_bench.py
+    # sets this; a plain `python bench.py` still runs everything.
+    crawl_only = bool(os.environ.get("SPARK_GRAFT_CRAWL_ONLY"))
 
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
-    for name in HEADLINE:
+    for name in HEADLINE if not crawl_only else ():
         q = queries[name]
         t0 = time.perf_counter()
         n = q(spark, sf_dir).count()
@@ -140,32 +149,33 @@ def main() -> None:
     # hash family yields different LSH candidates, so there is no SQL
     # oracle — correctness of the shared pipeline is the portable twin's
     # job, throughput is this one's.
-    from pyspark.sql import functions as F
+    if not crawl_only:
+        from pyspark.sql import functions as F
 
-    from oa_spider_spark.operators.dedup import (
-        build_corpus_index,
-        incremental_near_dups,
-        minhash_dedup,
-    )
+        from oa_spider_spark.operators.dedup import (
+            build_corpus_index,
+            incremental_near_dups,
+            minhash_dedup,
+        )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    for label, fn in (
-        ("minhash_dedup_xxhash", lambda: minhash_dedup(docs, threshold=0.8)),
-        (
-            "incremental_dedup_xxhash",
-            lambda: incremental_near_dups(
-                docs.filter(F.col("doc_id") % 5 == 0),
-                threshold=0.8,
-                corpus_index=build_corpus_index(
-                    docs.filter(F.col("doc_id") % 5 != 0)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        for label, fn in (
+            ("minhash_dedup_xxhash", lambda: minhash_dedup(docs, threshold=0.8)),
+            (
+                "incremental_dedup_xxhash",
+                lambda: incremental_near_dups(
+                    docs.filter(F.col("doc_id") % 5 == 0),
+                    threshold=0.8,
+                    corpus_index=build_corpus_index(
+                        docs.filter(F.col("doc_id") % 5 != 0)
+                    ),
                 ),
             ),
-        ),
-    ):
-        fn().count()  # warm like the headline queries
-        t0 = time.perf_counter()
-        fn().count()
-        timings[label] = round(time.perf_counter() - t0, 3)
+        ):
+            fn().count()  # warm like the headline queries
+            t0 = time.perf_counter()
+            fn().count()
+            timings[label] = round(time.perf_counter() - t0, 3)
 
     # --- crawl-engine round throughput -----------------------------------
     from oa_spider_spark import datagen
@@ -238,34 +248,37 @@ def main() -> None:
     from oa_spider_spark.streaming.rounds import streaming_crawl
 
     n_stream = int(os.environ.get("SPARK_GRAFT_STREAM_SEEDS", n_seeds))
+    if crawl_only:
+        n_stream = 0
     with tempfile.TemporaryDirectory(prefix="bench_stream_", dir=stage_base) as sroot:
         in_dir, ckpt = f"{sroot}/in", f"{sroot}/ckpt"
-        datagen.seed_frontier_df(
-            spark, n_stream, n_hosts=n_hosts, hot_share=0.4, partitions=cpus * 2
-        ).repartition(8).write.parquet(f"{in_dir}/slice0")
-        scat = Catalog(f"{sroot}/cat")
-        epoch_log: list = []
-        t0 = time.perf_counter()
-        q = streaming_crawl(
-            spark, scat, in_dir + "/*", ckpt,
-            n_hosts=n_hosts, default_budget=max(200, n_stream // n_hosts),
-            epoch_log=epoch_log, partitions=cpus * 2,
-        )
-        q.awaitTermination(1800)
-        stream_sec = time.perf_counter() - t0
-        fetched_tbl = scat.read(spark, "fetched")
-        n_drained = fetched_tbl.count() if fetched_tbl is not None else 0
-        throughput["streaming"] = {
-            "urls_per_sec": round(n_drained / stream_sec, 1),
-            "drained": n_drained,
-            "epochs": len(scat.committed_rounds()),
-            "seconds": round(stream_sec, 3),
-            # streaming-vs-batch throughput ratio at the same per-URL work
-            "vs_batch_round": round(
-                (n_drained / stream_sec) / max(res.selected / crawl_sec, 1e-9), 3
-            ),
-            "epoch_phases": epoch_log,
-        }
+        if n_stream:
+            datagen.seed_frontier_df(
+                spark, n_stream, n_hosts=n_hosts, hot_share=0.4, partitions=cpus * 2
+            ).repartition(8).write.parquet(f"{in_dir}/slice0")
+            scat = Catalog(f"{sroot}/cat")
+            epoch_log: list = []
+            t0 = time.perf_counter()
+            q = streaming_crawl(
+                spark, scat, in_dir + "/*", ckpt,
+                n_hosts=n_hosts, default_budget=max(200, n_stream // n_hosts),
+                epoch_log=epoch_log, partitions=cpus * 2,
+            )
+            q.awaitTermination(1800)
+            stream_sec = time.perf_counter() - t0
+            fetched_tbl = scat.read(spark, "fetched")
+            n_drained = fetched_tbl.count() if fetched_tbl is not None else 0
+            throughput["streaming"] = {
+                "urls_per_sec": round(n_drained / stream_sec, 1),
+                "drained": n_drained,
+                "epochs": len(scat.committed_rounds()),
+                "seconds": round(stream_sec, 3),
+                # streaming-vs-batch throughput ratio at the same per-URL work
+                "vs_batch_round": round(
+                    (n_drained / stream_sec) / max(res.selected / crawl_sec, 1e-9), 3
+                ),
+                "epoch_phases": epoch_log,
+            }
 
     total = round(time.perf_counter() - t_total0, 3)
     probe_after = capacity_probe(cpus)

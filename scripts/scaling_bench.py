@@ -23,7 +23,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench_once(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    # Crawl-only: the N→4N ratio reads frontier_urls_per_sec alone; the
+    # 98-query preamble only adds ~1.5 h of window exposure per 3-rep
+    # run, which is what historically collapsed healthy launch windows.
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CRAWL_ONLY="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, cwd=REPO, timeout=3600,
