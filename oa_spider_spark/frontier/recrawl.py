@@ -125,3 +125,31 @@ def crawl_trap_stats(
             "is_trap"
         ),
     )
+
+
+def snapshot_diff(
+    prev: DataFrame,
+    curr: DataFrame,
+    key_col: str = "url_hash",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Round-over-round change detection: one full-outer join on the
+    snapshot key classifying every URL as added / removed / changed /
+    unchanged by content fingerprint. This is the signal that FEEDS
+    recrawl_schedule (a 'changed' row is a changed=1 visit) and the
+    per-round delta report a continuous crawl publishes.
+
+    Scale: a single co-partitioned join on the key both snapshots are
+    already bucketed by under SCALE_LAYOUT (url_hash) — zero extra
+    exchange on bucketed catalogs; fingerprints are compared
+    column-wise, payloads never move."""
+    p = prev.select(F.col(key_col).alias(key_col), F.col(fp_col).alias("prev_fp"))
+    c = curr.select(F.col(key_col).alias(key_col), F.col(fp_col).alias("curr_fp"))
+    j = p.join(c, key_col, "full_outer")
+    status = (
+        F.when(F.col("prev_fp").isNull(), F.lit("added"))
+        .when(F.col("curr_fp").isNull(), F.lit("removed"))
+        .when(F.col("prev_fp") != F.col("curr_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(key_col, "prev_fp", "curr_fp", status.alias("status"))

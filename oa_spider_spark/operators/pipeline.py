@@ -652,3 +652,31 @@ def grouped_trend(
         .cast("long")
         .alias("slope_micro"),
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Sequential quota packing (X78): assign ordered items to bins by
+    exclusive-prefix-sum div budget — the deterministic streaming
+    packer a training pipeline uses to fill fixed context windows
+    (bin = which budget-quota an item's first unit lands in). An item
+    straddling a boundary stays in the bin where it starts, so a bin
+    may exceed the budget by less than one item — the next-fit
+    streaming-pack property; exact first-fit needs per-item recursion
+    no engine runs at 10^10 rows.
+
+    The window is keyed by group (per-group streams), the division is
+    integer `div` on a named column (never float /), and the whole
+    assignment is one keyed window pass — mergeable per group, no
+    driver loop."""
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    cum = F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    started = df.withColumn("_start", (cum - F.col(size_col)).cast("long"))
+    return started.withColumn(
+        "bin_id", F.expr(f"_start div {int(budget)}")
+    ).drop("_start")

