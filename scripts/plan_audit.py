@@ -87,6 +87,13 @@ AUDITED = [
     "q_grouped_trend",
     "q_new_vs_returning",
     "q_funnel_steps",
+    "q_recrawl_schedule",
+    "q_merge_upsert",
+    "q_crawl_traps",
+    "q_hist_quantiles",
+    "q_heavy_hitters",
+    "q_snapshot_diff",
+    "q_pack_bins",
 ]
 
 
