@@ -223,6 +223,8 @@ def register(queries: dict, oracles: dict) -> None:
             "q_heavy_hitters": q_heavy_hitters,
             "q_snapshot_diff": q_snapshot_diff,
             "q_pack_bins": q_pack_bins,
+            "q_url_canon": q_url_canon,
+            "q_robots_gate": q_robots_gate,
         }
     )
     oracles.update(
@@ -234,6 +236,8 @@ def register(queries: dict, oracles: dict) -> None:
             "q_heavy_hitters": SQL_HEAVY_HITTERS,
             "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
             "q_pack_bins": SQL_PACK_BINS,
+            "q_url_canon": SQL_URL_CANON,
+            "q_robots_gate": SQL_ROBOTS_GATE,
         }
     )
 
@@ -357,4 +361,171 @@ WITH w AS (
 SELECT lang, strt // {PACK_BUDGET} AS bin_id, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM w GROUP BY lang, bin_id
+"""
+
+
+# --- X79: URL canonicalization (the seen-set key derivation) -------------------
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole canonicalization pipeline (frontier/canon.py::
+    canonicalize_url — fragment strip, scheme/host lowercase, default-
+    port drop, bytewise query-param sort) over deliberately messy
+    derived URLs: mixed case, :80/:8080 ports, reordered params, bare
+    fragments. The canon string IS the seen-set identity, so the oracle
+    recomputes every rule independently in DuckDB and also re-derives
+    the portable 60-bit hash of the result."""
+    from .frontier.canon import canonicalize_url
+    from .operators.dedup import md5h60
+
+    e = _t(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("HTTP://H"),
+        F.lpad((F.col("user_id") % 40).cast("string"), 3, "0"),
+        F.lit(".Example.ORG"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(":80"))
+        .when(F.col("event_id") % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/doc/"),
+        F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("?b=2&a=1"))
+        .when(F.col("event_id") % 4 == 1, F.lit("?x=9"))
+        .when(F.col("event_id") % 4 == 2, F.lit(""))
+        .otherwise(F.lit("#frag")),
+    )
+    canon = canonicalize_url(raw)
+    return e.select(
+        F.col("event_id").alias("url_id"),
+        canon.alias("url_canon"),
+        md5h60(canon).alias("canon_hash"),
+    )
+
+
+SQL_URL_CANON = """
+WITH raw AS (
+  SELECT event_id AS url_id,
+         'HTTP://H' || lpad(CAST(user_id % 40 AS VARCHAR), 3, '0') || '.Example.ORG'
+         || CASE WHEN event_id % 5 = 0 THEN ':80'
+                 WHEN event_id % 5 = 1 THEN ':8080' ELSE '' END
+         || '/doc/' || CAST(event_id AS VARCHAR)
+         || CASE WHEN event_id % 4 = 0 THEN '?b=2&a=1'
+                 WHEN event_id % 4 = 1 THEN '?x=9'
+                 WHEN event_id % 4 = 2 THEN '' ELSE '#frag' END AS url
+  FROM events
+), parts AS (
+  SELECT url_id, split_part(url, '#', 1) AS no_frag FROM raw
+), split AS (
+  SELECT url_id,
+         lower(split_part(no_frag, '://', 1)) AS scheme,
+         split_part(no_frag, '://', 2) AS rest
+  FROM parts
+), hostp AS (
+  SELECT *,
+         lower(split_part(split_part(rest, '/', 1), '?', 1)) AS hostport
+  FROM split
+), pieces AS (
+  SELECT url_id, scheme,
+         CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$',  '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         substr(rest, length(hostport) + 1) AS pathq
+  FROM hostp
+), pq AS (
+  SELECT url_id, scheme, host,
+         split_part(pathq, '?', 1) AS path,
+         instr(pathq, '?') > 0 AS has_q,
+         array_to_string(list_sort(string_split(split_part(pathq, '?', 2), '&')), '&') AS sorted_q
+  FROM pieces
+), canon AS (
+  SELECT url_id,
+         scheme || '://' || host
+         || CASE WHEN path = '' THEN '/' ELSE path END
+         || CASE WHEN has_q AND sorted_q <> '' THEN '?' || sorted_q ELSE '' END AS url_canon
+  FROM pq
+)
+SELECT url_id, url_canon,
+       ('0x' || substr(md5(url_canon), 1, 15))::BIGINT AS canon_hash
+FROM canon
+"""
+
+
+# --- X80: robots gate + crawl-delay budget cap ---------------------------------
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/P6 as one value-oracled surface (frontier/politeness.py::
+    robots_allowed): derived URLs against a derived hosts table —
+    every host disallows /word/view (reference oa.py:771-773), every
+    5th also /mail/; every 4th host carries crawl_delay_ms=500 so the
+    ROUND_PERIOD budget cap binds where the base budget (5000 for
+    hostnum%3==2) exceeds it. Output: allowed rows with the effective
+    per-round budget the scheduler will enforce."""
+    from .frontier.politeness import robots_allowed
+
+    e = _t(spark, sf_dir, "events")
+    hostnum = F.col("user_id") % 40
+    host = F.concat(
+        F.lit("h"), F.lpad(hostnum.cast("string"), 3, "0"), F.lit(".example.org")
+    )
+    path = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("/word/view/"), F.col("event_id").cast("string")),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit("/doc/"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/mail/"), F.col("event_id").cast("string")))
+    )
+    urls = e.select(
+        F.col("event_id").alias("url_id"),
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, path).alias("url_canon"),
+    )
+    hn = F.col("hn")
+    hosts = (
+        e.select((F.col("user_id") % 40).alias("hn"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("h"), F.lpad(hn.cast("string"), 3, "0"), F.lit(".example.org")
+            ).alias("host"),
+            F.when(hn % 3 == 0, 10)
+            .when(hn % 3 == 1, 50)
+            .otherwise(5000)
+            .cast("int")
+            .alias("budget_per_round"),
+            F.when(hn % 4 == 0, 500).otherwise(0).cast("int").alias("crawl_delay_ms"),
+            F.when(
+                hn % 5 == 0, F.array(F.lit("/word/view"), F.lit("/mail/"))
+            )
+            .otherwise(F.array(F.lit("/word/view")))
+            .alias("robots_disallow"),
+        )
+    )
+    out = robots_allowed(urls, hosts)
+    return out.select("url_id", "host", "url_canon", "budget_per_round")
+
+
+SQL_ROBOTS_GATE = """
+WITH u AS (
+  SELECT event_id AS url_id, user_id % 40 AS hn,
+         CASE WHEN event_id % 3 = 0 THEN '/word/view/' || CAST(event_id AS VARCHAR)
+              WHEN event_id % 3 = 1 THEN '/doc/' || CAST(event_id AS VARCHAR)
+              ELSE '/mail/' || CAST(event_id AS VARCHAR) END AS path
+  FROM events
+), gated AS (
+  SELECT * FROM u
+  WHERE NOT (path LIKE '/word/view%' OR (hn % 5 = 0 AND path LIKE '/mail/%'))
+), budgeted AS (
+  SELECT url_id, hn, path,
+         CASE WHEN hn % 3 = 0 THEN 10 WHEN hn % 3 = 1 THEN 50 ELSE 5000 END AS base,
+         CASE WHEN hn % 4 = 0 THEN 500 ELSE 0 END AS delay
+  FROM gated
+)
+SELECT url_id,
+       'h' || lpad(CAST(hn AS VARCHAR), 3, '0') || '.example.org' AS host,
+       'http://h' || lpad(CAST(hn AS VARCHAR), 3, '0') || '.example.org' || path AS url_canon,
+       CAST(CASE WHEN delay > 0 THEN least(base, 1200000 // 500) ELSE base END AS INTEGER)
+         AS budget_per_round
+FROM budgeted
 """

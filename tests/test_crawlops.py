@@ -233,3 +233,42 @@ def test_pack_bins_assignment_and_straddle(spark):
     out = {(r["g"], r["i"]): r["bin_id"] for r in pack_bins(df, ["g"], "i", "sz", 10).collect()}
     # starts: a → 0,4,8,12,20 ⇒ bins 0,0,0,1,2; b independent stream
     assert out == {("a", 1): 0, ("a", 2): 0, ("a", 3): 0, ("a", 4): 1, ("a", 5): 2, ("b", 1): 0}
+
+
+# --- X79/X80 canon + robots surfaces ------------------------------------------
+
+
+def test_url_canon_rules(spark):
+    from oa_spider_spark.frontier.canon import canonicalize_url
+
+    df = spark.createDataFrame(
+        [
+            ("HTTP://Ex.COM:80/a/B?z=1&a=2#frag",),
+            ("https://ex.com:443/",),
+            ("http://ex.com:8080/p?q=",),
+            ("http://ex.com",),
+        ],
+        "url string",
+    )
+    out = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    assert out == [
+        "http://ex.com/a/B?a=2&z=1",  # port dropped, host lowered, params sorted, frag stripped
+        "https://ex.com/",            # default https port dropped
+        "http://ex.com:8080/p?q=",    # non-default port kept
+        "http://ex.com/",             # bare host gains the root path
+    ]
+
+
+def test_robots_gate_budget_cap_binds(spark):
+    """hostnum%12==8 hosts carry base 5000 AND delay 500 — the
+    ROUND_PERIOD_MS/delay cap (2400) must replace the base."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["q_robots_gate"](spark, SF_DIR).collect()
+    budgets = {r["host"]: r["budget_per_round"] for r in rows}
+    assert budgets["h008.example.org"] == 2400  # 8%3==2 → base 5000, 8%4==0 → capped
+    assert budgets["h005.example.org"] == 5000  # 5%3==2, no delay → base kept
+    assert budgets["h000.example.org"] == 10    # capped branch, base 10 < 2400
+    # disallow prefixes: no /word/view path survives anywhere; /mail/ only on hn%5!=0
+    assert not [r for r in rows if "/word/view" in r["url_canon"]]
+    assert not [r for r in rows if "/mail/" in r["url_canon"] and r["host"] == "h005.example.org"]
