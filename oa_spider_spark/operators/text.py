@@ -337,3 +337,55 @@ def bigram_fluency(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").cast("long").alias("n_bigrams"),
         )
     )
+
+
+# --- X71: paragraph-level boilerplate dedup ----------------------------------
+
+
+def paragraph_dedup(
+    docs: DataFrame, paras_col: str = "paras", max_df: int = 5
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup with document reassembly
+    (Wenzek et al. 2020 §3.1: hash every paragraph, drop the ones that
+    repeat across the corpus — the standard boilerplate/header/footer
+    scrub an LLM corpus runs BEFORE doc-level dedup; the reference
+    crawls card pages whose shared chrome is exactly this shape,
+    oa.py:806-817). Input: (doc_id, paras array<string>); a paragraph
+    is dropped when its exact text occurs in more than `max_df`
+    positions corpus-wide. Output per doc: the surviving paragraphs
+    re-joined in original order + kept/dropped counts.
+
+    Scale shape: posexplode → groupBy(para) with map-side combine →
+    HAVING df > max_df produces the DROP SET (one row per boilerplate
+    paragraph — far smaller than the corpus and never replicated), then
+    a left join of the exploded rows against it on para. The hot keys
+    ARE the boilerplate (a site-wide footer at 100 TB is billions of
+    identical rows), so the drop test must be a JOIN — AQE splits a
+    skewed probe side; a count-over-Window partitioned by para would
+    pin every replica of the hottest paragraph in one task. Reassembly
+    is one groupBy(doc_id) with sort_array over (pos, para) structs —
+    deterministic order without a window. No Python anywhere."""
+    ex = docs.select(
+        "doc_id", F.posexplode(F.col(paras_col)).alias("pos", "para")
+    )
+    dropped = (
+        ex.groupBy("para")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("para", F.lit(True).alias("_drop"))
+    )
+    flagged = ex.join(dropped, "para", "left")
+    keep = F.col("_drop").isNull()
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.when(keep, F.struct("pos", "para")))
+                ),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+        F.sum((~keep).cast("int")).cast("long").alias("n_dropped"),
+    )

@@ -181,6 +181,80 @@ FROM documents GROUP BY source
 """
 
 
+# --- X72: anchor-text aggregation (inverted link-text index) -----------------
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation — the inverted link-text index
+    a crawler builds from its harvested edges (the web-graph "anchor
+    file" of Brin & Page 1998 §4.1; reference harvests the links at
+    oa.py:806-817 but never target-aggregates them). Each doc emits 3
+    outlinks relationally (target = /doc/{(doc_id*7+j) % 200}, anchor =
+    the doc's j-th word); the operator inverts the edge list: per
+    target, total in-links, distinct anchor texts, and the dominant
+    anchor (most frequent, ties to the lexicographically smallest).
+
+    Scale shape: explode → groupBy(target, anchor) with map-side
+    combine (the only corpus-sized shuffle) → row_number window
+    partitioned by target over the pre-aggregated counts (bounded by
+    per-target anchor variety, never raw edges) → one keyed groupBy.
+    Never a window over the raw edge list: a popular target at 100 TB
+    has billions of in-links but only thousands of distinct anchors."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    links = base.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        "w",
+    ).select(
+        F.concat(
+            F.lit("/doc/"),
+            ((F.col("doc_id") * 7 + F.col("j")) % 200).cast("string"),
+        ).alias("target"),
+        F.coalesce(F.get("w", F.col("j")), F.lit("")).alias("anchor"),
+    )
+    pc = links.groupBy("target", "anchor").agg(F.count("*").alias("c"))
+    win = Window.partitionBy("target").orderBy(F.desc("c"), F.asc("anchor"))
+    return (
+        pc.withColumn("rn", F.row_number().over(win))
+        .groupBy("target")
+        .agg(
+            F.sum("c").cast("long").alias("n_links"),
+            F.count("*").cast("long").alias("n_anchors"),
+            F.max(F.when(F.col("rn") == 1, F.col("anchor"))).alias("top_anchor"),
+            F.max(F.when(F.col("rn") == 1, F.col("c")))
+            .cast("long")
+            .alias("top_anchor_links"),
+        )
+    )
+
+
+SQL_ANCHOR_TEXT = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), l AS (
+  SELECT '/doc/' || CAST((doc_id * 7 + j) % 200 AS VARCHAR) AS target,
+         coalesce(w[j + 1], '') AS anchor
+  FROM (SELECT doc_id, w, unnest([0, 1, 2]) AS j FROM w)
+), pc AS (
+  SELECT target, anchor, count(*) AS c FROM l GROUP BY target, anchor
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY target
+                               ORDER BY c DESC, anchor ASC) AS rn
+  FROM pc
+)
+SELECT target,
+       sum(c)::BIGINT AS n_links,
+       count(*)::BIGINT AS n_anchors,
+       max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+       max(CASE WHEN rn = 1 THEN c END)::BIGINT AS top_anchor_links
+FROM r
+GROUP BY target
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -188,6 +262,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_html_links": q_html_links,
             "q_attachments_join": q_attachments_join,
             "q_digest_render": q_digest_render,
+            "q_anchor_text": q_anchor_text,
         }
     )
     oracles.update(
@@ -196,5 +271,6 @@ def register(queries: dict, oracles: dict) -> None:
             "q_html_links": SQL_HTML_LINKS,
             "q_attachments_join": SQL_ATTACHMENTS_JOIN,
             "q_digest_render": SQL_DIGEST_RENDER,
+            "q_anchor_text": SQL_ANCHOR_TEXT,
         }
     )

@@ -767,6 +767,7 @@ def register(
             "q_grouped_trend": q_grouped_trend,
             "q_new_vs_returning": q_new_vs_returning,
             "q_funnel_steps": q_funnel_steps,
+            "q_paragraph_dedup": q_paragraph_dedup,
         }
     )
     oracles.update(
@@ -787,5 +788,67 @@ def register(
             "q_grouped_trend": SQL_GROUPED_TREND,
             "q_new_vs_returning": SQL_NEW_VS_RETURNING,
             "q_funnel_steps": SQL_FUNNEL_STEPS,
+            "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         }
     )
+
+
+# --- X71: paragraph-level boilerplate dedup ----------------------------------
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph scrub over synthetic pages: every doc renders as
+    a per-source nav header + its text in 8-word paragraphs + a
+    per-source copyright footer (the relational page-synth idiom of
+    q_link_extract — 20 sources ⇒ each header/footer repeats ~N/20
+    times and is dropped at max_df=5; content paragraphs survive).
+    The operator (operators/text.py::paragraph_dedup) drops any exact
+    paragraph occurring >5 times corpus-wide and reassembles the doc
+    in original order."""
+    from .operators.text import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(8)),
+        lambda st: F.array_join(F.slice(w, st + 1, 8), " "),
+    )
+    paras = F.concat(
+        F.array(F.concat(F.lit("nav menu "), F.col("source"))),
+        chunks,
+        F.array(F.concat(F.lit("copyright "), F.col("source"))),
+    )
+    pages = d.select("doc_id", paras.alias("paras"))
+    return paragraph_dedup(pages, "paras", max_df=5)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), px AS (
+  SELECT doc_id, 0 AS pos, 'nav menu ' || source AS para FROM w
+  UNION ALL
+  SELECT doc_id, CAST(st // 8 + 1 AS INT) AS pos,
+         array_to_string(list_slice(w, st + 1, st + 8), ' ') AS para
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(0, greatest(len(w) - 1, 0), 8)) AS st
+        FROM w)
+  UNION ALL
+  SELECT doc_id,
+         CAST(greatest((len(w) + 7) // 8, 1) + 1 AS INT) AS pos,
+         'copyright ' || source AS para
+  FROM w
+), d AS (
+  SELECT para FROM px GROUP BY para HAVING count(*) > 5
+), f AS (
+  SELECT p.doc_id, p.pos, p.para, (d.para IS NOT NULL) AS dropped
+  FROM px p LEFT JOIN d ON p.para = d.para
+)
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT dropped), '') AS clean_text,
+       count(*) FILTER (WHERE NOT dropped) AS n_kept,
+       count(*) FILTER (WHERE dropped) AS n_dropped
+FROM f
+GROUP BY doc_id
+"""

@@ -843,3 +843,28 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     )
     assert n_read == n_probed, (n_read, n_probed)
     assert n_read < n_disk, (n_read, n_disk)
+
+
+def test_paragraph_dedup_drops_boilerplate_keeps_order(spark):
+    """X71: paragraphs repeating corpus-wide beyond max_df are scrubbed;
+    survivors reassemble in original positional order; a doc of pure
+    boilerplate collapses to the empty string."""
+    from oa_spider_spark.operators.text import paragraph_dedup
+
+    rows = []
+    # 4 docs share the same header/footer; unique bodies differ
+    for i in range(4):
+        rows.append((i, ["SHARED HEADER", f"body {i} alpha", f"body {i} beta",
+                         "SHARED FOOTER"]))
+    rows.append((99, ["SHARED HEADER", "SHARED FOOTER"]))  # all boilerplate
+    df = spark.createDataFrame(rows, "doc_id long, paras array<string>")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, "paras", max_df=3).collect()}
+    assert out[0]["clean_text"] == "body 0 alpha\nbody 0 beta"
+    assert out[0]["n_kept"] == 2 and out[0]["n_dropped"] == 2
+    assert out[99]["clean_text"] == "" and out[99]["n_kept"] == 0
+    # below the threshold nothing is dropped
+    out_loose = {
+        r["doc_id"]: r for r in paragraph_dedup(df, "paras", max_df=5).collect()
+    }
+    assert out_loose[0]["n_dropped"] == 0
+    assert out_loose[0]["clean_text"].startswith("SHARED HEADER\n")
