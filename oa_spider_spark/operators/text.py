@@ -339,7 +339,7 @@ def bigram_fluency(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# --- X71: paragraph-level boilerplate dedup ----------------------------------
+# --- X81: paragraph-level boilerplate dedup ----------------------------------
 
 
 def paragraph_dedup(

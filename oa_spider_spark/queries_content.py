@@ -181,7 +181,7 @@ FROM documents GROUP BY source
 """
 
 
-# --- X72: anchor-text aggregation (inverted link-text index) -----------------
+# --- X82: anchor-text aggregation (inverted link-text index) -----------------
 
 
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -793,7 +793,7 @@ def register(
     )
 
 
-# --- X71: paragraph-level boilerplate dedup ----------------------------------
+# --- X81: paragraph-level boilerplate dedup ----------------------------------
 
 
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

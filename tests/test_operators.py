@@ -846,7 +846,7 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
 
 
 def test_paragraph_dedup_drops_boilerplate_keeps_order(spark):
-    """X71: paragraphs repeating corpus-wide beyond max_df are scrubbed;
+    """X81: paragraphs repeating corpus-wide beyond max_df are scrubbed;
     survivors reassemble in original positional order; a doc of pure
     boilerplate collapses to the empty string."""
     from oa_spider_spark.operators.text import paragraph_dedup
