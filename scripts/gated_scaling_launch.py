@@ -1,0 +1,70 @@
+"""Probe-gated scaling-bench launcher (r05).
+
+The scaling gate's history (BENCH/BASELINE.md attempts table) shows a
+bimodal pattern: every pair whose same-window compute probe read >= 0.9
+scored >= 0.8, every sub-0.8 pair coincided with a sub-0.9 probe. The
+bottleneck is catching a healthy window on the shared VM, so this
+script polls the cheap compute probes and fires ONE full best-of-3
+crawl-only scaling_bench run the moment both widths read healthy,
+then exits. A lockfile (`/tmp/scaling_bench.lock`) marks the bench
+window so other sessions can avoid launching CPU-heavy work into it.
+
+Usage: python scripts/gated_scaling_launch.py [n] [sf_dir]
+Env:   GATE_CPU (default 0.90), GATE_MAX_MIN (default 200 minutes),
+       PROBE_SLEEP_S (default 150), SCALING_REPS passed through.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from oa_spider_spark.hostcap import capacity_probe, membw_probe  # noqa: E402
+
+LOCK = "/tmp/scaling_bench.lock"
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    gate = float(os.environ.get("GATE_CPU", "0.90"))
+    max_min = float(os.environ.get("GATE_MAX_MIN", "200"))
+    sleep_s = float(os.environ.get("PROBE_SLEEP_S", "150"))
+
+    t0 = time.time()
+    attempt = 0
+    while (time.time() - t0) / 60 < max_min:
+        attempt += 1
+        cpu_n = capacity_probe(n)
+        cpu_4n = capacity_probe(4 * n)
+        mem_4n = membw_probe(4 * n)
+        line = (
+            f"[gate {attempt}] t+{(time.time() - t0) / 60:.1f}m "
+            f"cpu_{n}={cpu_n} cpu_{4 * n}={cpu_4n} mem_{4 * n}={mem_4n}"
+        )
+        print(line, flush=True)
+        if cpu_n >= gate and cpu_4n >= gate:
+            print(f"[gate] window OPEN (gate {gate}) — launching", flush=True)
+            open(LOCK, "w").write(str(os.getpid()))
+            try:
+                env = dict(os.environ)
+                env.setdefault("SCALING_REPS", "3")
+                rc = subprocess.call(
+                    [sys.executable, "scripts/scaling_bench.py", str(n), sf_dir],
+                    env=env,
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                )
+            finally:
+                os.unlink(LOCK)
+            print(f"[gate] scaling_bench exited rc={rc}", flush=True)
+            return
+        time.sleep(sleep_s)
+    print("[gate] window never opened within budget — no launch", flush=True)
+
+
+if __name__ == "__main__":
+    main()
