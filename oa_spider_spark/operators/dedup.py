@@ -669,3 +669,95 @@ def edit1_pairs(
         .filter(F.col("dist") <= 1)
         .select("doc_a", "doc_b", "dist")
     )
+
+
+# --- X83: exact-threshold set-similarity self-join (prefix filtering) --------
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    t_milli: int = 500,
+    cap: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs set-similarity self-join at Jaccard ≥ t over word
+    bigram shingles — the deterministic complement to the probabilistic
+    MinHash-LSH family (Bayardo et al. 2007 "Scaling Up All Pairs
+    Similarity Search" / PPJoin, Xiao et al. 2008): no missed pairs, no
+    false positives, so it is the reconciliation pass a dedup pipeline
+    runs where recall must be provable.
+
+    Prefix filter: order every doc's distinct shingles by ascending
+    global document frequency (ties by token — one total order); a doc
+    with n shingles can reach Jaccard ≥ t with another only via a token
+    in its first n − ceil(t·n) + 1 (pigeonhole: |A∩B| ≥ t·|A| can't fit
+    in the shorter suffix). Candidates = equi-join of PREFIX rows only,
+    so the join keys are each doc's RAREST tokens by construction —
+    df-ascending ordering is what makes the fan-out survive 100 TB.
+    Verification is JVM-side array_intersect on the two shingle arrays
+    (doc-sized rows, no second explode). All thresholds in integer
+    milli-units: 1000·|A∩B| ≥ t_milli·|A∪B| — no floats, oracle-exact.
+
+    `cap` optionally drops candidate tokens hotter than `cap` (the
+    `_cap_groups` guard) — that trades the exactness guarantee for a
+    bound on degenerate corpora (every doc identical), so the default
+    keeps it off; LSH is the right tool for such corpora anyway.
+
+    Scale shape: one explode → df groupBy (map-side combine) → one
+    doc-partitioned rank window (doc-sized groups) → prefix-token
+    equi-join → distinct → two doc_id joins for verify. No Python."""
+    w = F.split(F.col(text_col), " ")
+    base = docs.select("doc_id", w.alias("_w")).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("_s"),
+    ).filter(F.size("_s") > 0)
+    tok = base.select(
+        "doc_id", F.size("_s").alias("n"), F.explode("_s").alias("tok")
+    )
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    rw = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    ranked = tok.join(dfreq, "tok").withColumn("rnk", F.row_number().over(rw))
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.expr(f"n - (({t_milli} * n + 999) div 1000) + 1")
+    ).select("doc_id", "tok")
+    prefix = _cap_groups(prefix, ["tok"], cap)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, F.col("a.tok") == F.col("b.tok"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    sa = base.select(
+        F.col("doc_id").alias("da"), F.col("_s").alias("_sa"),
+        F.size("_s").alias("na"),
+    )
+    sb = base.select(
+        F.col("doc_id").alias("db"), F.col("_s").alias("_sb"),
+        F.size("_s").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .withColumn("inter_cnt", inter.cast("long"))
+        .withColumn(
+            "union_cnt", (F.col("na") + F.col("nb") - inter).cast("long")
+        )
+        .filter(F.lit(1000) * F.col("inter_cnt") >= F.lit(t_milli) * F.col("union_cnt"))
+        .select(
+            "da",
+            "db",
+            "inter_cnt",
+            "union_cnt",
+            F.expr("(1000 * inter_cnt) div union_cnt").cast("long").alias("jacc_milli"),
+        )
+    )

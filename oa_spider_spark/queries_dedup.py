@@ -437,6 +437,52 @@ FROM sims ORDER BY rank LIMIT {k}
 SQL_IVF_ANN = _sql_ivf_ann()
 
 
+# --- X83: exact-threshold similarity self-join (prefix filtering) ------------
+
+
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard >= 0.5 over word-bigram shingles via
+    df-ordered prefix filtering (operators/dedup.py::
+    prefix_jaccard_pairs) — provable-recall near-dup reconciliation.
+    The oracle is the brute-force shared-token pair join: if the prefix
+    filter ever missed a qualifying pair (or admitted a false one), the
+    row sets diverge — the filter's correctness IS the thing on trial."""
+    from .operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), t_milli=500
+    )
+
+
+SQL_PREFIX_JACCARD = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(2, len(w)),
+                                      i -> w[i-1] || ' ' || w[i])) AS s
+  FROM w WHERE len(w) >= 2
+), t AS (
+  SELECT doc_id, unnest(s) AS tok FROM s
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM s WHERE len(s) > 0
+), i AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
+  FROM t a JOIN t b USING (tok)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da, db,
+       ic::BIGINT AS inter_cnt,
+       (sa.n + sb.n - ic)::BIGINT AS union_cnt,
+       ((1000 * ic) // (sa.n + sb.n - ic))::BIGINT AS jacc_milli
+FROM i
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE 1000 * ic >= 500 * (sa.n + sb.n - ic)
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -448,6 +494,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_simhash_near_pairs": q_simhash_near_pairs,
             "q_embedding_near_dups": q_embedding_near_dups,
             "q_ivf_ann": q_ivf_ann,
+            "q_prefix_jaccard": q_prefix_jaccard,
         }
     )
     oracles.update(
@@ -460,5 +507,6 @@ def register(queries: dict, oracles: dict) -> None:
             "q_simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
             "q_embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
             "q_ivf_ann": SQL_IVF_ANN,
+            "q_prefix_jaccard": SQL_PREFIX_JACCARD,
         }
     )

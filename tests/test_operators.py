@@ -868,3 +868,45 @@ def test_paragraph_dedup_drops_boilerplate_keeps_order(spark):
     }
     assert out_loose[0]["n_dropped"] == 0
     assert out_loose[0]["clean_text"].startswith("SHARED HEADER\n")
+
+
+def test_prefix_jaccard_exact_vs_brute_force(spark):
+    """X83: the prefix filter must be EXACT — identical pair set to a
+    Python brute force over bigram-shingle sets, at two thresholds,
+    on random word soup engineered to sit near the boundary."""
+    import itertools
+    import random
+
+    from oa_spider_spark.operators.dedup import prefix_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(36):
+        n = rng.randint(2, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted exact dup + near dup
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1] + " w0 w1"))
+
+    def shingles(text):
+        w = text.split(" ")
+        return {f"{a} {b}" for a, b in zip(w, w[1:])}
+
+    for t_milli in (500, 800):
+        want = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if 1000 * inter >= t_milli * union:
+                want.add((min(ia, ib), max(ia, ib)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["da"], r["db"])
+            for r in prefix_jaccard_pairs(df, t_milli=t_milli).collect()
+        }
+        assert got == want, f"t={t_milli}: {got ^ want}"
+        assert (100 not in {a for a, _ in got}) or (0, 100) in got
