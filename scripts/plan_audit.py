@@ -94,6 +94,9 @@ AUDITED = [
     "q_heavy_hitters",
     "q_snapshot_diff",
     "q_pack_bins",
+    "q_paragraph_dedup",
+    "q_anchor_text",
+    "q_prefix_jaccard",
 ]
 
 
