@@ -69,6 +69,14 @@ HEADLINE = [
     "q_edit1_titles",
     "q_bloom_semi_join",
     "q_bigram_fluency",
+    # round-5 curation/crawl additions (paragraph scrub + anchor index —
+    # both linear keyed-shuffle shapes). q_prefix_jaccard is NOT
+    # headlined: the synthetic corpus's flat ~900-bigram vocabulary is
+    # the documented worst case for prefix filtering (every "rare"
+    # token is common), so benching it here would measure the corpus,
+    # not the operator; its correctness gate runs at sf0.01.
+    "q_paragraph_dedup",
+    "q_anchor_text",
 ]
 
 
