@@ -35,6 +35,12 @@ def main() -> None:
     max_min = float(os.environ.get("GATE_MAX_MIN", "200"))
     sleep_s = float(os.environ.get("PROBE_SLEEP_S", "150"))
 
+    # r05 attempt 3 lesson: a single instantaneous >=0.9 reading can be a
+    # transient spike inside a degraded window (launched at 0.916/0.907,
+    # median-pair probes collapsed to 0.72/0.80 within minutes). Require
+    # CONSECUTIVE healthy rounds before firing.
+    need = int(os.environ.get("GATE_CONSECUTIVE", "2"))
+    streak = 0
     t0 = time.time()
     attempt = 0
     while (time.time() - t0) / 60 < max_min:
@@ -42,12 +48,14 @@ def main() -> None:
         cpu_n = capacity_probe(n)
         cpu_4n = capacity_probe(4 * n)
         mem_4n = membw_probe(4 * n)
+        streak = streak + 1 if (cpu_n >= gate and cpu_4n >= gate) else 0
         line = (
             f"[gate {attempt}] t+{(time.time() - t0) / 60:.1f}m "
             f"cpu_{n}={cpu_n} cpu_{4 * n}={cpu_4n} mem_{4 * n}={mem_4n}"
+            f" streak={streak}/{need}"
         )
         print(line, flush=True)
-        if cpu_n >= gate and cpu_4n >= gate:
+        if streak >= need:
             print(f"[gate] window OPEN (gate {gate}) — launching", flush=True)
             open(LOCK, "w").write(str(os.getpid()))
             try:
