@@ -768,6 +768,7 @@ def register(
             "q_new_vs_returning": q_new_vs_returning,
             "q_funnel_steps": q_funnel_steps,
             "q_paragraph_dedup": q_paragraph_dedup,
+            "q_corpus_pipeline": q_corpus_pipeline,
         }
     )
     oracles.update(
@@ -789,6 +790,7 @@ def register(
             "q_new_vs_returning": SQL_NEW_VS_RETURNING,
             "q_funnel_steps": SQL_FUNNEL_STEPS,
             "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+            "q_corpus_pipeline": SQL_CORPUS_PIPELINE,
         }
     )
 
@@ -852,3 +854,87 @@ SELECT doc_id,
 FROM f
 GROUP BY doc_id
 """
+
+
+# --- X84: composed end-to-end curation pipeline ------------------------------
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain in ONE call — the shape a Dolma/CCNet
+    corpus build actually runs: Gopher repetition rules (X53) ∧
+    paragraph boilerplate scrub (X81, ≥3 surviving paragraphs) → token
+    accounting per language. Output is the per-language yield report
+    (docs in, docs kept, tokens kept, keep rate in milli-units) a
+    pipeline owner reads before shipping a shard. Oracle composes the
+    two stage oracles as CTEs — a drift in EITHER stage or in the
+    composition logic mismatches.
+
+    Scale shape: the stage operators keep their own audited plans; the
+    composition adds two doc_id equi-joins and one ~languages-sized
+    groupBy. Nothing here re-reads the corpus a second time."""
+    from .operators.text import paragraph_dedup, repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    rep = repetition_stats(d).select("doc_id", "keep")
+    w = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(8)),
+        lambda st: F.array_join(F.slice(w, st + 1, 8), " "),
+    )
+    paras = F.concat(
+        F.array(F.concat(F.lit("nav menu "), F.col("source"))),
+        chunks,
+        F.array(F.concat(F.lit("copyright "), F.col("source"))),
+    )
+    scrub = paragraph_dedup(
+        d.select("doc_id", paras.alias("paras")), "paras", max_df=5
+    ).select("doc_id", "clean_text", "n_kept")
+    tok = F.when(
+        F.col("clean_text") == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.col("clean_text"), r"\s+")))
+    j = (
+        d.select("doc_id", "lang")
+        .join(rep, "doc_id")
+        .join(scrub, "doc_id")
+        .withColumn("kept", F.col("keep") & (F.col("n_kept") >= 3))
+        .withColumn("tok", tok)
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("docs_in"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("docs_kept"),
+            F.sum(F.when(F.col("kept"), F.col("tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .withColumn(
+            "keep_milli",
+            F.expr("(1000 * docs_kept) div docs_in").cast("long"),
+        )
+    )
+
+
+SQL_CORPUS_PIPELINE = (
+    "WITH rep_stage AS (" + SQL_REPETITION_STATS + "), para_stage AS ("
+    + SQL_PARAGRAPH_DEDUP
+    + """)
+SELECT lang,
+       count(*)::BIGINT AS docs_in,
+       count(*) FILTER (WHERE kept)::BIGINT AS docs_kept,
+       coalesce(sum(CASE WHEN kept THEN tok ELSE 0 END), 0)::BIGINT
+         AS tokens_kept,
+       ((1000 * count(*) FILTER (WHERE kept)) // count(*))::BIGINT
+         AS keep_milli
+FROM (
+  SELECT d.lang,
+         (r.keep AND p.n_kept >= 3) AS kept,
+         CASE WHEN p.clean_text = '' THEN 0
+              ELSE len(string_split_regex(p.clean_text, '\\s+')) END AS tok
+  FROM documents d
+  JOIN rep_stage r ON r.doc_id = d.doc_id
+  JOIN para_stage p ON p.doc_id = d.doc_id
+)
+GROUP BY lang
+"""
+)
