@@ -10,8 +10,19 @@ then exits. A lockfile (`/tmp/scaling_bench.lock`) marks the bench
 window so other sessions can avoid launching CPU-heavy work into it.
 
 Usage: python scripts/gated_scaling_launch.py [n] [sf_dir]
-Env:   GATE_CPU (default 0.90), GATE_MAX_MIN (default 200 minutes),
-       PROBE_SLEEP_S (default 150), SCALING_REPS passed through.
+Env:   GATE_CPU (default 0.88), GATE_MEM (default 0.50),
+       GATE_MAX_MIN (default 200 minutes), PROBE_SLEEP_S (default 150),
+       SCALING_REPS passed through.
+
+r05 refinement: attempt 3 fired on cpu probes 0.916/0.907 and scored
+0.415 because the DRAM side was closed (mem-bw ceiling 0.337, worst
+pair mem_8 0.076) — the compute probe alone cannot see the co-tenant
+that actually taxes the 4N-wide run. The r05 build is ~15-20% faster
+per core than r04 (all-time records at both widths in attempts 1-2),
+which makes it MORE bandwidth-bound and hence more sensitive to DRAM
+co-tenancy than the r04 build that passed at mem ceiling 0.418. Gate
+on BOTH probe families: compute at both widths AND the wide-side
+memory-bandwidth probe.
 """
 
 from __future__ import annotations
@@ -31,7 +42,13 @@ LOCK = "/tmp/scaling_bench.lock"
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    gate = float(os.environ.get("GATE_CPU", "0.90"))
+    gate = float(os.environ.get("GATE_CPU", "0.88"))
+    # Threshold on the host's OWN mem-bw N->4N scaling ceiling
+    # (mem_4n/mem_n probe ratio — raw probe values saturate by design:
+    # DRAM tops out near 4 concurrent streams even on an idle host).
+    # PASS windows read >= ~0.42 on the r04 build; the faster r05 build
+    # missed at 0.495, so demand a genuinely open DRAM window.
+    gate_mem = float(os.environ.get("GATE_MEM", "0.55"))
     max_min = float(os.environ.get("GATE_MAX_MIN", "200"))
     sleep_s = float(os.environ.get("PROBE_SLEEP_S", "150"))
 
@@ -47,11 +64,15 @@ def main() -> None:
         attempt += 1
         cpu_n = capacity_probe(n)
         cpu_4n = capacity_probe(4 * n)
+        mem_n = membw_probe(n)
         mem_4n = membw_probe(4 * n)
-        streak = streak + 1 if (cpu_n >= gate and cpu_4n >= gate) else 0
+        mem_ceil = round(mem_4n / mem_n, 3) if mem_n > 0 else 0.0
+        healthy = cpu_n >= gate and cpu_4n >= gate and mem_ceil >= gate_mem
+        streak = streak + 1 if healthy else 0
         line = (
             f"[gate {attempt}] t+{(time.time() - t0) / 60:.1f}m "
-            f"cpu_{n}={cpu_n} cpu_{4 * n}={cpu_4n} mem_{4 * n}={mem_4n}"
+            f"cpu_{n}={cpu_n} cpu_{4 * n}={cpu_4n} mem_{n}={mem_n} "
+            f"mem_{4 * n}={mem_4n} mem_ceil={mem_ceil}"
             f" streak={streak}/{need}"
         )
         print(line, flush=True)
