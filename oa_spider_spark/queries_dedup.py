@@ -483,6 +483,38 @@ WHERE 1000 * ic >= 500 * (sa.n + sb.n - ic)
 """
 
 
+# --- X85: sorted-neighborhood dedup (SNM) ------------------------------------
+
+
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (operators/dedup.py::
+    sorted_neighborhood_pairs): normalized 32-char blocking key, global
+    (key, id) sort via the bucketed-rank decomposition, neighbors within
+    window 8, JVM levenshtein <= 4 verify. The oracle recomputes the
+    SAME total order with a plain ROW_NUMBER and a rank-distance self
+    join — if the two-level cell decomposition ever mis-ranks a row (or
+    the block trick drops a neighbor pair), the row sets diverge."""
+    from .operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_SNM_PAIRS = """
+WITH k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'),
+                1, 32) AS key
+  FROM documents
+), r AS (
+  SELECT doc_id, key, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM k
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.key, b.key) AS INT) AS dist
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 8
+WHERE levenshtein(a.key, b.key) <= 4
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -495,6 +527,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_embedding_near_dups": q_embedding_near_dups,
             "q_ivf_ann": q_ivf_ann,
             "q_prefix_jaccard": q_prefix_jaccard,
+            "q_snm_pairs": q_snm_pairs,
         }
     )
     oracles.update(
@@ -508,5 +541,6 @@ def register(queries: dict, oracles: dict) -> None:
             "q_embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
             "q_ivf_ann": SQL_IVF_ANN,
             "q_prefix_jaccard": SQL_PREFIX_JACCARD,
+            "q_snm_pairs": SQL_SNM_PAIRS,
         }
     )

@@ -910,3 +910,51 @@ def test_prefix_jaccard_exact_vs_brute_force(spark):
         }
         assert got == want, f"t={t_milli}: {got ^ want}"
         assert (100 not in {a for a, _ in got}) or (0, 100) in got
+
+
+def test_sorted_neighborhood_matches_plain_window_rank(spark):
+    """SNM (X85): the two-level cell rank + block join finds EXACTLY the
+    pairs a plain global ROW_NUMBER + rank-distance brute force finds —
+    including ties (identical keys fall back to id order), a hot shared
+    prefix (many rows in one (_b,_s) cell), empty/normalized-away keys,
+    and cross-block neighbors (the {g, g-1} duplication)."""
+    rows = (
+        [(i, "the quick brown fox %02d" % i) for i in range(20)]  # hot cell
+        + [(100, "THE QUICK!! brown fox 03"),  # normalizes near the above
+           (101, ""), (102, "!!!"), (103, None),  # empty/degenerate keys
+           (200, "zebra zone"), (201, "zebra cone")]  # isolated tail cell
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    window, max_dist, key_len = 5, 4, 32
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in dedup.sorted_neighborhood_pairs(
+            df, window=window, max_dist=max_dist, key_len=key_len
+        ).collect()
+    }
+
+    import re
+
+    def norm(t):
+        return re.sub(r"[^a-z0-9 ]", "", (t or "").lower())[:key_len]
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ordered = sorted(((norm(t), i) for i, t in rows))
+    want = set()
+    for x in range(len(ordered)):
+        for y in range(x + 1, min(x + window, len(ordered))):
+            d = lev(ordered[x][0], ordered[y][0])
+            if d <= max_dist:
+                want.add((ordered[x][1], ordered[y][1], d))
+    assert got == want
+    assert any(a == 101 or b == 101 for a, b, _ in got)  # empty keys pair up
