@@ -49,6 +49,11 @@ def main() -> None:
     # PASS windows read >= ~0.42 on the r04 build; the faster r05 build
     # missed at 0.495, so demand a genuinely open DRAM window.
     gate_mem = float(os.environ.get("GATE_MEM", "0.55"))
+    # The ceiling is a RATIO — two equally-degraded probes can read ~1.0
+    # (observed: mem_2 0.101 / mem_8 0.095 => ceil 0.941 in a window where
+    # DRAM was 5x co-tenanted at BOTH widths). Require the narrow-side
+    # probe itself healthy before trusting the ratio.
+    gate_mem_n = float(os.environ.get("GATE_MEM_N", "0.35"))
     max_min = float(os.environ.get("GATE_MAX_MIN", "200"))
     sleep_s = float(os.environ.get("PROBE_SLEEP_S", "150"))
 
@@ -67,7 +72,12 @@ def main() -> None:
         mem_n = membw_probe(n)
         mem_4n = membw_probe(4 * n)
         mem_ceil = round(mem_4n / mem_n, 3) if mem_n > 0 else 0.0
-        healthy = cpu_n >= gate and cpu_4n >= gate and mem_ceil >= gate_mem
+        healthy = (
+            cpu_n >= gate
+            and cpu_4n >= gate
+            and mem_n >= gate_mem_n
+            and mem_ceil >= gate_mem
+        )
         streak = streak + 1 if healthy else 0
         line = (
             f"[gate {attempt}] t+{(time.time() - t0) / 60:.1f}m "
