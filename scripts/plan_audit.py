@@ -97,6 +97,8 @@ AUDITED = [
     "q_paragraph_dedup",
     "q_anchor_text",
     "q_prefix_jaccard",
+    "q_corpus_pipeline",
+    "q_snm_pairs",
 ]
 
 
