@@ -75,3 +75,78 @@ def with_url_columns(df, url_col: str = "url"):
         .withColumn("url_hash", url_hash(F.col("url_canon")))
         .withColumn("host", host_of(url_col))
     )
+
+
+# --- X86: registrable domain (eTLD+1) ----------------------------------------
+
+# Vendored SUBSET of publicsuffix.org semantics (the list itself is public
+# knowledge; a production deployment broadcasts the full ~10k-rule list the
+# same way — it is a few hundred KB, well under any broadcast threshold).
+# Longest-suffix-match wins, exactly like the PSL algorithm; wildcard and
+# exception rules are out of scope for the subset.
+PSL_SUBSET = (
+    "com", "org", "net", "io", "dev",
+    "co.uk", "org.uk", "ac.uk",
+    "com.cn", "org.cn", "net.cn",
+    "github.io", "gitlab.io",
+)
+
+
+def registrable_domain(host: Column | str, suffixes: DataFrame) -> "callable":
+    """Return a function df -> df adding `domain` = eTLD+1 of `host`.
+
+    Two-level politeness needs the REGISTRABLE domain, not the host:
+    per-host budgets alone are defeated by subdomain spam (a spam farm
+    mints s1..s10000.spam.example and gets 10000x one host's budget).
+
+    Longest-suffix match without exploding the frontier: the host's last
+    1/2/3 labels are joined against the broadcast suffix table THREE
+    times (left joins, JVM-side, no shuffle of the big table — the same
+    shape as the hosts politeness join J3), and the deepest hit wins.
+    eTLD+1 = one label + the matched suffix; a host that IS a public
+    suffix, or has no dot at all, maps to itself. PSL wildcard/exception
+    rules would add one more candidate width, not a different plan.
+    """
+    hc = F.col(host) if isinstance(host, str) else host
+
+    def apply(df: DataFrame) -> DataFrame:
+        labels = F.split(hc, r"\.")
+        n = F.size(labels)
+        c1 = F.element_at(labels, -1)
+        c2 = F.when(n >= 2, F.concat_ws(".", F.slice(labels, -2, 2)))
+        c3 = F.when(n >= 3, F.concat_ws(".", F.slice(labels, -3, 3)))
+        out = (
+            df.withColumn("_lab", labels)
+            .withColumn("_n", n)
+            .withColumn("_c1", c1)
+            .withColumn("_c2", c2)
+            .withColumn("_c3", c3)
+        )
+        for k in (1, 2, 3):
+            sfx = F.broadcast(
+                suffixes.select(F.col("sfx").alias(f"_m{k}"))
+            )
+            out = out.join(sfx, out[f"_c{k}"] == sfx[f"_m{k}"], "left")
+        depth = (
+            F.when(F.col("_m3").isNotNull(), 3)
+            .when(F.col("_m2").isNotNull(), 2)
+            .when(F.col("_m1").isNotNull(), 1)
+            .otherwise(0)
+        )
+        matched = F.coalesce(F.col("_m3"), F.col("_m2"), F.col("_m1"))
+        domain = (
+            F.when(depth == 0, hc)
+            .when(F.col("_n") <= depth, hc)
+            .otherwise(
+                F.concat(
+                    F.element_at(F.col("_lab"), -(F.lit(1)) - depth),
+                    F.lit("."),
+                    matched,
+                )
+            )
+        )
+        return out.withColumn("domain", domain).drop(
+            "_lab", "_n", "_c1", "_c2", "_c3", "_m1", "_m2", "_m3"
+        )
+
+    return apply

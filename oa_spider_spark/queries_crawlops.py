@@ -213,6 +213,113 @@ FROM e GROUP BY lang, permille
 """
 
 
+# --- X86: registrable-domain (eTLD+1) politeness rollup -----------------------
+
+
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level politeness: collapse hosts to their REGISTRABLE domain
+    (frontier/canon.py::registrable_domain — longest-suffix match against
+    a broadcast public-suffix table, three left broadcast joins, no
+    shuffle of the URL table) and roll budgets up per domain, capping the
+    subdomain-spam amplification a per-host-only budget can't see.
+    Derived hosts cover multi-label suffixes (co.uk, github.io), a host
+    that IS a public suffix, and a dotless host."""
+    from .frontier.canon import PSL_SUBSET, registrable_domain
+
+    e = _t(spark, sf_dir, "events")
+    sub = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("www."))
+        .when(F.col("event_id") % 3 == 1, F.lit("img."))
+        .otherwise(F.lit(""))
+    )
+    sfx = (
+        F.when(F.col("user_id") % 4 == 0, F.lit("org"))
+        .when(F.col("user_id") % 4 == 1, F.lit("co.uk"))
+        .when(F.col("user_id") % 4 == 2, F.lit("github.io"))
+        .otherwise(F.lit("com"))
+    )
+    host = (
+        F.when(F.col("event_id") % 31 == 0, F.lit("github.io"))
+        .when(F.col("event_id") % 31 == 1, F.lit("localhost"))
+        .otherwise(
+            F.concat(
+                sub,
+                F.lit("h"),
+                F.lpad((F.col("event_id") % 97).cast("string"), 2, "0"),
+                F.lit(".site"),
+                (F.col("user_id") % 40).cast("string"),
+                F.lit("."),
+                sfx,
+            )
+        )
+    )
+    urls = e.select(F.col("event_id").alias("url_id"), host.alias("host"))
+    suffixes = spark.createDataFrame([(s,) for s in PSL_SUBSET], "sfx string")
+    with_domain = registrable_domain("host", suffixes)(urls)
+    return with_domain.groupBy("domain").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.count("*").cast("long").alias("n_urls"),
+        F.least(F.count("*"), F.lit(25)).cast("long").alias("domain_budget"),
+    )
+
+
+def _sql_domain_caps() -> str:
+    from .frontier.canon import PSL_SUBSET
+
+    values = ", ".join(f"('{s}')" for s in PSL_SUBSET)
+    return f"""
+WITH u AS (
+  SELECT event_id AS url_id,
+         CASE WHEN event_id % 31 = 0 THEN 'github.io'
+              WHEN event_id % 31 = 1 THEN 'localhost'
+              ELSE (CASE WHEN event_id % 3 = 0 THEN 'www.'
+                         WHEN event_id % 3 = 1 THEN 'img.'
+                         ELSE '' END)
+                   || 'h' || lpad(CAST(event_id % 97 AS VARCHAR), 2, '0')
+                   || '.site' || CAST(user_id % 40 AS VARCHAR) || '.'
+                   || (CASE WHEN user_id % 4 = 0 THEN 'org'
+                            WHEN user_id % 4 = 1 THEN 'co.uk'
+                            WHEN user_id % 4 = 2 THEN 'github.io'
+                            ELSE 'com' END)
+         END AS host
+  FROM events
+), lab AS (
+  SELECT url_id, host, string_split(host, '.') AS l, len(string_split(host, '.')) AS n
+  FROM u
+), cand AS (
+  SELECT url_id, host, l, n,
+         l[n] AS c1,
+         CASE WHEN n >= 2 THEN l[n-1] || '.' || l[n] END AS c2,
+         CASE WHEN n >= 3 THEN l[n-2] || '.' || l[n-1] || '.' || l[n] END AS c3
+  FROM lab
+), m AS (
+  SELECT c.*, s3.sfx AS m3, s2.sfx AS m2, s1.sfx AS m1
+  FROM cand c
+  LEFT JOIN (VALUES {values}) s3(sfx) ON c.c3 = s3.sfx
+  LEFT JOIN (VALUES {values}) s2(sfx) ON c.c2 = s2.sfx
+  LEFT JOIN (VALUES {values}) s1(sfx) ON c.c1 = s1.sfx
+), d AS (
+  SELECT url_id, host,
+         CASE WHEN m3 IS NULL AND m2 IS NULL AND m1 IS NULL THEN host
+              WHEN n <= (CASE WHEN m3 IS NOT NULL THEN 3
+                              WHEN m2 IS NOT NULL THEN 2 ELSE 1 END) THEN host
+              ELSE l[n - (CASE WHEN m3 IS NOT NULL THEN 3
+                               WHEN m2 IS NOT NULL THEN 2 ELSE 1 END)]
+                   || '.' || coalesce(m3, m2, m1)
+         END AS domain
+  FROM m
+)
+SELECT domain,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(least(count(*), 25) AS BIGINT) AS domain_budget
+FROM d GROUP BY domain
+"""
+
+
+SQL_DOMAIN_CAPS = _sql_domain_caps()
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -225,6 +332,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_pack_bins": q_pack_bins,
             "q_url_canon": q_url_canon,
             "q_robots_gate": q_robots_gate,
+            "q_domain_caps": q_domain_caps,
         }
     )
     oracles.update(
@@ -238,6 +346,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_pack_bins": SQL_PACK_BINS,
             "q_url_canon": SQL_URL_CANON,
             "q_robots_gate": SQL_ROBOTS_GATE,
+            "q_domain_caps": SQL_DOMAIN_CAPS,
         }
     )
 

@@ -958,3 +958,29 @@ def test_sorted_neighborhood_matches_plain_window_rank(spark):
                 want.add((ordered[x][1], ordered[y][1], d))
     assert got == want
     assert any(a == 101 or b == 101 for a, b, _ in got)  # empty keys pair up
+
+
+def test_registrable_domain_longest_suffix_and_edges(spark):
+    """X86: eTLD+1 by longest-suffix match — the multi-label suffix wins
+    over its own tail (x.demo.github.io -> demo.github.io, not
+    x.demo.github.io via bare "io"); hosts that ARE a public suffix,
+    dotless hosts, and unmatched TLDs map to themselves."""
+    from oa_spider_spark.frontier.canon import PSL_SUBSET, registrable_domain
+
+    hosts = [
+        ("a.b.example.co.uk", "example.co.uk"),   # 2-label suffix, deep subdomain
+        ("www.example.org", "example.org"),       # 1-label suffix
+        ("demo.github.io", "demo.github.io"),     # github.io beats io
+        ("x.demo.github.io", "demo.github.io"),   # ... at any depth
+        ("github.io", "github.io"),               # host IS a public suffix
+        ("localhost", "localhost"),               # dotless
+        ("weird.unknowntld", "weird.unknowntld"), # no suffix match at all
+        ("co.uk", "co.uk"),                       # 2-label public suffix itself
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    suffixes = spark.createDataFrame([(s,) for s in PSL_SUBSET], "sfx string")
+    got = {
+        r["host"]: r["domain"]
+        for r in registrable_domain("host", suffixes)(df).collect()
+    }
+    assert got == dict(hosts)
