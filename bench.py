@@ -77,6 +77,10 @@ HEADLINE = [
     # not the operator; its correctness gate runs at sf0.01.
     "q_paragraph_dedup",
     "q_anchor_text",
+    # X85/X86: global-sort-blocked SNM dedup (bucketed rank, 2x block
+    # fan-out) and the eTLD+1 domain rollup (3 broadcast suffix joins)
+    "q_snm_pairs",
+    "q_domain_caps",
 ]
 
 

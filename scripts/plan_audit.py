@@ -99,6 +99,7 @@ AUDITED = [
     "q_prefix_jaccard",
     "q_corpus_pipeline",
     "q_snm_pairs",
+    "q_domain_caps",
 ]
 
 
