@@ -680,3 +680,47 @@ def pack_bins(
     return started.withColumn(
         "bin_id", F.expr(f"_start div {int(budget)}")
     ).drop("_start")
+
+
+# --- X87: grouped MAD robust outliers ----------------------------------------
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k_milli: int = 3000,
+) -> DataFrame:
+    """Per-group robust outlier census via the median absolute deviation
+    — the breakdown-resistant twin of the z-score filter (X30): one
+    extreme value drags a mean/stddev fence toward itself (masking), a
+    median/MAD fence moves only when >50% of the group moves.
+
+    Built by composing `exact_percentiles` twice (value-domain histogram
+    + nearest-rank, all-integer): median per group, then the median of
+    |v − med|. The per-group stats frames are group-count-sized scalars
+    (ints, not blobs — the cogroup rule is for per-group payloads that
+    would be copied per row), so they broadcast-join back onto the
+    stream; total cost is two histogram shuffles + two broadcast joins
+    at ANY input size. The fence is pure integers: outlier ⇔
+    1000·|v − med| > k_milli·MAD (strict, so a zero-MAD group — >50%
+    identical values — flags exactly the rows that differ at all).
+    Output: per-group n, med, mad, n_outliers.
+    """
+    med = exact_percentiles(df, key_col, value_col, permilles=(500,)).select(
+        key_col, F.col("p500").alias("_med")
+    )
+    dev = df.join(F.broadcast(med), key_col).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = exact_percentiles(dev, key_col, "_dev", permilles=(500,)).select(
+        key_col, F.col("p500").alias("_mad")
+    )
+    flagged = dev.join(F.broadcast(mad), key_col)
+    is_out = (F.lit(1000) * F.col("_dev")) > (F.lit(k_milli) * F.col("_mad"))
+    return flagged.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("_med").cast("long").alias("med"),
+        F.max("_mad").cast("long").alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+    )

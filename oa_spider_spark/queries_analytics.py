@@ -441,6 +441,65 @@ FROM documents JOIN dim USING (lang)
 """
 
 
+# --- X87: grouped MAD robust outlier census ----------------------------------
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier fence per event type (operators/
+    pipeline.py::mad_outliers): exact nearest-rank median of the cents-
+    quantized value, exact median of |v - med|, integer fence
+    1000*dev > 3000*MAD. The oracle recomputes both nearest-rank
+    medians from the same histogram/cumulative formulation."""
+    from .operators.pipeline import mad_outliers
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _cents(F.col("value")).alias("value_cents")
+    )
+    return mad_outliers(e, "event_type", "value_cents", k_milli=3000)
+
+
+SQL_MAD_OUTLIERS = """
+WITH base AS (
+  SELECT event_type AS k, CAST(round(value * 100, 0) AS BIGINT) AS v FROM events
+), h1 AS (
+  SELECT k, v, count(*) AS cnt FROM base GROUP BY 1, 2
+), s1 AS (
+  SELECT k, v,
+    CAST(sum(cnt) OVER (PARTITION BY k ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER (PARTITION BY k) AS BIGINT) AS n
+  FROM h1
+), med AS (
+  SELECT k, min(CASE WHEN cum >= CAST(floor(((n - 1) * 500) / 1000.0)
+                          AS BIGINT) + 1 THEN v END) AS med
+  FROM s1 GROUP BY k
+), dev AS (
+  SELECT b.k, abs(b.v - m.med) AS d, m.med
+  FROM base b JOIN med m USING (k)
+), h2 AS (
+  SELECT k, d, count(*) AS cnt FROM dev GROUP BY 1, 2
+), s2 AS (
+  SELECT k, d,
+    CAST(sum(cnt) OVER (PARTITION BY k ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER (PARTITION BY k) AS BIGINT) AS n
+  FROM h2
+), mad AS (
+  SELECT k, min(CASE WHEN cum >= CAST(floor(((n - 1) * 500) / 1000.0)
+                          AS BIGINT) + 1 THEN d END) AS mad
+  FROM s2 GROUP BY k
+)
+SELECT d.k AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(d.med) AS BIGINT) AS med,
+       CAST(max(ma.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN 1000 * d.d > 3000 * ma.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad ma ON d.k = ma.k
+GROUP BY d.k
+"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -454,6 +513,7 @@ def register(
             "q_value_percentiles": q_value_percentiles,
             "q_salted_lang_join": q_salted_lang_join,
             "q_nation_revenue": q_nation_revenue,
+            "q_mad_outliers": q_mad_outliers,
         }
     )
     oracles.update(
@@ -465,5 +525,6 @@ def register(
             "q_value_percentiles": SQL_VALUE_PERCENTILES,
             "q_salted_lang_join": SQL_SALTED_LANG_JOIN,
             "q_nation_revenue": SQL_NATION_REVENUE,
+            "q_mad_outliers": SQL_MAD_OUTLIERS,
         }
     )

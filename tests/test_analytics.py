@@ -233,3 +233,38 @@ def test_nation_revenue_broadcasts_dims_no_cartesian(spark):
     # ordering contract: descending revenue, name-asc ties
     revs = [r["revenue_cent_pct"] for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_mad_outliers_match_hand_computation(spark):
+    """X87: median/MAD fence vs a brute-force nearest-rank recompute,
+    including the zero-MAD edge (a >50%-constant group flags every row
+    that differs at all) and repartition invariance."""
+    from oa_spider_spark.operators.pipeline import mad_outliers
+
+    data = [
+        # group a: median 10, MAD 2; 1000*|v-10| > 3000*2 <=> dev > 6
+        ("a", 4), ("a", 8), ("a", 10), ("a", 12), ("a", 30),
+        # group b: zero MAD (3 of 5 identical) -> the two 9s are outliers
+        ("b", 7), ("b", 7), ("b", 7), ("b", 9), ("b", 9),
+    ]
+    df = spark.createDataFrame(data, ["k", "v"])
+
+    def brute(vals):
+        n = len(vals)
+        sv = sorted(vals)
+        med = sv[(n - 1) * 500 // 1000]
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(n - 1) * 500 // 1000]
+        n_out = sum(1 for v in vals if 1000 * abs(v - med) > 3000 * mad)
+        return (n, med, mad, n_out)
+
+    expect = {
+        k: brute([v for kk, v in data if kk == k]) for k in ("a", "b")
+    }
+    for parts in (1, 7):
+        got = {
+            r["k"]: (r["n"], r["med"], r["mad"], r["n_outliers"])
+            for r in mad_outliers(df.repartition(parts), "k", "v").collect()
+        }
+        assert got == expect
+    assert expect["b"][2] == 0 and expect["b"][3] == 2  # zero-MAD edge hit
