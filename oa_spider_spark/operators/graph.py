@@ -167,3 +167,75 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     ne = edges.agg(F.count("*").alias("n_edges"))
     nn = deg.agg(F.count("*").alias("n_nodes"))
     return nn.crossJoin(ne).crossJoin(tri)
+
+
+def resolve_pointer_chains(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Multi-hop redirect-chain resolution by pointer doubling: every
+    node's final destination within `max_hops` redirects, with the exact
+    hop count and a resolved/cycle-or-truncated flag.
+
+    The reference resolves ONE redirect hop with a regex on the fetched
+    page (/root/reference/oa_spider/utils.py `redirect_url`, consumed at
+    oa.py download time); a real crawl sees 301→302→meta-refresh chains
+    and redirect LOOPS, and the frontier must know each URL's terminal
+    identity before the seen-set/dedup pass. The textbook loop is "follow
+    one hop per iteration" — O(max_hops) joins. Pointer doubling (the
+    PRAM/parallel-BFS trick: compose the partial mapping with itself,
+    f ← f∘f) needs only ceil(log2(max_hops)) self-joins, each a key
+    equi-join on node id — at 10^10 URLs that's 3 shuffles instead of 8,
+    and every shuffle moves only (node, reach, steps) triples, never
+    payloads.
+
+    Semantics (`edges` is a FUNCTION: at most one `dst` per `src`):
+    * terminal nodes (no outgoing edge) are fixed points with step
+      contribution 0, so hop counts saturate exactly at chain length;
+    * `max_hops` must be a power of two: after K=log2(max_hops)
+      doublings the mapping is exactly g^max_hops, so a node still on a
+      non-terminal (cycle, or a chain longer than the budget) reports
+      hops == max_hops and resolved = 0 — bit-identical to a bounded
+      recursive walk, which is what the DuckDB oracle runs.
+    * Lineage doubles per iteration (2^K base scans); K=3 is fine
+      inline — for deep budgets stage rounds to parquet like
+      dedup.connected_components does.
+
+    Output: (node, final_node, hops, resolved) for every node appearing
+    as a src or dst.
+    """
+    if max_hops < 1 or (max_hops & (max_hops - 1)) != 0:
+        raise ValueError("max_hops must be a power of two >= 1")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = nodes.join(
+        edges.select(F.col("src").alias("node"), "dst"), "node", "left"
+    ).select(
+        "node",
+        F.coalesce("dst", F.col("node")).alias("reach"),
+        F.when(F.col("dst").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("steps"),
+    )
+    g = base
+    hop = 1
+    while hop < max_hops:
+        m = g.select(
+            F.col("node").alias("reach"),
+            F.col("reach").alias("reach2"),
+            F.col("steps").alias("steps2"),
+        )
+        g = g.join(m, "reach").select(
+            "node",
+            F.col("reach2").alias("reach"),
+            (F.col("steps") + F.col("steps2")).alias("steps"),
+        )
+        hop *= 2
+    term = base.select(F.col("node").alias("reach"), F.col("steps").alias("_tsteps"))
+    return g.join(term, "reach").select(
+        "node",
+        F.col("reach").alias("final_node"),
+        F.col("steps").alias("hops"),
+        F.when(F.col("_tsteps") == 0, 1).otherwise(0).cast("int").alias("resolved"),
+    )

@@ -333,6 +333,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_url_canon": q_url_canon,
             "q_robots_gate": q_robots_gate,
             "q_domain_caps": q_domain_caps,
+            "q_redirect_chains": q_redirect_chains,
         }
     )
     oracles.update(
@@ -347,6 +348,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_url_canon": SQL_URL_CANON,
             "q_robots_gate": SQL_ROBOTS_GATE,
             "q_domain_caps": SQL_DOMAIN_CAPS,
+            "q_redirect_chains": SQL_REDIRECT_CHAINS,
         }
     )
 
@@ -637,4 +639,70 @@ SELECT url_id,
        CAST(CASE WHEN delay > 0 THEN least(base, 1200000 // 500) ELSE base END AS INTEGER)
          AS budget_per_round
 FROM budgeted
+"""
+
+
+# --- X88: multi-hop redirect-chain resolution ---------------------------------
+
+REDIR_MOD = 4999
+REDIR_HOPS = 8
+
+
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-hop redirect resolution (operators/graph.py::
+    resolve_pointer_chains — log-hop pointer doubling). The event log
+    plays a redirect map: node = event_id mod 4999; nodes divisible by
+    13 are terminals, the 17k+3/17k+4 pairs form 2-cycles (redirect
+    loops), everything else points at node div 3 (chains of up to 8
+    hops toward 0). The DuckDB twin is a plain bounded recursive walk —
+    if doubling ever mis-counts a hop or stops at the wrong node, the
+    row sets diverge."""
+    from .operators.graph import resolve_pointer_chains
+
+    nodes = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("event_id") % REDIR_MOD).alias("node"))
+        .distinct()
+    )
+    edges = nodes.select(
+        F.col("node").alias("src"),
+        F.when(F.col("node") % 13 == 0, F.lit(None).cast("long"))
+        .when(F.col("node") % 17 == 3, F.col("node") + 1)
+        .when(F.col("node") % 17 == 4, F.col("node") - 1)
+        .otherwise(F.expr("node div 3"))
+        .alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return resolve_pointer_chains(edges, max_hops=REDIR_HOPS)
+
+
+SQL_REDIRECT_CHAINS = f"""
+WITH RECURSIVE nodes0 AS (
+  SELECT DISTINCT event_id % {REDIR_MOD} AS node FROM events
+), e AS (
+  SELECT src, dst FROM (
+    SELECT node AS src,
+           CASE WHEN node % 13 = 0 THEN NULL
+                WHEN node % 17 = 3 THEN node + 1
+                WHEN node % 17 = 4 THEN node - 1
+                ELSE node // 3 END AS dst
+    FROM nodes0
+  ) WHERE dst IS NOT NULL
+), allnodes AS (
+  -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB treats a bare
+  -- UNION in a helper CTE as the recursive union and skips the dedup
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), walk AS (
+  SELECT node AS src, node AS cur, 0 AS hops FROM allnodes
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.cur
+  WHERE w.hops < {REDIR_HOPS}
+), fin AS (
+  SELECT src, max(hops) AS mh FROM walk GROUP BY src
+)
+SELECT w.src AS node, w.cur AS final_node, CAST(w.hops AS BIGINT) AS hops,
+       CAST(CASE WHEN w.cur IN (SELECT src FROM e) THEN 0 ELSE 1 END AS INTEGER)
+         AS resolved
+FROM walk w JOIN fin f ON w.src = f.src AND w.hops = f.mh
 """

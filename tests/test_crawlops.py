@@ -272,3 +272,55 @@ def test_robots_gate_budget_cap_binds(spark):
     # disallow prefixes: no /word/view path survives anywhere; /mail/ only on hn%5!=0
     assert not [r for r in rows if "/word/view" in r["url_canon"]]
     assert not [r for r in rows if "/mail/" in r["url_canon"] and r["host"] == "h005.example.org"]
+
+
+# --- X88 redirect chains ------------------------------------------------------
+
+
+def test_redirect_chains_hand_graph(spark):
+    """Pointer doubling vs a hand walk: exact hop counts on chains,
+    saturation at max_hops on cycles and over-budget chains, terminal
+    fixed points, and repartition invariance."""
+    from oa_spider_spark.operators.graph import resolve_pointer_chains
+
+    # 1→2→3→0 (terminal, 0 has no edge); 10↔11 (2-cycle);
+    # 20→21→...→30 (length 10 > max_hops=8 budget); 40→0 (direct)
+    edges = (
+        [(1, 2), (2, 3), (3, 0)]
+        + [(10, 11), (11, 10)]
+        + [(20 + i, 21 + i) for i in range(10)]
+        + [(40, 0)]
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    def walk(n, emap, budget=8):
+        hops, cur = 0, n
+        while cur in emap and hops < budget:
+            cur = emap[cur]
+            hops += 1
+        return (cur, hops, 0 if cur in emap else 1)
+
+    emap = dict(edges)
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    expect = {n: walk(n, emap) for n in nodes}
+    for parts in (1, 5):
+        got = {
+            r["node"]: (r["final_node"], r["hops"], r["resolved"])
+            for r in resolve_pointer_chains(
+                df.repartition(parts), max_hops=8
+            ).collect()
+        }
+        assert got == expect
+    # edge semantics actually exercised:
+    assert expect[1] == (0, 3, 1)       # exact chain hops
+    assert expect[10] == (10, 8, 0)     # 2-cycle saturates even-parity
+    assert expect[20] == (28, 8, 0)     # over-budget chain truncated
+    assert expect[0] == (0, 0, 1)       # terminal fixed point
+
+
+def test_redirect_chains_rejects_non_power_of_two(spark):
+    from oa_spider_spark.operators.graph import resolve_pointer_chains
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        resolve_pointer_chains(df, max_hops=6)
