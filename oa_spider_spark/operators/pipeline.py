@@ -724,3 +724,71 @@ def mad_outliers(
         F.max("_mad").cast("long").alias("mad"),
         F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
     )
+
+
+def temperature_targets(
+    df: DataFrame,
+    group_col: str = "lang",
+    total: int = 20000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """X89: temperature-balanced corpus allocation — the multilingual
+    resampling step of mT5/XLM-R-style pipelines (sample language l
+    with p_l ∝ n_l^alpha, alpha = 1/2), computed so every value is
+    bit-identical on any engine/partitioning:
+
+    * weight_l = isqrt(n_l · scale) — EXACT integer sqrt: a float
+      seed `floor(sqrt(double))` followed by a ±1 integer fix-up, so
+      the float path only has to land within one of the true root
+      (double sqrt is; the fix-up makes the result exact on both
+      engines regardless of their libm).
+    * target_l = floor(total · w_l / W) plus largest-remainder
+      rounding: the leftover `total − Σ floor` seats go to the groups
+      with the largest remainders (ties by group key), so
+      Σ target_l == total EXACTLY — the property naive per-group
+      rounding loses and schedulers need.
+
+    Cost model: one groupBy(group) count on the corpus (the only
+    data-sized shuffle), then everything runs on the group-level frame
+    (#languages rows — metadata-sized; its partition-less windows are
+    the documented ≤-#groups exception, same as X50's offset frame).
+    Low-resource languages may receive target > n_docs — that is the
+    semantics (upsampling with repetition, as in mT5); downstream
+    selection composes with grouped_sample_exact_k.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n_docs"))
+    m = counts.withColumn("_m", F.expr(f"n_docs * {scale}"))
+    s = m.withColumn(
+        "_s0", F.expr("CAST(FLOOR(SQRT(CAST(_m AS DOUBLE))) AS BIGINT)")
+    ).withColumn(
+        "weight",
+        F.expr(
+            "_s0 + (CASE WHEN (_s0 + 1) * (_s0 + 1) <= _m THEN 1 ELSE 0 END)"
+            " - (CASE WHEN _s0 * _s0 > _m THEN 1 ELSE 0 END)"
+        ),
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    t = s.withColumn("_w_tot", F.sum("weight").over(wall)).withColumn(
+        "_num", F.expr(f"CAST({total} AS BIGINT) * weight")
+    )
+    b = t.withColumn("_base", F.expr("(_num - (_num % _w_tot)) div _w_tot")).withColumn(
+        "_rem", F.expr("_num % _w_tot")
+    )
+    d = b.withColumn(
+        "_deficit", F.lit(total) - F.sum("_base").over(wall)
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.col("_rem").desc(), F.col(group_col))
+        ),
+    )
+    return d.select(
+        group_col,
+        "n_docs",
+        "weight",
+        F.expr("_base + (CASE WHEN _rk <= _deficit THEN 1 ELSE 0 END)")
+        .cast("long")
+        .alias("target_docs"),
+    )

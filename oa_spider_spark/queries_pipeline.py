@@ -373,6 +373,63 @@ LEFT JOIN best b ON b.doc_a = n.doc_id AND b.rk = 1
 """
 
 
+# --- X89: temperature-balanced corpus allocation ---------------------------
+
+
+def q_temperature_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual resampling targets at alpha = 1/2 (mT5/XLM-R
+    temperature sampling): per-language doc budget ∝ isqrt(n_l·10⁶),
+    largest-remainder rounding so the targets sum to the budget
+    EXACTLY. One corpus-sized count shuffle; all the allocation math
+    runs on the #languages-row frame in pure integers
+    (operators/pipeline.py::temperature_targets)."""
+    from .operators.pipeline import temperature_targets
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_targets(docs, group_col="lang", total=20000)
+
+
+# The oracle recomputes the whole allocation independently: DuckDB's own
+# sqrt seeds the same ±1 integer fix-up (the fix-up makes isqrt exact on
+# both engines, so differing libms cannot diverge), `//` on the
+# non-negative quotient matches Spark's `div`, and the largest-remainder
+# ranking uses the identical (rem DESC, lang) tie-break.
+SQL_TEMPERATURE_TARGETS = """
+WITH c AS (
+  SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+), m AS (
+  SELECT lang, n_docs, n_docs * 1000000 AS mm FROM c
+), s AS (
+  SELECT lang, n_docs, mm,
+         CAST(FLOOR(SQRT(mm::DOUBLE)) AS BIGINT) AS s0
+  FROM m
+), w AS (
+  SELECT lang, n_docs,
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= mm THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > mm THEN 1 ELSE 0 END) AS weight
+  FROM s
+), t AS (
+  SELECT lang, n_docs, weight,
+         SUM(weight) OVER () AS w_tot,
+         20000 * weight AS num
+  FROM w
+), b AS (
+  SELECT lang, n_docs, weight,
+         num // w_tot AS base, num % w_tot AS rem
+  FROM t
+), d AS (
+  SELECT lang, n_docs, weight, base,
+         20000 - SUM(base) OVER () AS deficit,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM b
+)
+SELECT lang, n_docs, weight,
+       (base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END)::BIGINT
+         AS target_docs
+FROM d
+"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -389,6 +446,7 @@ def register(
             "q_lang_centroid": q_lang_centroid,
             "q_user_sessions": q_sessionize,
             "q_incremental_dedup": q_incremental_dedup,
+            "q_temperature_targets": q_temperature_targets,
         }
     )
     oracles.update(
@@ -402,5 +460,6 @@ def register(
             "q_lang_centroid": SQL_LANG_CENTROID,
             "q_user_sessions": SQL_SESSIONIZE,
             "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
+            "q_temperature_targets": SQL_TEMPERATURE_TARGETS,
         }
     )

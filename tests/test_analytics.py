@@ -268,3 +268,40 @@ def test_mad_outliers_match_hand_computation(spark):
         }
         assert got == expect
     assert expect["b"][2] == 0 and expect["b"][3] == 2  # zero-MAD edge hit
+
+
+def test_temperature_targets_exact_allocation(spark):
+    """X89: alpha=1/2 temperature resampling — isqrt weights are exact
+    integers, targets sum to the budget EXACTLY (largest-remainder),
+    and the allocation flattens the distribution (low-resource share
+    rises, high-resource share falls) without inverting the order."""
+    import math
+
+    from oa_spider_spark.operators.pipeline import temperature_targets
+
+    counts = {"en": 900, "zh": 400, "de": 100, "yo": 9, "kl": 1}
+    data = [(f"{lang}{i}", lang) for lang, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(data, ["doc_id", "lang"])
+    total = 1409
+    rows = {
+        r["lang"]: r
+        for r in temperature_targets(df, "lang", total=total).collect()
+    }
+
+    assert {k: r["n_docs"] for k, r in rows.items()} == counts
+    # exact integer sqrt of n*1e6 (perfect squares here: isqrt is exact)
+    for lang, n in counts.items():
+        assert rows[lang]["weight"] == math.isqrt(n * 1_000_000)
+    # budget met exactly, every group funded
+    assert sum(r["target_docs"] for r in rows.values()) == total
+    assert all(r["target_docs"] >= 1 for r in rows.values())
+    # flattening: sampled share vs corpus share rises for small langs
+    n_tot = sum(counts.values())
+    share = lambda k: rows[k]["target_docs"] / total  # noqa: E731
+    corp = lambda k: counts[k] / n_tot  # noqa: E731
+    assert share("kl") > corp("kl") and share("yo") > corp("yo")
+    assert share("en") < corp("en")
+    # order preserved: more docs never means a smaller target
+    ordered = sorted(counts, key=counts.get)
+    tg = [rows[k]["target_docs"] for k in ordered]
+    assert tg == sorted(tg)
