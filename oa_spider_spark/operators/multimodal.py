@@ -353,3 +353,50 @@ def decode_text(df: DataFrame, charset: str = "GBK", bytes_col: str = "body",
         return pa.RecordBatch.from_arrays(cols, names=batch.schema.names + [out_col])
 
     return _map_arrow(df, fn, f"{in_ddl}, {out_col} string")
+
+
+def sniff_content_type(
+    df: DataFrame, bytes_col: str = "bytes", claimed_col: str = "claimed_type"
+) -> DataFrame:
+    """X90: magic-byte content-type sniffing — trust the payload, not
+    the header. Real crawls route fetched bytes by what they ARE
+    (decoders crash or, worse, get exploited on mislabeled payloads),
+    so the decode dispatch must run on the leading magic, exactly like
+    kernels/codec.py::decode_image does per format.
+
+    Entirely JVM-side: one `substring(bytes, …)` per signature compared
+    against X'…' binary literals in a single CASE — a row-local
+    projection with NO shuffle, NO Python, and only the first 8 bytes
+    of each payload ever examined (Parquet column projection keeps the
+    blob scan sequential; at 100 TB this is scan-bound, exactly as a
+    byte-sniffer should be).
+
+    Signature table (precedence = CASE order, longest magic first):
+    \\x89PNG\\r\\n\\x1a\\n → image/png; FJPG (the sandbox lossy
+    stand-in) and \\xFF\\xD8\\xFF (real JPEG) → image/jpeg; AUD0 →
+    audio/aud0; \\x1f\\x8b → application/gzip; leading '<' →
+    text/html; else application/octet-stream. `mismatch` flags rows
+    whose transport-claimed type disagrees with the sniffed one — the
+    feed for a quarantine/refetch policy.
+    """
+    detected = F.expr(
+        f"CASE WHEN substring({bytes_col}, 1, 8) = X'89504E470D0A1A0A'"
+        "       THEN 'image/png'"
+        f"      WHEN substring({bytes_col}, 1, 4) = X'464A5047'"
+        "       THEN 'image/jpeg'"
+        f"      WHEN substring({bytes_col}, 1, 3) = X'FFD8FF'"
+        "       THEN 'image/jpeg'"
+        f"      WHEN substring({bytes_col}, 1, 4) = X'41554430'"
+        "       THEN 'audio/aud0'"
+        f"      WHEN substring({bytes_col}, 1, 2) = X'1F8B'"
+        "       THEN 'application/gzip'"
+        f"      WHEN substring({bytes_col}, 1, 1) = X'3C'"
+        "       THEN 'text/html'"
+        "      ELSE 'application/octet-stream' END"
+    )
+    return df.withColumn("detected_type", detected).withColumn(
+        "mismatch",
+        F.when(F.col(claimed_col) != F.col("detected_type"), 1)
+        .otherwise(0)
+        .cast("int"),
+    )

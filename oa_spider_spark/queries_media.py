@@ -407,6 +407,77 @@ FROM range(40) t(i)
 """
 
 
+# --- X90: magic-byte content-type sniffing ----------------------------------
+
+
+def _synth_payloads_df(spark: SparkSession, n: int = 84) -> DataFrame:
+    """Deterministic mixed-payload table: REAL container bytes from the
+    repo's own codecs (PNG/FJPG via encode_image, AUD0 via
+    synth_audio_bytes) plus HTML/gzip/opaque rows, actual format =
+    i % 6. Every 7th row LIES in its transport header (claims
+    image/png regardless) — the rows the sniffer must flag."""
+    from . import datagen
+    from .kernels.codec import encode_image
+    from .operators.multimodal import synth_audio_bytes
+
+    kinds = (
+        "image/png", "image/jpeg", "audio/aud0",
+        "text/html", "application/gzip", "application/octet-stream",
+    )
+    rows = []
+    for i in range(n):
+        k = i % 6
+        if k == 0:
+            body = encode_image(datagen.synth_image(7000 + i), "png")
+        elif k == 1:
+            body = encode_image(datagen.synth_image(7000 + i), "jpeg")
+        elif k == 2:
+            body = synth_audio_bytes(7000 + i)
+        elif k == 3:
+            body = b"<html><body>doc %d</body></html>" % i
+        elif k == 4:
+            body = b"\x1f\x8b\x08\x00" + bytes([i % 251]) * 16
+        else:
+            body = bytes([0, 1, 2, 3, i % 251]) * 8
+        claimed = "image/png" if i % 7 == 0 else kinds[k]
+        rows.append((f"p{i:04d}", claimed, bytearray(body)))
+    return spark.createDataFrame(
+        rows, "payload_id string, claimed_type string, bytes binary"
+    )
+
+
+def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte sniff + header-lie detection over the mixed synthetic
+    payload table (operators/multimodal.py::sniff_content_type). The
+    oracle regenerates (claimed, detected, mismatch) from the i % 6 /
+    i % 7 construction arithmetic, so a wrong signature, precedence, or
+    offset in the Spark CASE shows up as a value mismatch."""
+    from .operators.multimodal import sniff_content_type
+
+    return sniff_content_type(_synth_payloads_df(spark)).select(
+        "payload_id", "claimed_type", "detected_type", "mismatch"
+    )
+
+
+SQL_CONTENT_SNIFF = """
+WITH d AS (
+  SELECT i,
+         'p' || lpad(i::VARCHAR, 4, '0') AS payload_id,
+         CASE i % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+              WHEN 2 THEN 'audio/aud0' WHEN 3 THEN 'text/html'
+              WHEN 4 THEN 'application/gzip'
+              ELSE 'application/octet-stream' END AS actual
+  FROM range(84) t(i)
+)
+SELECT payload_id,
+       CASE WHEN i % 7 = 0 THEN 'image/png' ELSE actual END AS claimed_type,
+       actual AS detected_type,
+       CASE WHEN i % 7 = 0 AND actual <> 'image/png' THEN 1 ELSE 0 END
+         AS mismatch
+FROM d
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -419,6 +490,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_gbk_decode": q_gbk_decode,
             "q_audio_stats": q_audio_stats,
             "q_captcha_nn": q_captcha_nn,
+            "q_content_sniff": q_content_sniff,
         }
     )
     oracles.update(
@@ -436,5 +508,6 @@ def register(queries: dict, oracles: dict) -> None:
             "q_gbk_decode": SQL_GBK_DECODE,
             "q_audio_stats": SQL_AUDIO_STATS,
             "q_captcha_nn": SQL_CAPTCHA_NN,
+            "q_content_sniff": SQL_CONTENT_SNIFF,
         }
     )

@@ -984,3 +984,37 @@ def test_registrable_domain_longest_suffix_and_edges(spark):
         for r in registrable_domain("host", suffixes)(df).collect()
     }
     assert got == dict(hosts)
+
+
+def test_sniff_content_type_precedence_and_edges(spark):
+    """X90: magic-byte sniff — real JPEG (FFD8FF) and the FJPG stand-in
+    both map to image/jpeg, gzip beats the '<' rule, and payloads
+    SHORTER than a signature fall through without error (substring past
+    the end is not a match, never an exception)."""
+    from oa_spider_spark.operators.multimodal import sniff_content_type
+
+    rows = [
+        ("png", "image/png", bytearray(b"\x89PNG\r\n\x1a\n" + b"x" * 8)),
+        ("fjpg", "image/jpeg", bytearray(b"FJPGrest")),
+        ("realjpg", "image/jpeg", bytearray(b"\xff\xd8\xff\xe0junk")),
+        ("aud", "audio/aud0", bytearray(b"AUD0" + b"\x00" * 8)),
+        ("gz", "application/gzip", bytearray(b"\x1f\x8b\x08\x00")),
+        ("html", "text/html", bytearray(b"<!DOCTYPE html>")),
+        ("short", "application/octet-stream", bytearray(b"\x89P")),  # truncated PNG sig
+        ("empty", "application/octet-stream", bytearray(b"")),
+        ("lie", "image/png", bytearray(b"<html>")),
+    ]
+    df = spark.createDataFrame(rows, "payload_id string, claimed_type string, bytes binary")
+    got = {
+        r["payload_id"]: (r["detected_type"], r["mismatch"])
+        for r in sniff_content_type(df).collect()
+    }
+    assert got["png"] == ("image/png", 0)
+    assert got["fjpg"] == ("image/jpeg", 0)
+    assert got["realjpg"] == ("image/jpeg", 0)
+    assert got["aud"] == ("audio/aud0", 0)
+    assert got["gz"] == ("application/gzip", 0)
+    assert got["html"] == ("text/html", 0)
+    assert got["short"] == ("application/octet-stream", 0)
+    assert got["empty"] == ("application/octet-stream", 0)
+    assert got["lie"] == ("text/html", 1)
