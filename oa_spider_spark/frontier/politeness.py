@@ -263,3 +263,87 @@ def salted_repartition(
         partitions,
         F.concat_ws("#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt)).cast("string")),
     )
+
+
+def parse_robots_txt(df: DataFrame, agent: str = "oa-spider") -> DataFrame:
+    """Parse raw robots.txt text into the per-host allow/disallow prefix
+    rules `robots_allowed` consumes. The reference hard-codes its one
+    politeness rule (skip /word/view links, oa.py:771-773); a deployed
+    crawler derives that table from each host's actual robots.txt, so
+    this is the upstream producer for the X80 gate.
+
+    Semantics (RFC 9309 / Google REP):
+      * a line is `directive: value`; '#' starts a comment; directive
+        matching is case-insensitive and tolerates internal whitespace;
+      * consecutive User-agent lines form ONE header block sharing the
+        rules that follow; any other recognized `key: value` line
+        (Crawl-delay, Sitemap, ...) terminates the header run, so a
+        later User-agent starts a NEW group; blank/comment-only lines
+        never split a group (Google semantics, not the 1994 draft);
+      * the crawler obeys only the most specific matching group — an
+        exact (case-insensitive) agent match beats '*'; ties collapse
+        to the union of rules from all groups at the winning level;
+      * rules before any User-agent line are orphans and dropped, as
+        are empty-valued Allow/Disallow lines (they impose nothing).
+
+    Input (host, robots_txt) → output one row per effective rule:
+    (host, rule in {'allow','disallow'}, prefix), distinct.
+
+    Scale: both windows and every join are keyed by host, and a
+    robots.txt is KB-sized, so per-host state is bounded; the result is
+    a dimension table meant to be F.broadcast into `robots_allowed`.
+    """
+    w = Window.partitionBy("host").orderBy("ln")
+    lines = df.select(
+        "host",
+        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias("ln", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    parsed = lines.select(
+        "host",
+        "ln",
+        F.lower(F.trim(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))).alias(
+            "directive"
+        ),
+        F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias("value"),
+    ).filter(F.col("directive") != "")
+    flagged = parsed.withColumn(
+        "ng",
+        (
+            (F.col("directive") == "user-agent")
+            & (F.coalesce(F.lag("directive").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    )
+    grouped = flagged.withColumn(
+        "gid",
+        F.sum("ng").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).filter(F.col("gid") > 0)
+    agents = (
+        grouped.filter(F.col("directive") == "user-agent")
+        .groupBy("host", "gid")
+        .agg(
+            F.max(
+                F.when(F.lower(F.col("value")) == agent.lower(), 2)
+                .when(F.col("value") == "*", 1)
+                .otherwise(0)
+            ).alias("lvl")
+        )
+    )
+    pick = (
+        agents.groupBy("host")
+        .agg(F.max("lvl").alias("pick"))
+        .filter(F.col("pick") > 0)
+    )
+    chosen = agents.join(pick, "host").filter(F.col("lvl") == F.col("pick"))
+    rules = grouped.filter(
+        F.col("directive").isin("allow", "disallow") & (F.col("value") != "")
+    )
+    return (
+        rules.join(chosen.select("host", "gid"), ["host", "gid"])
+        .select(
+            "host",
+            F.col("directive").alias("rule"),
+            F.col("value").alias("prefix"),
+        )
+        .distinct()
+    )

@@ -332,6 +332,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_pack_bins": q_pack_bins,
             "q_url_canon": q_url_canon,
             "q_robots_gate": q_robots_gate,
+            "q_robots_parse": q_robots_parse,
             "q_domain_caps": q_domain_caps,
             "q_redirect_chains": q_redirect_chains,
         }
@@ -347,6 +348,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_pack_bins": SQL_PACK_BINS,
             "q_url_canon": SQL_URL_CANON,
             "q_robots_gate": SQL_ROBOTS_GATE,
+            "q_robots_parse": SQL_ROBOTS_PARSE,
             "q_domain_caps": SQL_DOMAIN_CAPS,
             "q_redirect_chains": SQL_REDIRECT_CHAINS,
         }
@@ -705,4 +707,127 @@ SELECT w.src AS node, w.cur AS final_node, CAST(w.hops AS BIGINT) AS hops,
        CAST(CASE WHEN w.cur IN (SELECT src FROM e) THEN 0 ELSE 1 END AS INTEGER)
          AS resolved
 FROM walk w JOIN fin f ON w.src = f.src AND w.hops = f.mh
+"""
+
+
+# --- X91: robots.txt raw-text parser -------------------------------------------
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91: parse raw robots.txt text into effective per-host rules for
+    agent 'oa-spider' (frontier/politeness.py::parse_robots_txt — the
+    upstream producer for the X80 robots gate; reference hard-codes the
+    one rule at oa.py:771-773). 60 derived hosts exercise the grammar:
+    mixed-case directives, inline comments, blank lines, orphan rules
+    before any User-agent (dropped), consecutive UA lines sharing one
+    group, a Sitemap line splitting a later UA run, empty-valued Allow
+    (dropped), and exact-agent groups that shadow the '*' group on the
+    hn%5 hosts. The DuckDB twin re-implements the same RFC 9309 group
+    semantics with window functions — any drift in group assignment,
+    precedence, or trimming diverges the row set."""
+    from .frontier.politeness import parse_robots_txt
+
+    e = _t(spark, sf_dir, "events")
+    hn = F.col("hn")
+
+    def opt(cond, s):
+        return F.when(cond, F.lit(s))
+
+    txt = F.concat_ws(
+        "\n",
+        F.lit("# synthetic robots.txt"),
+        opt(hn % 11 == 0, "Disallow: /orphan"),
+        F.lit("User-Agent: *"),
+        opt(hn % 7 == 0, "Sitemap: http://example.org/sitemap.xml"),
+        F.lit("Disallow: /word/view"),
+        opt(hn % 3 == 0, "Disallow: /mail/"),
+        opt(hn % 4 == 0, "Allow: /mail/public"),
+        opt(hn % 6 == 0, "disallow:   /tmp  "),
+        F.lit("Disallow: /cgi-bin # legacy"),
+        F.lit(""),
+        opt(hn % 5 == 0, "User-agent: oa-spider"),
+        opt(hn % 5 == 0, "User-Agent: legacy-bot"),
+        opt(hn % 5 == 0, "Disallow: /private"),
+        opt(hn % 10 == 0, "Allow:"),
+        opt(hn % 5 == 0, "Crawl-delay: 2"),
+        opt(hn % 9 == 0, "User-agent: other-bot"),
+        opt(hn % 9 == 0, "Disallow: /other"),
+    )
+    robots = (
+        e.select((F.col("user_id") % 60).alias("hn"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("h"), F.lpad(hn.cast("string"), 3, "0"), F.lit(".example.org")
+            ).alias("host"),
+            txt.alias("robots_txt"),
+        )
+    )
+    return parse_robots_txt(robots, agent="oa-spider")
+
+
+SQL_ROBOTS_PARSE = r"""
+WITH hosts AS (
+  SELECT DISTINCT user_id % 60 AS hn FROM events
+), t AS (
+  SELECT 'h' || lpad(CAST(hn AS VARCHAR), 3, '0') || '.example.org' AS host,
+         concat_ws(chr(10),
+           '# synthetic robots.txt',
+           CASE WHEN hn % 11 = 0 THEN 'Disallow: /orphan' END,
+           'User-Agent: *',
+           CASE WHEN hn % 7 = 0 THEN 'Sitemap: http://example.org/sitemap.xml' END,
+           'Disallow: /word/view',
+           CASE WHEN hn % 3 = 0 THEN 'Disallow: /mail/' END,
+           CASE WHEN hn % 4 = 0 THEN 'Allow: /mail/public' END,
+           CASE WHEN hn % 6 = 0 THEN 'disallow:   /tmp  ' END,
+           'Disallow: /cgi-bin # legacy',
+           '',
+           CASE WHEN hn % 5 = 0 THEN 'User-agent: oa-spider' END,
+           CASE WHEN hn % 5 = 0 THEN 'User-Agent: legacy-bot' END,
+           CASE WHEN hn % 5 = 0 THEN 'Disallow: /private' END,
+           CASE WHEN hn % 10 = 0 THEN 'Allow:' END,
+           CASE WHEN hn % 5 = 0 THEN 'Crawl-delay: 2' END,
+           CASE WHEN hn % 9 = 0 THEN 'User-agent: other-bot' END,
+           CASE WHEN hn % 9 = 0 THEN 'Disallow: /other' END
+         ) AS robots_txt
+  FROM hosts
+), ln0 AS (
+  SELECT host, unnest(generate_series(1, len(lst))) AS ln, lst
+  FROM (SELECT host, string_split(robots_txt, chr(10)) AS lst FROM t)
+), parsed0 AS (
+  SELECT host, ln,
+         lower(trim(regexp_extract(trim(regexp_replace(lst[ln], '#.*$', '')),
+                                   '^([A-Za-z-]+)\s*:', 1))) AS directive,
+         trim(regexp_extract(trim(regexp_replace(lst[ln], '#.*$', '')),
+                             '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+  FROM ln0
+), parsed AS (
+  SELECT * FROM parsed0 WHERE directive <> ''
+), flagged AS (
+  SELECT host, ln, directive, value,
+         CASE WHEN directive = 'user-agent'
+              AND coalesce(lag(directive) OVER (PARTITION BY host ORDER BY ln), '')
+                  <> 'user-agent'
+              THEN 1 ELSE 0 END AS ng
+  FROM parsed
+), grouped AS (
+  SELECT host, ln, directive, value,
+         SUM(ng) OVER (PARTITION BY host ORDER BY ln
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM flagged
+), g AS (
+  SELECT * FROM grouped WHERE gid > 0
+), agents AS (
+  SELECT host, gid,
+         max(CASE WHEN lower(value) = 'oa-spider' THEN 2
+                  WHEN value = '*' THEN 1 ELSE 0 END) AS lvl
+  FROM g WHERE directive = 'user-agent' GROUP BY host, gid
+), pick AS (
+  SELECT host, max(lvl) AS pick FROM agents GROUP BY host HAVING max(lvl) > 0
+), chosen AS (
+  SELECT a.host, a.gid FROM agents a
+  JOIN pick p ON a.host = p.host AND a.lvl = p.pick
+)
+SELECT DISTINCT r.host, r.directive AS rule, r.value AS prefix
+FROM g r JOIN chosen c ON r.host = c.host AND r.gid = c.gid
+WHERE r.directive IN ('allow', 'disallow') AND r.value <> ''
 """

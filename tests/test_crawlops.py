@@ -324,3 +324,54 @@ def test_redirect_chains_rejects_non_power_of_two(spark):
     df = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError):
         resolve_pointer_chains(df, max_hops=6)
+
+
+# --- X91 robots.txt parser ----------------------------------------------------
+
+
+def test_parse_robots_txt_group_semantics(spark):
+    """Hand fixture pinning the RFC 9309 edges: orphan rules dropped,
+    consecutive UA lines share a group, a recognized non-UA directive
+    splits a later UA run, exact agent match shadows '*', inline
+    comments/case/whitespace normalized, empty values dropped."""
+    from oa_spider_spark.frontier.politeness import parse_robots_txt
+
+    wildcard_only = "\n".join(
+        [
+            "Disallow: /orphan",  # before any UA → dropped
+            "User-Agent: *",
+            "Sitemap: http://x/s.xml",  # splits the header run, not the group
+            "Disallow: /a # comment",
+            "",
+            "disallow:   /b  ",
+            "Allow:",  # empty value → dropped
+            "allow: /a/ok",
+        ]
+    )
+    exact_shadows = "\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /w",
+            "User-agent: OA-SPIDER",  # case-insensitive exact match
+            "User-agent: legacy-bot",  # consecutive UA → same group
+            "Disallow: /p",
+            "Crawl-delay: 2",  # recognized → next UA starts a NEW group
+            "User-agent: other",
+            "Disallow: /q",
+        ]
+    )
+    no_match = "User-agent: other\nDisallow: /z"
+    df = spark.createDataFrame(
+        [("h1", wildcard_only), ("h2", exact_shadows), ("h3", no_match)],
+        "host string, robots_txt string",
+    )
+    got = {
+        (r.host, r.rule, r.prefix)
+        for r in parse_robots_txt(df, agent="oa-spider").collect()
+    }
+    assert got == {
+        ("h1", "disallow", "/a"),
+        ("h1", "disallow", "/b"),
+        ("h1", "allow", "/a/ok"),
+        ("h2", "disallow", "/p"),
+    }
