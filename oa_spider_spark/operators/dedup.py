@@ -853,3 +853,75 @@ def sorted_neighborhood_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def mirror_host_pairs(
+    pages: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "fp",
+    min_shared: int = 2,
+    min_jaccard_milli: int = 0,
+    cap: int | None = None,
+) -> DataFrame:
+    """Mirror-site detection: host pairs whose content-fingerprint sets
+    overlap enough that one is (partially) a copy of the other — the
+    crawl-ops complement of document dedup (X1/X3 ask "which PAGES are
+    copies"; a scheduler asks "which HOSTS are", so it can collapse
+    mirrors to one representative and stop re-fetching the rest; the
+    reference crawls a single intranet host, oa.py:63, so host-level
+    redundancy never arises there — at web scale it is a top-5 source
+    of wasted fetches).
+
+    Input: one row per fetched page with a content fingerprint (any
+    exact or near-dup key: text hash, simhash band, phash block).
+    Output per unordered host pair (host_a < host_b):
+
+      (host_a, host_b, shared, n_a, n_b, jaccard_milli)
+
+    where `shared` counts distinct fingerprints on both hosts and
+    jaccard_milli = 1000·|A∩B| / |A∪B| in exact integer arithmetic
+    (floor division — no floats, so the DuckDB oracle matches bit-ween).
+
+    Scale shape: the only quadratic step is the self-join on `fp`, and
+    a fingerprint shared by k hosts yields k² pair rows in one task —
+    exactly the degenerate-bucket profile every candidate generator in
+    this module has, so it runs through the same `_cap_groups` guard
+    (a boilerplate footer fingerprint shared by 10⁵ hosts would
+    otherwise explode; capped fps drop out of `shared` but stay in the
+    per-host sizes, keeping jaccard an underestimate — the safe
+    direction for a "stop crawling this host" decision). Everything
+    shuffles on fp or on the pair key; sizes are a host-cardinality
+    table, broadcast-joined onto the pair aggregate.
+    """
+    d = pages.select(
+        F.col(host_col).alias("_h"), F.col(fp_col).alias("_fp")
+    ).distinct()
+    sizes = d.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+    dd = _cap_groups(d, ["_fp"], cap)
+    pairs = (
+        dd.select(F.col("_h").alias("host_a"), "_fp")
+        .join(
+            dd.select(F.col("_h").alias("host_b"), "_fp"),
+            "_fp",
+        )
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("_h").alias("host_a"), F.col("_n").alias("n_a"))),
+            "host_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_h").alias("host_b"), F.col("_n").alias("n_b"))),
+            "host_b",
+        )
+        .withColumn(
+            "jaccard_milli",
+            F.expr("shared * 1000 div (n_a + n_b - shared)"),
+        )
+        .filter(F.col("jaccard_milli") >= min_jaccard_milli)
+        .select("host_a", "host_b", "shared", "n_a", "n_b", "jaccard_milli")
+    )

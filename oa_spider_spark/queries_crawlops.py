@@ -333,6 +333,8 @@ def register(queries: dict, oracles: dict) -> None:
             "q_url_canon": q_url_canon,
             "q_robots_gate": q_robots_gate,
             "q_robots_parse": q_robots_parse,
+            "q_sitemap_parse": q_sitemap_parse,
+            "q_mirror_hosts": q_mirror_hosts,
             "q_domain_caps": q_domain_caps,
             "q_redirect_chains": q_redirect_chains,
         }
@@ -349,6 +351,8 @@ def register(queries: dict, oracles: dict) -> None:
             "q_url_canon": SQL_URL_CANON,
             "q_robots_gate": SQL_ROBOTS_GATE,
             "q_robots_parse": SQL_ROBOTS_PARSE,
+            "q_sitemap_parse": SQL_SITEMAP_PARSE,
+            "q_mirror_hosts": SQL_MIRROR_HOSTS,
             "q_domain_caps": SQL_DOMAIN_CAPS,
             "q_redirect_chains": SQL_REDIRECT_CHAINS,
         }
@@ -830,4 +834,224 @@ WITH hosts AS (
 SELECT DISTINCT r.host, r.directive AS rule, r.value AS prefix
 FROM g r JOIN chosen c ON r.host = c.host AND r.gid = c.gid
 WHERE r.directive IN ('allow', 'disallow') AND r.value <> ''
+"""
+
+
+# --- X92: sitemap XML parsing ---------------------------------------------------
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92: parse raw sitemap/sitemapindex XML into per-host discovery
+    rows (frontier/sitemap.py::parse_sitemaps — the consumer of the
+    Sitemap: lines X91 surfaces; the reference discovers URLs only via
+    listing scrapes, oa.py:113-214). 50 derived hosts each publish a
+    urlset document exercising the grammar — multi-line blocks, XML
+    comments hiding an entry, entity-escaped query strings in <loc>,
+    entries missing lastmod/changefreq/priority, a loc-less entry
+    (dropped) — and every 8th host additionally publishes a
+    sitemapindex document (two input rows for one host). The DuckDB
+    twin re-implements the same block-regex grammar; any drift in
+    comment stripping, entity decode order, or priority quantization
+    diverges the rows."""
+    from .frontier.sitemap import parse_sitemaps
+
+    e = _t(spark, sf_dir, "events")
+    hn = F.col("hn")
+    base = F.concat(
+        F.lit("http://h"), F.lpad(hn.cast("string"), 3, "0"), F.lit(".example.org")
+    )
+
+    def opt(cond, col):
+        return F.when(cond, col)
+
+    urlset = F.concat_ws(
+        "\n",
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'),
+        F.lit("<urlset>"),
+        F.concat(
+            F.lit("  <url><loc> "),
+            base,
+            F.lit("/ </loc><lastmod>2025-07-01</lastmod>"),
+            F.lit("<changefreq>daily</changefreq><priority>0.8</priority></url>"),
+        ),
+        opt(
+            hn % 3 == 0,
+            F.concat(
+                F.lit("  <url>\n    <loc>"),
+                base,
+                F.lit("/a?x=1&amp;y=2</loc>\n    <priority>0.5</priority>\n  </url>"),
+            ),
+        ),
+        opt(
+            hn % 4 == 0,
+            F.concat(
+                F.lit("  <url><loc>"),
+                base,
+                F.lit("/b</loc><lastmod>2025-06-15T10:00:00Z</lastmod></url>"),
+            ),
+        ),
+        opt(
+            hn % 5 == 0,
+            F.concat(
+                F.lit("  <!-- retired:\n  <url><loc>"),
+                base,
+                F.lit("/gone</loc></url>\n  -->"),
+            ),
+        ),
+        opt(hn % 6 == 0, F.lit("  <url><priority>0.9</priority></url>")),
+        opt(
+            hn % 7 == 0,
+            F.concat(
+                F.lit("  <url><loc>"),
+                base,
+                F.lit("/c</loc><changefreq>weekly</changefreq></url>"),
+            ),
+        ),
+        F.lit("</urlset>"),
+    )
+    index = F.concat_ws(
+        "\n",
+        F.lit("<sitemapindex>"),
+        F.concat(
+            F.lit("  <sitemap><loc>"),
+            base,
+            F.lit("/sitemap-1.xml</loc><lastmod>2025-07-02</lastmod></sitemap>"),
+        ),
+        F.concat(
+            F.lit("  <sitemap>\n    <loc>"),
+            base,
+            F.lit("/sitemap-2.xml.gz</loc>\n  </sitemap>"),
+        ),
+        F.lit("</sitemapindex>"),
+    )
+    hosts = e.select((F.col("user_id") % 50).alias("hn")).distinct()
+    host = F.concat(
+        F.lit("h"), F.lpad(hn.cast("string"), 3, "0"), F.lit(".example.org")
+    )
+    docs = hosts.select(host.alias("host"), urlset.alias("sitemap_xml")).unionByName(
+        hosts.filter(hn % 8 == 0).select(
+            host.alias("host"), index.alias("sitemap_xml")
+        )
+    )
+    return parse_sitemaps(docs)
+
+
+SQL_SITEMAP_PARSE = r"""
+WITH hosts AS (
+  SELECT DISTINCT user_id % 50 AS hn FROM events
+), named AS (
+  SELECT hn, 'h' || lpad(CAST(hn AS VARCHAR), 3, '0') || '.example.org' AS host,
+         'http://h' || lpad(CAST(hn AS VARCHAR), 3, '0') || '.example.org' AS base
+  FROM hosts
+), docs AS (
+  SELECT host, concat_ws(chr(10),
+    '<?xml version="1.0" encoding="UTF-8"?>',
+    '<urlset>',
+    '  <url><loc> ' || base || '/ </loc><lastmod>2025-07-01</lastmod>' ||
+      '<changefreq>daily</changefreq><priority>0.8</priority></url>',
+    CASE WHEN hn % 3 = 0 THEN '  <url>' || chr(10) || '    <loc>' || base ||
+      '/a?x=1&amp;y=2</loc>' || chr(10) || '    <priority>0.5</priority>' || chr(10) || '  </url>' END,
+    CASE WHEN hn % 4 = 0 THEN '  <url><loc>' || base ||
+      '/b</loc><lastmod>2025-06-15T10:00:00Z</lastmod></url>' END,
+    CASE WHEN hn % 5 = 0 THEN '  <!-- retired:' || chr(10) || '  <url><loc>' || base ||
+      '/gone</loc></url>' || chr(10) || '  -->' END,
+    CASE WHEN hn % 6 = 0 THEN '  <url><priority>0.9</priority></url>' END,
+    CASE WHEN hn % 7 = 0 THEN '  <url><loc>' || base ||
+      '/c</loc><changefreq>weekly</changefreq></url>' END,
+    '</urlset>'
+  ) AS xml
+  FROM named
+  UNION ALL
+  SELECT host, concat_ws(chr(10),
+    '<sitemapindex>',
+    '  <sitemap><loc>' || base || '/sitemap-1.xml</loc><lastmod>2025-07-02</lastmod></sitemap>',
+    '  <sitemap>' || chr(10) || '    <loc>' || base || '/sitemap-2.xml.gz</loc>' || chr(10) || '  </sitemap>',
+    '</sitemapindex>'
+  ) AS xml
+  FROM named WHERE hn % 8 = 0
+), clean AS (
+  SELECT host, regexp_replace(xml, '(?s)<!--.*?-->', '', 'g') AS x FROM docs
+), blocks AS (
+  SELECT host, 'url' AS kind,
+         unnest(regexp_extract_all(x, '(?s)<url>(.*?)</url>', 1)) AS b
+  FROM clean
+  UNION ALL
+  SELECT host, 'sitemap' AS kind,
+         unnest(regexp_extract_all(x, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS b
+  FROM clean
+), parsed AS (
+  SELECT host, kind,
+    replace(replace(replace(replace(replace(
+      trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)), '&amp;', '&') AS loc,
+    nullif(trim(regexp_extract(b, '(?s)<lastmod>(.*?)</lastmod>', 1)), '') AS lastmod,
+    nullif(trim(regexp_extract(b, '(?s)<changefreq>(.*?)</changefreq>', 1)), '') AS changefreq,
+    CASE WHEN trim(regexp_extract(b, '(?s)<priority>(.*?)</priority>', 1)) <> ''
+         THEN CAST(round(CAST(trim(regexp_extract(b, '(?s)<priority>(.*?)</priority>', 1)) AS DOUBLE) * 1000, 0) AS BIGINT)
+    END AS priority_milli
+  FROM blocks
+)
+SELECT host, kind, loc, lastmod, changefreq, priority_milli
+FROM parsed WHERE loc <> ''
+"""
+
+
+# --- X93: mirror-host detection -------------------------------------------------
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93: host pairs with heavily overlapping content-fingerprint sets
+    (operators/dedup.py::mirror_host_pairs) — the scheduler-level dedup
+    that collapses mirror sites to one crawl target. Pages derive from
+    events: fingerprint = event_id mod 397 (25–26 copies of each
+    content at sf0.01), and copy k of a fingerprint lands on host
+    (fp + 13k) mod 40 — a coprime stride, so every copy sits on a
+    DIFFERENT host and host pairs share deterministic overlap. The fp
+    self-join runs through the _cap_groups guard at cap=25, which
+    genuinely fires here (the 75 fps with 26 copies at sf0.01 exceed
+    it; capped fps still count in the per-host sizes) — the oracle
+    replicates the cap, the exact-integer Jaccard floor-division, and
+    both thresholds."""
+    from .operators.dedup import mirror_host_pairs
+
+    e = _t(spark, sf_dir, "events")
+    pages = e.select(
+        F.concat(
+            F.lit("h"),
+            F.lpad(
+                F.pmod(
+                    F.col("event_id") % 397 + F.expr("event_id div 397") * 13,
+                    F.lit(40),
+                ).cast("string"),
+                2,
+                "0",
+            ),
+        ).alias("host"),
+        (F.col("event_id") % 397).alias("fp"),
+    )
+    return mirror_host_pairs(pages, min_shared=2, min_jaccard_milli=5, cap=25)
+
+
+SQL_MIRROR_HOSTS = """
+WITH d AS (
+  SELECT DISTINCT
+         'h' || lpad(CAST((event_id % 397 + (event_id // 397) * 13) % 40 AS VARCHAR), 2, '0') AS h,
+         event_id % 397 AS fp
+  FROM events
+), sizes AS (
+  SELECT h, count(*) AS n FROM d GROUP BY h
+), capped AS (
+  SELECT h, fp FROM (
+    SELECT h, fp, count(*) OVER (PARTITION BY fp) AS gsz FROM d
+  ) WHERE gsz <= 25
+), pairs AS (
+  SELECT a.h AS host_a, b.h AS host_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.h < b.h
+  GROUP BY a.h, b.h
+  HAVING count(*) >= 2
+)
+SELECT p.host_a, p.host_b, p.shared, sa.n AS n_a, sb.n AS n_b,
+       (p.shared * 1000) // (sa.n + sb.n - p.shared) AS jaccard_milli
+FROM pairs p
+JOIN sizes sa ON p.host_a = sa.h
+JOIN sizes sb ON p.host_b = sb.h
+WHERE (p.shared * 1000) // (sa.n + sb.n - p.shared) >= 5
 """

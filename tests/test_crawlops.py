@@ -375,3 +375,70 @@ def test_parse_robots_txt_group_semantics(spark):
         ("h1", "allow", "/a/ok"),
         ("h2", "disallow", "/p"),
     }
+
+
+# --- X92 sitemap parser / X93 mirror hosts -------------------------------------
+
+
+def test_parse_sitemaps_grammar(spark):
+    """Hand fixture: entity decode in <loc>, commented-out entries
+    dropped, loc-less entries dropped, multi-line blocks, priority
+    quantized to exact milli, sitemapindex rows kind='sitemap'."""
+    from oa_spider_spark.frontier.sitemap import parse_sitemaps
+
+    urlset = "\n".join(
+        [
+            "<urlset>",
+            "  <url><loc> http://h1/a?x=1&amp;y=2 </loc>"
+            "<lastmod>2025-01-02</lastmod><priority>0.25</priority></url>",
+            "  <!-- <url><loc>http://h1/commented</loc></url> -->",
+            "  <url><priority>0.9</priority></url>",
+            "  <url>",
+            "    <loc>http://h1/b</loc>",
+            "    <changefreq>weekly</changefreq>",
+            "  </url>",
+            "</urlset>",
+        ]
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>http://h2/s1.xml</loc>"
+        "<lastmod>2025-03-04</lastmod></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("h1", urlset), ("h2", index)], "host string, sitemap_xml string"
+    )
+    got = {
+        (r.host, r.kind, r.loc, r.lastmod, r.changefreq, r.priority_milli)
+        for r in parse_sitemaps(df).collect()
+    }
+    assert got == {
+        ("h1", "url", "http://h1/a?x=1&y=2", "2025-01-02", None, 250),
+        ("h1", "url", "http://h1/b", None, "weekly", None),
+        ("h2", "sitemap", "http://h2/s1.xml", "2025-03-04", None, None),
+    }
+
+
+def test_mirror_host_pairs_cap_and_jaccard(spark):
+    """The hot fingerprint (on 3 hosts, cap=2) drops out of `shared`
+    but stays in the per-host sizes; Jaccard is exact floor milli."""
+    from oa_spider_spark.operators.dedup import mirror_host_pairs
+
+    rows = [
+        ("a", 1), ("a", 2), ("a", 9),
+        ("b", 1), ("b", 2), ("b", 8),
+        ("c", 9),
+        # fp 7 is on all three hosts -> capped out of the join
+        ("a", 7), ("b", 7), ("c", 7),
+    ]
+    df = spark.createDataFrame(rows, "host string, fp long")
+    got = {
+        (r.host_a, r.host_b, r.shared, r.n_a, r.n_b, r.jaccard_milli)
+        for r in mirror_host_pairs(df, min_shared=1, cap=2).collect()
+    }
+    # a: {1,2,9,7} n=4; b: {1,2,8,7} n=4; c: {9,7} n=2
+    # shared(a,b) = {1,2} = 2 (7 capped); jaccard = 2000 div 6 = 333
+    # shared(a,c) = {9} = 1; jaccard = 1000 div 5 = 200
+    assert got == {
+        ("a", "b", 2, 4, 4, 333),
+        ("a", "c", 1, 4, 2, 200),
+    }
