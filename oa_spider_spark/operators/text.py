@@ -389,3 +389,62 @@ def paragraph_dedup(
         F.sum(keep.cast("int")).cast("long").alias("n_kept"),
         F.sum((~keep).cast("int")).cast("long").alias("n_dropped"),
     )
+
+
+# --- X94: collocation mining via exact-integer lift (PMI twin) ----------------
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    min_lift_milli: int = 2000,
+) -> DataFrame:
+    """Corpus collocation mining — bigrams that co-occur far more often
+    than their parts predict (multi-word expressions: "new york",
+    "machine learning"), the phrase-vocabulary builder for a training
+    tokenizer (word2vec's phrase pass, Mikolov et al. 2013 §4). The
+    association score is the exact-integer twin of PMI: PMI's log is
+    monotone in the lift ratio, so thresholding/ranking on
+
+        lift_milli = (1000 · c(a,b) · N) div (c(a,·) · c(·,b))
+
+    is equivalent to thresholding PMI, with zero floats — lift > 1000
+    means "more often than independence predicts". c(a,·)/c(·,b) are the
+    positional marginals (w1-slot / w2-slot counts), N total bigrams.
+    Products run in DECIMAL(38,0): at web scale c·N reaches ~10²⁸ and
+    BIGINT ANSI-overflows (the same rule as connected_components' edge
+    checksum); DuckDB's HUGEINT twin is exact at 128 bits.
+
+    Scale shape: one bigram explode (zip_with over shifted slices — the
+    CLAUDE.md-pinned pattern, F.sequence is descending on short rows)
+    feeding three map-side-combined count aggregations; the pair table
+    (vocab²-bounded, ≪ corpus) then joins its two marginals on single
+    token keys and the one-row N frame by crossJoin — the documented
+    scalar-broadcast pattern. No Python, no windows, no all-pairs."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(toks.alias("_t"))
+    bigrams = F.expr(
+        "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
+        " (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    db = base.select(F.explode(bigrams).alias("bg")).select("bg.w1", "bg.w2")
+    pair = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    left = db.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
+    right = db.groupBy("w2").agg(F.count(F.lit(1)).alias("c_b"))
+    n = db.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    return (
+        pair.filter(F.col("c_ab") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "lift_milli",
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0)) * c_ab * n_bigrams)"
+                " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("lift_milli") >= min_lift_milli)
+        .select("w1", "w2", "c_ab", "c_a", "c_b", "lift_milli")
+    )

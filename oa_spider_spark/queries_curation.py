@@ -745,6 +745,66 @@ FROM (SELECT event_id, ({zexpr})::BIGINT AS zval FROM ev)
 SQL_ZORDER_CLUSTER = _sql_zorder()
 
 
+# --- X94: collocation mining (exact-integer lift / PMI twin) ------------------
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94: corpus collocation mining (operators/text.py::collocations)
+    — bigram lift in exact integer milli-units, the no-float monotone
+    twin of PMI. The documents table is near-uniform random words
+    (lift ≈ 1000 everywhere), so deterministic phrases are injected to
+    create genuine collocations: every 3rd doc ends "nova prime", every
+    4th "quantum flux", every 7th "nova shard" — 'nova' therefore has
+    TWO completions with different marginals, exercising the c(a,·)
+    denominator, and the random-text bigrams exercise the threshold's
+    reject side. DECIMAL(38,0) products on the Spark side, HUGEINT in
+    DuckDB — both exact, so floor-div values match bit-for-bit."""
+    from .operators.text import collocations
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.lit(" nova prime")).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit(" quantum flux")).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit(" nova shard")).otherwise(F.lit("")),
+        ).alias("text")
+    )
+    return collocations(aug, min_count=5, min_lift_milli=2000)
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH aug AS (
+  SELECT text
+         || CASE WHEN doc_id % 3 = 0 THEN ' nova prime' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' quantum flux' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' nova shard' ELSE '' END AS text
+  FROM documents
+), toks AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM aug
+), db AS (
+  SELECT unnest(list_transform(generate_series(2, len(t)), i -> t[i-1])) AS w1,
+         unnest(list_transform(generate_series(2, len(t)), i -> t[i])) AS w2
+  FROM toks
+), pair AS (
+  SELECT w1, w2, count(*) AS c_ab FROM db GROUP BY w1, w2 HAVING count(*) >= 5
+), l AS (
+  SELECT w1, count(*) AS c_a FROM db GROUP BY w1
+), r2 AS (
+  SELECT w2, count(*) AS c_b FROM db GROUP BY w2
+), n AS (
+  SELECT count(*) AS n_bigrams FROM db
+)
+SELECT p.w1, p.w2, p.c_ab, l.c_a, r2.c_b,
+       CAST((1000::HUGEINT * p.c_ab * n.n_bigrams)
+            // (l.c_a::HUGEINT * r2.c_b) AS BIGINT) AS lift_milli
+FROM pair p JOIN l USING (w1) JOIN r2 USING (w2) CROSS JOIN n
+WHERE (1000::HUGEINT * p.c_ab * n.n_bigrams)
+      // (l.c_a::HUGEINT * r2.c_b) >= 2000
+"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -769,6 +829,7 @@ def register(
             "q_funnel_steps": q_funnel_steps,
             "q_paragraph_dedup": q_paragraph_dedup,
             "q_corpus_pipeline": q_corpus_pipeline,
+            "q_pmi_collocations": q_pmi_collocations,
         }
     )
     oracles.update(
@@ -791,6 +852,7 @@ def register(
             "q_funnel_steps": SQL_FUNNEL_STEPS,
             "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
             "q_corpus_pipeline": SQL_CORPUS_PIPELINE,
+            "q_pmi_collocations": SQL_PMI_COLLOCATIONS,
         }
     )
 

@@ -448,3 +448,29 @@ def test_grouped_trend_exact_slopes(spark):
         for r in grouped_trend(df.repartition(13), "g", "x", "y").collect()
     }
     assert out == out2
+
+
+def test_collocations_exact_lift(spark):
+    """Hand fixture with known counts: 'new york' always together,
+    'big' spread over many completions. N=12 bigrams total."""
+    from oa_spider_spark.operators.text import collocations
+
+    rows = [
+        ("new york is big",),       # (new,york) (york,is) (is,big)
+        ("new york was big",),      # (new,york) (york,was) (was,big)
+        ("new york new york",),     # (new,york) (new,york) (york,new)
+        ("big is big",),            # (big,is) (is,big)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = {
+        (r.w1, r.w2): (r.c_ab, r.c_a, r.c_b, r.lift_milli)
+        for r in collocations(df, min_count=2, min_lift_milli=0).collect()
+    }
+    # c(new,york)=4, c(new,.)=4, c(.,york)=4, N=11 -> 1000*4*11 div 16 = 2750
+    assert got[("new", "york")] == (4, 4, 4, 2750)
+    # c(is,big)=2, c(is,.)=2, c(.,big)=3, N=11 -> 22000 div 6 = 3666
+    assert got[("is", "big")] == (2, 2, 3, 3666)
+    # threshold drops sub-min_count pairs entirely
+    assert ("york", "is") not in got
+    high = collocations(df, min_count=2, min_lift_milli=3000)
+    assert {(r.w1, r.w2) for r in high.collect()} == {("is", "big")}
