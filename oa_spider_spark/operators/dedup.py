@@ -925,3 +925,76 @@ def mirror_host_pairs(
         .filter(F.col("jaccard_milli") >= min_jaccard_milli)
         .select("host_a", "host_b", "shared", "n_a", "n_b", "jaccard_milli")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_shared: int = 2,
+    min_containment_milli: int = 800,
+    cap: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where one document's shingle
+    set is largely CONTAINED in the other's — quotes, excerpts, and
+    wrapper pages that embed a smaller document whole. Symmetric Jaccard
+    (X3/X83) misses these by construction: a 100-word quote inside a
+    10,000-word page has Jaccard ≈ 0.01 but containment ≈ 1.0, and a
+    training-data pipeline that only Jaccard-dedups keeps the quote as a
+    "distinct" document. (The reference fetches attachments embedded in
+    parent pages, oa.py:372-382 — the single-host version of the same
+    containment relation.)
+
+    Output per unordered candidate pair (doc_a < doc_b):
+
+        (doc_a, doc_b, shared, n_a, n_b,
+         cont_a_milli,   # 1000·|A∩B| div |A| — how much of A is in B
+         cont_b_milli,   # 1000·|A∩B| div |B|
+         direction)      # 'a_in_b' / 'b_in_a' / 'mutual'
+
+    kept when max(cont_a, cont_b) ≥ min_containment_milli. Exact integer
+    floor-division throughout, so the DuckDB oracle is value-identical.
+
+    Scale shape: same candidate discipline as every generator in this
+    module — distinct (doc, shingle) self-join on the shingle key
+    through `_cap_groups` (a boilerplate shingle on 10⁵ docs is the
+    degenerate bucket; capped shingles stay in the per-doc sizes, so
+    containment only underestimates — the safe direction for a dedup
+    drop decision), per-doc sizes joined back on the doc keys (corpus-
+    sized, NOT broadcast). `portable=True` hashes shingles with md5h60
+    so the oracle reproduces them; xxhash64 stays the scale default."""
+    sh = shingles(docs, text_col, k, portable=portable)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    capped = _cap_groups(sh, ["shingle_hash"], cap)
+    pairs = (
+        capped.select(F.col("doc_id").alias("doc_a"), "shingle_hash")
+        .join(
+            capped.select(F.col("doc_id").alias("doc_b"), "shingle_hash"),
+            "shingle_hash",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    cont_a = F.expr("shared * 1000 div n_a")
+    cont_b = F.expr("shared * 1000 div n_b")
+    thr = F.lit(min_containment_milli)
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("n_b")), "doc_b")
+        .withColumn("cont_a_milli", cont_a)
+        .withColumn("cont_b_milli", cont_b)
+        .filter(F.greatest("cont_a_milli", "cont_b_milli") >= thr)
+        .withColumn(
+            "direction",
+            F.when((F.col("cont_a_milli") >= thr) & (F.col("cont_b_milli") >= thr), "mutual")
+            .when(F.col("cont_a_milli") >= thr, "a_in_b")
+            .otherwise("b_in_a"),
+        )
+        .select(
+            "doc_a", "doc_b", "shared", "n_a", "n_b",
+            "cont_a_milli", "cont_b_milli", "direction",
+        )
+    )

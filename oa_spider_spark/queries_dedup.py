@@ -515,6 +515,101 @@ WHERE levenshtein(a.key, b.key) <= 4
 """
 
 
+# --- X95: asymmetric containment detection (quotes / excerpts) ---------------
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95: containment pairs (operators/dedup.py::containment_pairs) —
+    the asymmetric complement of Jaccard dedup: a small document whose
+    shingles sit inside a big one (quote, excerpt, wrapper page).
+    Construction: each doc gets a unique 20-token text (tokens are
+    md5(doc_id:i) prefixes, so cross-doc shingle overlap is ~zero);
+    every even doc also emits an 8-token QUOTE doc (+100000 id) that is
+    the exact prefix of its parent — Jaccard(parent, quote) ≈ 0.44 but
+    containment(quote) ≈ 950+, so a symmetric threshold misses every
+    pair this query reports. A shared ' boilerplatefooter' suffix on
+    all docs exercises the _cap_groups guard (footer shingles sit on
+    ~750 docs, capped at 8; they stay in the per-doc sizes). Portable
+    md5h60 shingles; the oracle re-derives shingle sets, cap, and
+    floor-div containments exactly."""
+    from .operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+
+    def synth(n_tokens: int) -> F.Column:
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), i.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+        )
+        return F.concat(F.array_join(toks, " "), F.lit(" boilerplatefooter"))
+
+    parents = d.select("doc_id", synth(20).alias("text"))
+    quotes = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("_qid"), "doc_id", synth(8).alias("text")
+    )
+    docs = parents.unionByName(
+        quotes.select(F.col("_qid").alias("doc_id"), "text")
+    )
+    return containment_pairs(
+        docs, k=5, min_shared=2, min_containment_milli=800, cap=8, portable=True
+    )
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH parents AS (
+  SELECT doc_id,
+         array_to_string(list_transform(generate_series(0, 19),
+           i -> substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 8)), ' ')
+         || ' boilerplatefooter' AS text
+  FROM documents
+), quotes AS (
+  SELECT doc_id + 100000 AS qid,
+         array_to_string(list_transform(generate_series(0, 7),
+           i -> substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 8)), ' ')
+         || ' boilerplatefooter' AS text
+  FROM documents WHERE doc_id % 2 = 0
+), docs AS (
+  SELECT doc_id, text FROM parents
+  UNION ALL SELECT qid AS doc_id, text FROM quotes
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT AS h
+  FROM docs, LATERAL unnest(generate_series(1, greatest(len(text) - 4, 1))) AS g(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), capped AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS gsz FROM sh
+  ) WHERE gsz <= 8
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), scored AS (
+  SELECT p.doc_a, p.doc_b, p.shared, sa.n AS n_a, sb.n AS n_b,
+         (p.shared * 1000) // sa.n AS cont_a_milli,
+         (p.shared * 1000) // sb.n AS cont_b_milli
+  FROM pairs p
+  JOIN sizes sa ON p.doc_a = sa.doc_id
+  JOIN sizes sb ON p.doc_b = sb.doc_id
+)
+SELECT *, CASE WHEN cont_a_milli >= 800 AND cont_b_milli >= 800 THEN 'mutual'
+               WHEN cont_a_milli >= 800 THEN 'a_in_b'
+               ELSE 'b_in_a' END AS direction
+FROM scored
+WHERE greatest(cont_a_milli, cont_b_milli) >= 800
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -528,6 +623,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_ivf_ann": q_ivf_ann,
             "q_prefix_jaccard": q_prefix_jaccard,
             "q_snm_pairs": q_snm_pairs,
+            "q_containment_pairs": q_containment_pairs,
         }
     )
     oracles.update(
@@ -542,5 +638,6 @@ def register(queries: dict, oracles: dict) -> None:
             "q_ivf_ann": SQL_IVF_ANN,
             "q_prefix_jaccard": SQL_PREFIX_JACCARD,
             "q_snm_pairs": SQL_SNM_PAIRS,
+            "q_containment_pairs": SQL_CONTAINMENT_PAIRS,
         }
     )

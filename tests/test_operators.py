@@ -1018,3 +1018,37 @@ def test_sniff_content_type_precedence_and_edges(spark):
     assert got["short"] == ("application/octet-stream", 0)
     assert got["empty"] == ("application/octet-stream", 0)
     assert got["lie"] == ("text/html", 1)
+
+
+def test_containment_pairs_asymmetric(spark):
+    """Quote (exact prefix of parent) has containment 1000 while the
+    parent-side fraction is 333 — the pair symmetric Jaccard misses;
+    unrelated docs yield nothing; capping a 3-doc shingle drops it from
+    `shared` but not from the sizes."""
+    from oa_spider_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "AAAA BBBB CCCC DDDD"),
+        (2, "AAAA BBBB"),
+        (3, "XXXX YYYY"),
+        (4, "AAAA ZZZZ"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.shared, r.n_a, r.n_b, r.cont_a_milli, r.cont_b_milli, r.direction
+        )
+        for r in containment_pairs(
+            df, k=5, min_shared=2, min_containment_milli=800
+        ).collect()
+    }
+    assert got == {(1, 2): (5, 15, 5, 333, 1000, "b_in_a")}
+    # cap=2: 'AAAA ' sits on docs 1,2,4 -> capped out of the join; the
+    # (1,2) overlap drops to 4 and cont_b to exactly the 800 threshold.
+    capped = {
+        (r.doc_a, r.doc_b): (r.shared, r.cont_b_milli)
+        for r in containment_pairs(
+            df, k=5, min_shared=2, min_containment_milli=800, cap=2
+        ).collect()
+    }
+    assert capped == {(1, 2): (4, 800)}
