@@ -150,3 +150,87 @@ def registrable_domain(host: Column | str, suffixes: DataFrame) -> "callable":
         )
 
     return apply
+
+
+def infer_spurious_params(
+    pages,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    min_groups: int = 3,
+    min_spurious_milli: int = 900,
+):
+    """Data-driven canonicalization-rule mining: which query parameters
+    do NOT affect content? `canonicalize_url` applies STATIC rules
+    (fragment, port, query order); session ids, tracking tags, and
+    cache-busters are site-specific and can only be LEARNED — from the
+    crawl's own evidence. For every (host, param), this groups fetched
+    URLs that are identical except for that param's value (the
+    "residual" = stem + every other parameter) and checks whether the
+    content fingerprint stayed invariant while the value changed:
+
+        (host, param, groups_tested, groups_invariant,
+         spurious_milli,   # 1000·invariant div tested
+         spurious)         # tested ≥ min_groups and milli ≥ threshold
+
+    A `spurious=true` row feeds back into the canonicalizer (strip the
+    param on that host), collapsing the URL space — on session-id sites
+    this is the difference between a 10⁶-page crawl and an unbounded
+    one. Verdicts are conservative by construction: a group is only
+    `tested` when ≥ 2 distinct values were actually observed, and one
+    content change vetoes invariance.
+
+    Scale shape: pure column parsing (split/explode — no Python), then
+    two keyed aggregations: (host, param, residual) with two distinct
+    counts, then (host, param). The residual key is high-cardinality
+    (URL-space-sized), the output host×param-sized. No windows, no
+    broadcast of anything data-sized.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    d = pages.select(F.col(url_col).alias("_url"), F.col(fp_col).alias("_fp")).distinct()
+    stem = F.substring_index("_url", "?", 1)
+    query = F.when(
+        F.instr("_url", "?") > 0, F.substring_index("_url", "?", -1)
+    ).otherwise(F.lit(""))
+    kvs = F.filter(F.split(query, "&"), lambda kv: kv != "")
+    ex = d.select(
+        "_url", "_fp", stem.alias("_stem"), F.explode(kvs).alias("_kv"), kvs.alias("_all")
+    )
+    pname = F.substring_index("_kv", "=", 1)
+    others = F.array_join(
+        F.array_sort(
+            F.filter(
+                "_all",
+                lambda kv: F.substring_index(kv, "=", 1) != F.substring_index(F.col("_kv"), "=", 1),
+            )
+        ),
+        "&",
+    )
+    rows = ex.select(
+        host_of("_url").alias("host"),
+        pname.alias("param"),
+        F.concat("_stem", F.lit("|"), others).alias("residual"),
+        F.substring_index("_kv", "=", -1).alias("value"),
+        "_fp",
+    )
+    grp = rows.groupBy("host", "param", "residual").agg(
+        F.countDistinct("value").alias("n_vals"),
+        F.countDistinct("_fp").alias("n_fps"),
+    )
+    tested = grp.filter(F.col("n_vals") >= 2)
+    agg = tested.groupBy("host", "param").agg(
+        F.count(F.lit(1)).alias("groups_tested"),
+        F.sum((F.col("n_fps") == 1).cast("long")).alias("groups_invariant"),
+    )
+    milli = F.expr("groups_invariant * 1000 div groups_tested")
+    return agg.select(
+        "host",
+        "param",
+        "groups_tested",
+        "groups_invariant",
+        milli.cast("long").alias("spurious_milli"),
+        (
+            (F.col("groups_tested") >= min_groups)
+            & (milli >= min_spurious_milli)
+        ).alias("spurious"),
+    )

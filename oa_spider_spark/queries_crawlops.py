@@ -335,6 +335,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_robots_parse": q_robots_parse,
             "q_sitemap_parse": q_sitemap_parse,
             "q_mirror_hosts": q_mirror_hosts,
+            "q_spurious_params": q_spurious_params,
             "q_domain_caps": q_domain_caps,
             "q_redirect_chains": q_redirect_chains,
         }
@@ -353,6 +354,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_robots_parse": SQL_ROBOTS_PARSE,
             "q_sitemap_parse": SQL_SITEMAP_PARSE,
             "q_mirror_hosts": SQL_MIRROR_HOSTS,
+            "q_spurious_params": SQL_SPURIOUS_PARAMS,
             "q_domain_caps": SQL_DOMAIN_CAPS,
             "q_redirect_chains": SQL_REDIRECT_CHAINS,
         }
@@ -1054,4 +1056,86 @@ FROM pairs p
 JOIN sizes sa ON p.host_a = sa.h
 JOIN sizes sb ON p.host_b = sb.h
 WHERE (p.shared * 1000) // (sa.n + sb.n - p.shared) >= 5
+"""
+
+
+# --- X96: spurious-URL-parameter inference ---------------------------------
+
+
+def q_spurious_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96: learned canonicalization rules
+    (frontier/canon.py::infer_spurious_params) — per (host, param), did
+    the content fingerprint stay invariant while only that param's
+    value changed? URL space derives from events: path p = e%20, page =
+    (e div 20)%3, sess = (e div 60)%5, v = (e div 300)%2, host = p%4;
+    fp depends on (p, page) always and on v ONLY for p < 10. So `sess`
+    is fully spurious (milli 1000), `page` fully semantic (milli 0),
+    and `v` is the mixed case — spurious on some paths of a host but
+    not others (milli 400/600 by host, below the 900 bar: ONE content
+    change on the host vetoes the strip rule, the conservative
+    direction). The Spark side parses real URL strings (split/explode/
+    substring_index, residual = stem + sorted other params); the oracle
+    derives the same groups relationally from the moduli — independent
+    formulations, matching verdicts."""
+    from .frontier.canon import infer_spurious_params
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    base = e.select(
+        (eid % 20).alias("p"),
+        (F.expr("event_id div 20") % 3).alias("page"),
+        (F.expr("event_id div 60") % 5).alias("sess"),
+        (F.expr("event_id div 300") % 2).alias("v"),
+    ).distinct()
+    url = F.concat(
+        F.lit("http://h"), (F.col("p") % 4).cast("string"), F.lit(".example.org/p/"),
+        F.col("p").cast("string"),
+        F.lit("?page="), F.col("page").cast("string"),
+        F.lit("&sess="), F.col("sess").cast("string"),
+        F.lit("&v="), F.col("v").cast("string"),
+    )
+    fp = (
+        F.col("p") * 10
+        + F.col("page")
+        + F.when(F.col("p") < 10, F.col("v") * 1000).otherwise(F.lit(0))
+    )
+    pages = base.select(url.alias("url"), fp.alias("fp"))
+    return infer_spurious_params(pages, min_groups=3, min_spurious_milli=900)
+
+
+SQL_SPURIOUS_PARAMS = """
+WITH base AS (
+  SELECT DISTINCT event_id % 20 AS p, (event_id // 20) % 3 AS page,
+         (event_id // 60) % 5 AS sess, (event_id // 300) % 2 AS v
+  FROM events
+), u AS (
+  SELECT 'h' || (p % 4)::VARCHAR || '.example.org' AS host, p, page, sess, v,
+         p * 10 + page + CASE WHEN p < 10 THEN v * 1000 ELSE 0 END AS fp
+  FROM base
+), e AS (
+  SELECT host, 'page' AS param,
+         p::VARCHAR || '|' || sess::VARCHAR || '|' || v::VARCHAR AS residual,
+         page AS val, fp FROM u
+  UNION ALL
+  SELECT host, 'sess', p::VARCHAR || '|' || page::VARCHAR || '|' || v::VARCHAR,
+         sess, fp FROM u
+  UNION ALL
+  SELECT host, 'v', p::VARCHAR || '|' || page::VARCHAR || '|' || sess::VARCHAR,
+         v, fp FROM u
+), g AS (
+  SELECT host, param, residual,
+         count(DISTINCT val) AS n_vals, count(DISTINCT fp) AS n_fps
+  FROM e GROUP BY 1, 2, 3
+), t AS (
+  SELECT * FROM g WHERE n_vals >= 2
+)
+SELECT host, param,
+       count(*)::BIGINT AS groups_tested,
+       sum(CASE WHEN n_fps = 1 THEN 1 ELSE 0 END)::BIGINT AS groups_invariant,
+       ((sum(CASE WHEN n_fps = 1 THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT
+         AS spurious_milli,
+       count(*) >= 3 AND
+       (sum(CASE WHEN n_fps = 1 THEN 1 ELSE 0 END) * 1000) // count(*) >= 900
+         AS spurious
+FROM t GROUP BY 1, 2
 """

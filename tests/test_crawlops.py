@@ -442,3 +442,35 @@ def test_mirror_host_pairs_cap_and_jaccard(spark):
         ("a", "b", 2, 4, 4, 333),
         ("a", "c", 1, 4, 2, 200),
     }
+
+
+# --- X96 spurious-param inference -----------------------------------------
+
+
+def test_infer_spurious_params_verdicts(spark):
+    """sid never changes content (spurious), q always does (semantic),
+    and a single content change vetoes the mixed param; residual
+    grouping isolates exactly one varying param per group."""
+    from oa_spider_spark.frontier.canon import infer_spurious_params
+
+    rows = []
+    # host a: /x?q=Q&sid=S — fp depends only on q
+    for q in (0, 1):
+        for s in (0, 1, 2):
+            rows.append((f"http://a/x?q={q}&sid={s}", 10 + q))
+    # host a: mixed param m on a second path: fp changes for ONE value
+    for m in (0, 1, 2):
+        rows.append((f"http://a/y?m={m}", 99 if m == 2 else 50))
+    df = spark.createDataFrame(rows, "url string, fp long")
+    got = {
+        (r.host, r.param): (
+            r.groups_tested, r.groups_invariant, r.spurious_milli, r.spurious
+        )
+        for r in infer_spurious_params(df, min_groups=2, min_spurious_milli=900).collect()
+    }
+    # sid: 2 residual groups (q=0, q=1), both invariant -> spurious
+    assert got[("a", "sid")] == (2, 2, 1000, True)
+    # q: 3 residual groups (sid=0,1,2), all variant -> semantic
+    assert got[("a", "q")] == (3, 0, 0, False)
+    # m: 1 tested group, fp changed -> variant, not spurious
+    assert got[("a", "m")] == (1, 0, 0, False)
