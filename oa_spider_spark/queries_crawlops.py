@@ -336,6 +336,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_sitemap_parse": q_sitemap_parse,
             "q_mirror_hosts": q_mirror_hosts,
             "q_spurious_params": q_spurious_params,
+            "q_revalidation_plan": q_revalidation_plan,
             "q_domain_caps": q_domain_caps,
             "q_redirect_chains": q_redirect_chains,
         }
@@ -355,6 +356,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_sitemap_parse": SQL_SITEMAP_PARSE,
             "q_mirror_hosts": SQL_MIRROR_HOSTS,
             "q_spurious_params": SQL_SPURIOUS_PARAMS,
+            "q_revalidation_plan": SQL_REVALIDATION_PLAN,
             "q_domain_caps": SQL_DOMAIN_CAPS,
             "q_redirect_chains": SQL_REDIRECT_CHAINS,
         }
@@ -1138,4 +1140,90 @@ SELECT host, param,
        (sum(CASE WHEN n_fps = 1 THEN 1 ELSE 0 END) * 1000) // count(*) >= 900
          AS spurious
 FROM t GROUP BY 1, 2
+"""
+
+
+# --- X97: HTTP revalidation planner ----------------------------------------
+
+
+def q_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97: RFC 9111 refetch planner
+    (frontier/recrawl.py::revalidation_plan). Headers derive from
+    events covering the full decision lattice: no-store, no-cache with
+    and without validators, max-age both fresh and expired, heuristic
+    freshness from Last-Modified, empty-string ETags (absent per RFC),
+    and bare responses with nothing to go on. now_ms is a literal —
+    time is data (F11/T3). The oracle recomputes the CASE lattice and
+    the integer heuristic TTL; any drift in precedence (no-store over
+    max-age, ETag over Last-Modified, fresh short-circuiting the
+    validator) mismatches the action/validator columns."""
+    from .frontier.recrawl import revalidation_plan
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    fetched = F.lit(1000000000) + (eid % 1000) * 10000
+    snaps = e.select(
+        F.concat(
+            F.lit("http://h"), (eid % 5).cast("string"), F.lit("/r/"), eid.cast("string")
+        ).alias("url"),
+        fetched.alias("fetched_ms"),
+        F.when(eid % 7 == 0, F.lit("no-store"))
+        .when(eid % 7 == 1, F.lit("no-cache, private"))
+        .when(
+            (eid % 7 == 2) | (eid % 7 == 3),
+            F.concat(F.lit("public, max-age="), (eid % 30000).cast("string")),
+        )
+        .alias("cache_control"),
+        F.when(eid % 3 == 0, F.concat(F.lit('"t'), eid.cast("string"), F.lit('"')))
+        .when(eid % 9 == 4, F.lit(""))
+        .alias("etag"),
+        F.when(eid % 2 == 0, fetched - (eid % 50) * 100000).alias("last_modified_ms"),
+    )
+    return revalidation_plan(snaps, now_ms=1020000000, heuristic_ttl_milli=100)
+
+
+SQL_REVALIDATION_PLAN = r"""
+WITH s AS (
+  SELECT 'http://h' || (event_id % 5)::VARCHAR || '/r/' || event_id::VARCHAR AS url,
+         1000000000 + (event_id % 1000) * 10000 AS fetched_ms,
+         CASE WHEN event_id % 7 = 0 THEN 'no-store'
+              WHEN event_id % 7 = 1 THEN 'no-cache, private'
+              WHEN event_id % 7 IN (2, 3)
+                THEN 'public, max-age=' || (event_id % 30000)::VARCHAR
+         END AS cache_control,
+         CASE WHEN event_id % 3 = 0 THEN '"t' || event_id::VARCHAR || '"'
+              WHEN event_id % 9 = 4 THEN '' END AS etag,
+         CASE WHEN event_id % 2 = 0
+              THEN 1000000000 + (event_id % 1000) * 10000 - (event_id % 50) * 100000
+         END AS last_modified_ms
+  FROM events
+), c AS (
+  SELECT url, fetched_ms, etag, last_modified_ms,
+         coalesce(lower(cache_control), '') AS cc,
+         1020000000 - fetched_ms AS age,
+         regexp_extract(coalesce(lower(cache_control), ''),
+                        '(?:^|[,\s])max-age=(\d+)', 1) AS ma
+  FROM s
+), d AS (
+  SELECT url, age,
+         CASE WHEN ma <> '' THEN ma::BIGINT * 1000
+              WHEN last_modified_ms IS NOT NULL
+                THEN (fetched_ms - last_modified_ms) * 100 // 1000
+              ELSE 0 END AS ttl,
+         cc LIKE '%no-store%' AS no_store,
+         cc LIKE '%no-cache%' AS no_cache,
+         CASE WHEN etag IS NOT NULL AND etag <> '' THEN 'etag'
+              WHEN last_modified_ms IS NOT NULL THEN 'last-modified'
+              ELSE 'none' END AS v
+  FROM c
+)
+SELECT url, age AS age_ms, ttl AS ttl_ms,
+       greatest(age - ttl, 0) AS stale_ms,
+       CASE WHEN no_store THEN 'refetch'
+            WHEN NOT no_store AND NOT no_cache AND age <= ttl THEN 'fresh'
+            WHEN v <> 'none' THEN 'revalidate'
+            ELSE 'refetch' END AS action,
+       CASE WHEN NOT no_store AND NOT no_cache AND age <= ttl
+            THEN 'none' ELSE v END AS validator
+FROM d
 """

@@ -474,3 +474,43 @@ def test_infer_spurious_params_verdicts(spark):
     assert got[("a", "q")] == (3, 0, 0, False)
     # m: 1 tested group, fp changed -> variant, not spurious
     assert got[("a", "m")] == (1, 0, 0, False)
+
+
+# --- X97 revalidation planner ------------------------------------------------
+
+
+def test_revalidation_plan_decision_lattice(spark):
+    """Precedence pinned by hand: no-store beats a fresh max-age;
+    no-cache forces revalidation inside the TTL; ETag beats
+    Last-Modified; heuristic TTL is 10% of (fetched - Last-Modified);
+    stale with no validator refetches; empty ETag is absent."""
+    from oa_spider_spark.frontier.recrawl import revalidation_plan
+
+    now = 2_000_000
+    rows = [
+        # url, fetched_ms, cache_control, etag, last_modified_ms
+        ("fresh",      1_900_000, "max-age=200",  None, None),        # age 100k <= 200k
+        ("expired",    1_000_000, "max-age=500",  '"e"', None),       # age 1M > 500k
+        ("nostore",    1_900_000, "no-store, max-age=999999", '"e"', None),
+        ("nocache",    1_900_000, "no-cache, max-age=999999", None, 1_800_000),
+        ("heuristic",  1_990_000, None,           None, 1_890_000),   # ttl 10k, age 10k
+        ("heur_stale", 1_900_000, None,           None, 1_899_000),   # ttl 100, age 100k
+        ("bare",       1_900_000, None,           None, None),
+        ("empty_etag", 1_000_000, "max-age=1",    "",   None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetched_ms long, cache_control string, "
+              "etag string, last_modified_ms long"
+    )
+    got = {
+        r.url: (r.action, r.validator, r.ttl_ms, r.stale_ms)
+        for r in revalidation_plan(df, now_ms=now, heuristic_ttl_milli=100).collect()
+    }
+    assert got["fresh"] == ("fresh", "none", 200_000, 0)
+    assert got["expired"] == ("revalidate", "etag", 500_000, 500_000)
+    assert got["nostore"][0] == "refetch"
+    assert got["nocache"] == ("revalidate", "last-modified", 999_999_000, 0)
+    assert got["heuristic"] == ("fresh", "none", 10_000, 0)
+    assert got["heur_stale"] == ("revalidate", "last-modified", 100, 99_900)
+    assert got["bare"] == ("refetch", "none", 0, 100_000)
+    assert got["empty_etag"] == ("refetch", "none", 1_000, 999_000)
