@@ -100,6 +100,21 @@ AUDITED = [
     "q_corpus_pipeline",
     "q_snm_pairs",
     "q_domain_caps",
+    # X87-X97: robust outlier census, pointer-doubling redirect chains,
+    # temperature allocation, content sniffing, the robots/sitemap text
+    # parsers, mirror detection, collocation mining, containment pairs,
+    # spurious-param inference, and the RFC 9111 revalidation planner
+    "q_mad_outliers",
+    "q_redirect_chains",
+    "q_temperature_targets",
+    "q_content_sniff",
+    "q_robots_parse",
+    "q_sitemap_parse",
+    "q_mirror_hosts",
+    "q_pmi_collocations",
+    "q_containment_pairs",
+    "q_spurious_params",
+    "q_revalidation_plan",
 ]
 
 
