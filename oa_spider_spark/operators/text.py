@@ -448,3 +448,61 @@ def collocations(
         .filter(F.col("lift_milli") >= min_lift_milli)
         .select("w1", "w2", "c_ab", "c_a", "c_b", "lift_milli")
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over a positional inverted index — the IR
+    primitive behind contamination checks ("does this benchmark sentence
+    appear verbatim?") and quoted-query retrieval, distinct from the
+    bag-of-words BM25 path above.
+
+    Index shape: posexplode tokens → (id, term, sorted position list).
+    The phrase-term filter sits UNDER the explode, so only the |phrase|
+    query terms' postings are built and shuffled — the corpus never
+    moves. At 10^10 docs the shuffled volume is the phrase terms'
+    posting lists, the same rows a dedicated inverted index would read.
+
+    Match = chained positional intersection: starting from word 0's
+    positions, step i intersects (prev positions + 1) with word i's
+    positions — after the last step the survivors are the END positions
+    of exact phrase occurrences (overlapping occurrences all counted).
+    Each step is one id-keyed equi-join + a row-local array_intersect;
+    no window, no Python, no all-pairs. first_pos is 0-based.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_match needs >= 2 words")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    posts = (
+        docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
+        .filter(F.col("term").isin(sorted(set(phrase))))
+        .groupBy(id_col, "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+    )
+    cur = posts.filter(F.col("term") == phrase[0]).select(
+        F.col(id_col), F.col("ps").alias("cur")
+    )
+    for w in phrase[1:]:
+        nxt = posts.filter(F.col("term") == F.lit(w)).select(
+            F.col(id_col), F.col("ps").alias("_nx")
+        )
+        cur = (
+            cur.join(nxt, id_col)
+            .select(
+                F.col(id_col),
+                F.array_intersect(
+                    F.transform(F.col("cur"), lambda p: p + F.lit(1)),
+                    F.col("_nx"),
+                ).alias("cur"),
+            )
+            .filter(F.size("cur") > 0)
+        )
+    return cur.select(
+        F.col(id_col),
+        F.size("cur").alias("n_matches"),
+        (F.array_min("cur") - F.lit(len(phrase) - 1)).alias("first_pos"),
+    )

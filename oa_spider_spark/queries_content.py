@@ -255,6 +255,72 @@ GROUP BY target
 """
 
 
+# --- X98: positional inverted index + exact phrase query --------------------
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98: exact phrase search (operators/text.py::phrase_match) — the
+    positional-index primitive behind verbatim contamination checks and
+    quoted-query retrieval. The documents text is near-uniform random
+    words, so deterministic phrases are injected: every 3rd doc ends
+    " alpha beta" (a bigram DECOY sharing the phrase's prefix), every
+    5th " alpha beta gamma" (a true match), every 20th a SECOND
+    " alpha beta gamma" (n_matches = 2, and on %15 docs the decoy +
+    match concatenation exercises the cross-boundary restart: ... alpha
+    beta alpha beta gamma has only ONE trigram occurrence). The oracle
+    rebuilds the postings relationally and replays the positional
+    intersection chain; any drift in the +1 stepping, the sort, or the
+    0-based first_pos mismatches."""
+    from .operators.text import phrase_match
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        did,
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.lit(" alpha beta")).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" alpha beta gamma")).otherwise(F.lit("")),
+            F.when(did % 20 == 0, F.lit(" alpha beta gamma")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return phrase_match(aug, ["alpha", "beta", "gamma"])
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH aug AS (
+  SELECT doc_id, text
+         || CASE WHEN doc_id % 3 = 0 THEN ' alpha beta' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' alpha beta gamma' ELSE '' END
+         || CASE WHEN doc_id % 20 = 0 THEN ' alpha beta gamma' ELSE '' END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM aug
+), post AS (
+  SELECT doc_id, unnest(t) AS term,
+         unnest(list_transform(generate_series(1, len(t)), i -> i - 1)) AS pos
+  FROM toks
+), p0 AS (
+  SELECT doc_id, list_sort(list(pos)) AS ps FROM post WHERE term = 'alpha' GROUP BY doc_id
+), p1 AS (
+  SELECT doc_id, list_sort(list(pos)) AS ps FROM post WHERE term = 'beta' GROUP BY doc_id
+), p2 AS (
+  SELECT doc_id, list_sort(list(pos)) AS ps FROM post WHERE term = 'gamma' GROUP BY doc_id
+), s1 AS (
+  SELECT p0.doc_id,
+         list_intersect(list_transform(p0.ps, p -> p + 1), p1.ps) AS cur
+  FROM p0 JOIN p1 USING (doc_id)
+), s2 AS (
+  SELECT s1.doc_id,
+         list_intersect(list_transform(s1.cur, p -> p + 1), p2.ps) AS cur
+  FROM s1 JOIN p2 USING (doc_id)
+  WHERE len(s1.cur) > 0
+)
+SELECT doc_id, len(cur) AS n_matches, list_min(cur) - 2 AS first_pos
+FROM s2 WHERE len(cur) > 0
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -263,6 +329,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_attachments_join": q_attachments_join,
             "q_digest_render": q_digest_render,
             "q_anchor_text": q_anchor_text,
+            "q_phrase_search": q_phrase_search,
         }
     )
     oracles.update(
@@ -272,5 +339,6 @@ def register(queries: dict, oracles: dict) -> None:
             "q_attachments_join": SQL_ATTACHMENTS_JOIN,
             "q_digest_render": SQL_DIGEST_RENDER,
             "q_anchor_text": SQL_ANCHOR_TEXT,
+            "q_phrase_search": SQL_PHRASE_SEARCH,
         }
     )

@@ -474,3 +474,28 @@ def test_collocations_exact_lift(spark):
     assert ("york", "is") not in got
     high = collocations(df, min_count=2, min_lift_milli=3000)
     assert {(r.w1, r.w2) for r in high.collect()} == {("is", "big")}
+
+
+def test_phrase_match_positions(spark):
+    """Hand fixture: overlapping occurrences, decoy prefixes, repeated
+    words inside the phrase, and a doc missing one term."""
+    from oa_spider_spark.operators.text import phrase_match
+
+    rows = [
+        (1, "x alpha beta gamma y"),          # one match at pos 1
+        (2, "alpha beta alpha beta gamma"),   # decoy prefix, match at 2
+        (3, "alpha beta gamma alpha beta gamma"),  # two matches, first 0
+        (4, "alpha gamma beta"),              # all terms, wrong order
+        (5, "alpha beta"),                    # missing gamma
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_match(df, ["alpha", "beta", "gamma"]).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 2), 3: (2, 0)}
+
+    # a phrase with a repeated word: "a b a" over "a b a b a"
+    df2 = spark.createDataFrame([(9, "a b a b a")], "doc_id long, text string")
+    got2 = phrase_match(df2, ["a", "b", "a"]).collect()
+    assert (got2[0].n_matches, got2[0].first_pos) == (2, 0)
