@@ -234,3 +234,69 @@ def infer_spurious_params(
             & (milli >= min_spurious_milli)
         ).alias("spurious"),
     )
+
+
+def bitext_url_pairs(
+    pages,
+    langs: list[str],
+    pivot: str = "en",
+    min_len_ratio_milli: int = 600,
+    url_col: str = "url",
+    len_col: str = "content_len",
+):
+    """Parallel-corpus candidate mining from URL structure — the
+    CCAligned/ParaCrawl first stage (El-Kishky et al. 2020 §3.1): two
+    URLs on the same host whose paths differ ONLY in a leading language
+    segment (/en/a/b vs /fr/a/b) are bitext candidates, pre-filtered by
+    the classic length-ratio rule (translations have similar lengths;
+    ratio in exact integer milli-units, floor-div on named columns).
+
+    Scale shape: host/path/segment extraction is row-local regex (stays
+    in WholeStageCodegen); the pair build is ONE equi-join keyed on the
+    lang-stripped URL key — pivot side vs non-pivot side — so the
+    shuffle moves (key, url, len) triples once, no self-cross within
+    host, no window. Callers supply canonical URLs (one per key+lang;
+    X79's canonicalizer upstream is the contract — duplicate members
+    would fan out the key join, the same discipline as J2's seen keys).
+    """
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)$", 1)
+    seg1 = F.regexp_extract(path, r"^/([^/]+)", 1)
+    lang_arr = F.array(*[F.lit(x) for x in langs])
+    base = (
+        pages.select(
+            u.alias("_url"),
+            F.col(len_col).alias("_len"),
+            host.alias("_host"),
+            path.alias("_path"),
+            seg1.alias("_seg"),
+        )
+        .filter(F.array_contains(lang_arr, F.col("_seg")))
+        .select(
+            "_url",
+            "_len",
+            F.col("_seg").alias("_lang"),
+            F.concat(
+                F.col("_host"), F.expr("substring(_path, length(_seg) + 2)")
+            ).alias("_key"),
+        )
+    )
+    a = base.filter(F.col("_lang") == pivot).select(
+        F.col("_key"), F.col("_url").alias("url_a"), F.col("_len").alias("_la")
+    )
+    b = base.filter(F.col("_lang") != pivot).select(
+        F.col("_key"),
+        F.col("_url").alias("url_b"),
+        F.col("_lang").alias("lang_b"),
+        F.col("_len").alias("_lb"),
+    )
+    return (
+        a.join(b, "_key")
+        .withColumn(
+            "ratio_milli",
+            F.expr("(1000 * least(_la, _lb)) div greatest(_la, _lb)"),
+        )
+        .filter(F.col("ratio_milli") >= min_len_ratio_milli)
+        .select("url_a", "url_b", "lang_b", "ratio_milli")
+    )

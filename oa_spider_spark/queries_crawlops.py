@@ -320,9 +320,85 @@ FROM d GROUP BY domain
 SQL_DOMAIN_CAPS = _sql_domain_caps()
 
 
+# --- X99: bitext URL pairing (parallel-corpus candidate mining) --------------
+
+
+def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99: bitext candidates (frontier/canon.py::bitext_url_pairs).
+    URL space from events: page p = e%400, lang index li = (e div
+    400)%5 over en/fr/de/es/zh, host = p%3 (shared across a page's
+    languages — the key includes it), with (p+li)%7==0 languages
+    MISSING (incl. missing pivots: p%7==0 pages have no /en/ and
+    contribute nothing) and /raw/ decoy URLs carrying no language
+    segment (must be dropped by the segment filter). Lengths are
+    200+3p+7li (ratio near 1000, passes) except p%11 non-pivot pages
+    at 40+p — a genuine divergence the length-ratio rule must reject.
+    The Spark side parses real URL strings; the oracle derives pairs
+    relationally from the moduli — independent formulations, matching
+    url_a/url_b/lang_b/ratio_milli."""
+    from .frontier.canon import bitext_url_pairs
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    base = (
+        e.select((eid % 400).alias("p"), (F.expr("event_id div 400") % 5).alias("li"))
+        .distinct()
+        .filter((F.col("p") + F.col("li")) % 7 != 0)
+    )
+    langs = ["en", "fr", "de", "es", "zh"]
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in langs]), F.col("li").cast("int") + 1
+    )
+    host = F.concat(
+        F.lit("site"), (F.col("p") % 3).cast("string"), F.lit(".example.org")
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/"), lang, F.lit("/art/"),
+        F.col("p").cast("string"),
+    )
+    clen = (
+        F.when(
+            (F.col("p") % 11 == 0) & (F.col("li") > 0), F.lit(40) + F.col("p")
+        ).otherwise(F.lit(200) + F.col("p") * 3 + F.col("li") * 7)
+    )
+    pages = base.select(url.alias("url"), clen.alias("content_len"))
+    decoys = base.filter((F.col("p") % 13 == 0) & (F.col("li") == 0)).select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/raw/"), F.col("p").cast("string")
+        ).alias("url"),
+        F.lit(100).cast("long").alias("content_len"),
+    )
+    return bitext_url_pairs(
+        pages.unionByName(decoys), langs, pivot="en", min_len_ratio_milli=600
+    )
+
+
+SQL_BITEXT_PAIRS = """
+WITH base AS (
+  SELECT DISTINCT event_id % 400 AS p, (event_id // 400) % 5 AS li FROM events
+), pg AS (
+  SELECT p, li,
+         ['en','fr','de','es','zh'][li + 1] AS lang,
+         CASE WHEN p % 11 = 0 AND li > 0 THEN 40 + p
+              ELSE 200 + p * 3 + li * 7 END AS content_len
+  FROM base WHERE (p + li) % 7 <> 0
+)
+SELECT
+  'http://site' || (a.p % 3) || '.example.org/en/art/' || a.p AS url_a,
+  'http://site' || (b.p % 3) || '.example.org/' || b.lang || '/art/' || b.p AS url_b,
+  b.lang AS lang_b,
+  (1000 * least(a.content_len, b.content_len))
+    // greatest(a.content_len, b.content_len) AS ratio_milli
+FROM pg a JOIN pg b ON a.p = b.p AND a.li = 0 AND b.li > 0
+WHERE (1000 * least(a.content_len, b.content_len))
+      // greatest(a.content_len, b.content_len) >= 600
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
+            "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
             "q_crawl_traps": q_crawl_traps,
@@ -343,6 +419,7 @@ def register(queries: dict, oracles: dict) -> None:
     )
     oracles.update(
         {
+            "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,
             "q_crawl_traps": SQL_CRAWL_TRAPS,

@@ -514,3 +514,28 @@ def test_revalidation_plan_decision_lattice(spark):
     assert got["heur_stale"] == ("revalidate", "last-modified", 100, 99_900)
     assert got["bare"] == ("refetch", "none", 0, 100_000)
     assert got["empty_etag"] == ("refetch", "none", 1_000, 999_000)
+
+
+def test_bitext_url_pairs_key_and_ratio(spark):
+    """Hand fixture: same-host lang-segment pairing, decoy without a
+    language segment, cross-host non-pairing, length-ratio rejection."""
+    from oa_spider_spark.frontier.canon import bitext_url_pairs
+
+    rows = [
+        ("http://a.org/en/x/1", 100),
+        ("http://a.org/fr/x/1", 90),    # pairs, ratio 900
+        ("http://a.org/de/x/1", 40),    # pairs but ratio 400 < 600
+        ("http://b.org/fr/x/1", 100),   # other host: no /en/ twin there
+        ("http://a.org/x/1", 100),      # no lang segment: dropped
+        ("http://a.org/en", 50),        # bare lang path -> key = host
+        ("http://a.org/fr", 50),        # pairs with the bare /en
+    ]
+    df = spark.createDataFrame(rows, "url string, content_len long")
+    got = {
+        (r.url_a, r.url_b): (r.lang_b, r.ratio_milli)
+        for r in bitext_url_pairs(df, ["en", "fr", "de"]).collect()
+    }
+    assert got == {
+        ("http://a.org/en/x/1", "http://a.org/fr/x/1"): ("fr", 900),
+        ("http://a.org/en", "http://a.org/fr"): ("fr", 1000),
+    }
