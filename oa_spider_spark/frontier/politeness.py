@@ -347,3 +347,101 @@ def parse_robots_txt(df: DataFrame, agent: str = "oa-spider") -> DataFrame:
         )
         .distinct()
     )
+
+
+def rendezvous_shards(
+    hosts: DataFrame,
+    n_shards: int,
+    cap: int,
+    host_col: str = "host",
+    weight_col: str = "url_count",
+    portable: bool = False,
+) -> DataFrame:
+    """Highest-random-weight (rendezvous) assignment of hosts to fetcher
+    shards with a one-round bounded-load spill — the politeness-
+    preserving work partition for a fetcher fleet (Thaler–Ravishankar
+    1998; bounded loads per Mirrokni et al. 2018). HRW gives the
+    stability consistent hashing is used for: adding/removing a shard
+    reassigns only the hosts whose argmax changes (~1/K of them), with
+    no ring metadata — every shard's score is recomputed row-locally.
+
+    Assignment: primary = argmax_k hash(host ':' k) (ties: lowest k,
+    matching the oracle's score DESC, k tiebreak); hosts are then
+    admitted to their primary shard in score-descending order until the
+    shard's cumulative URL weight exceeds `cap`, and the overflow spills
+    to the host's SECOND-best shard (two-choices; one spill round — a
+    spilled-into shard may exceed cap by design, documented bound).
+
+    Scale shape: scores/argmax are row-local array expressions. The
+    per-shard cumulative admission is NEVER a bare per-shard window
+    (K keys ⇒ 1/K of all hosts in one task): it reuses the frontier's
+    two-level decomposition (global_order_and_limit above) — quantized
+    score sub-buckets, per-cell weight sums running-summed over a
+    K x 256 METADATA window, in-cell running sum keyed by (shard,
+    cell). portable=True swaps xxhash64 for md5h60 so a DuckDB oracle
+    reproduces every score (CLAUDE.md trick); n_shards must be >= 2.
+    """
+    from ..operators.dedup import md5h60
+
+    hf = md5h60 if portable else F.xxhash64
+    h = F.col(host_col)
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda k: hf(F.concat(h, F.lit(":"), k.cast("string"))),
+    )
+    base = (
+        hosts.select(
+            h.alias("host"),
+            F.col(weight_col).cast("long").alias("_w"),
+            scores.alias("_sc"),
+        )
+        .withColumn("_best", F.array_max("_sc"))
+        .withColumn(
+            "primary_shard",
+            (F.expr("array_position(_sc, _best)") - 1).cast("int"),
+        )
+        .withColumn(
+            "_second",
+            F.array_max(F.filter(F.col("_sc"), lambda s: s != F.col("_best"))),
+        )
+        .withColumn(
+            "secondary_shard",
+            (F.expr("array_position(_sc, _second)") - 1).cast("int"),
+        )
+        .drop("_sc", "_second")
+    )
+    # two-level bounded admission: trunc-div by a positive constant is
+    # weakly monotone (buckets are intervals) for signed xxhash64 too
+    q = (1 << 52) if portable else (1 << 56)
+    keyed = base.withColumn("_s", -F.expr(f"_best div {q}L"))
+    w_off = (
+        Window.partitionBy("primary_shard")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("primary_shard", "_s")
+        .agg(F.sum("_w").alias("_cw"))
+        .withColumn("_off", F.coalesce(F.sum("_cw").over(w_off), F.lit(0)))
+        .select("primary_shard", "_s", "_off")
+    )
+    w_in = (
+        Window.partitionBy("primary_shard", "_s")
+        .orderBy(F.col("_best").desc(), F.col("host").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.col("_off") + F.sum("_w").over(w_in)
+    return (
+        keyed.join(F.broadcast(offsets), ["primary_shard", "_s"])
+        .withColumn(
+            "assigned_shard",
+            F.when(run <= cap, F.col("primary_shard")).otherwise(
+                F.col("secondary_shard")
+            ),
+        )
+        .withColumn(
+            "spilled",
+            (F.col("assigned_shard") != F.col("primary_shard")).cast("int"),
+        )
+        .select("host", "primary_shard", "assigned_shard", "spilled")
+    )

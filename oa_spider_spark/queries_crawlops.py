@@ -395,9 +395,77 @@ WHERE (1000 * least(a.content_len, b.content_len))
 """
 
 
+# --- X100: rendezvous fetcher sharding (HRW + bounded-load spill) ------------
+
+RV_SHARDS = 8
+RV_CAP = 5500  # per-shard URL-weight budget; ~80% of the 6.8k even share
+
+
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100: HRW fetcher sharding (frontier/politeness.py::
+    rendezvous_shards). Host universe from events: hid = event_id mod
+    997 → host-{hid}.example.org with URL weight (hid mod 91) + 10
+    (total ≈54.7k, even share ≈6.8k per 8 shards, cap 5500 ⇒ every
+    shard's tail spills to its second choice — both branches live).
+    portable=True: every score is md5h60(host ':' k), reproduced
+    verbatim by the oracle; the two-level bucketed admission must be
+    indistinguishable from the oracle's single flat per-shard window."""
+    from .frontier.politeness import rendezvous_shards
+
+    e = _t(spark, sf_dir, "events")
+    hosts = (
+        e.select((F.col("event_id") % 997).alias("hid"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("host-"), F.col("hid").cast("string"), F.lit(".example.org")
+            ).alias("host"),
+            ((F.col("hid") % 91) + 10).alias("url_count"),
+        )
+    )
+    return rendezvous_shards(
+        hosts, n_shards=RV_SHARDS, cap=RV_CAP, portable=True
+    )
+
+
+SQL_RENDEZVOUS_SHARDS = f"""
+WITH h AS (
+  SELECT DISTINCT event_id % 997 AS hid FROM events
+), hosts AS (
+  SELECT 'host-' || hid || '.example.org' AS host, (hid % 91) + 10 AS w
+  FROM h
+), sc AS (
+  SELECT host, w, k,
+         ('0x' || substr(md5(host || ':' || k), 1, 15))::BIGINT AS s
+  FROM hosts CROSS JOIN range({RV_SHARDS}) t(k)
+), ranked AS (
+  SELECT host, w, k, s,
+         row_number() OVER (PARTITION BY host ORDER BY s DESC, k ASC) AS rk
+  FROM sc
+), pick AS (
+  SELECT host, any_value(w) AS w,
+         max(CASE WHEN rk = 1 THEN k END) AS primary_shard,
+         max(CASE WHEN rk = 2 THEN k END) AS secondary_shard,
+         max(CASE WHEN rk = 1 THEN s END) AS best
+  FROM ranked GROUP BY host
+), run AS (
+  SELECT *, sum(w) OVER (PARTITION BY primary_shard
+                         ORDER BY best DESC, host ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pick
+)
+SELECT host, primary_shard,
+       CASE WHEN cum <= {RV_CAP} THEN primary_shard
+            ELSE secondary_shard END AS assigned_shard,
+       CASE WHEN cum <= {RV_CAP} THEN 0 ELSE 1 END AS spilled
+FROM run
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
+            "q_rendezvous_shards": q_rendezvous_shards,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -419,6 +487,7 @@ def register(queries: dict, oracles: dict) -> None:
     )
     oracles.update(
         {
+            "q_rendezvous_shards": SQL_RENDEZVOUS_SHARDS,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

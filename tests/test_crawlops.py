@@ -539,3 +539,80 @@ def test_bitext_url_pairs_key_and_ratio(spark):
         ("http://a.org/en/x/1", "http://a.org/fr/x/1"): ("fr", 900),
         ("http://a.org/en", "http://a.org/fr"): ("fr", 1000),
     }
+
+
+# --- X100 rendezvous sharding -------------------------------------------------
+
+
+def _hosts_df(spark, n=300, n_weights=37):
+    return spark.createDataFrame(
+        [(f"host-{i}.example.org", (i % n_weights) + 5) for i in range(n)],
+        "host string, url_count long",
+    )
+
+
+def test_rendezvous_matches_flat_window(spark):
+    """The two-level bucketed admission (scale shape) must be
+    indistinguishable from the textbook single flat per-shard running
+    sum, in the scale-default xxhash mode."""
+    from oa_spider_spark.frontier.politeness import rendezvous_shards
+
+    hosts = _hosts_df(spark)
+    cap = 900
+    got = {
+        r.host: (r.primary_shard, r.assigned_shard, r.spilled)
+        for r in rendezvous_shards(hosts, n_shards=8, cap=cap).collect()
+    }
+    # flat reference: exact scores pulled via the same hash, pandas cumsum
+    import pandas as pd
+
+    sc = hosts.select(
+        "host",
+        "url_count",
+        *[
+            F.xxhash64(F.concat("host", F.lit(f":{k}"))).alias(f"s{k}")
+            for k in range(8)
+        ],
+    ).toPandas()
+    score_cols = [f"s{k}" for k in range(8)]
+    rows = []
+    for _, r in sc.iterrows():
+        scores = [int(r[c]) for c in score_cols]
+        order = sorted(range(8), key=lambda k: (-scores[k], k))
+        rows.append(
+            (r["host"], int(r["url_count"]), order[0], order[1], scores[order[0]])
+        )
+    ref = pd.DataFrame(rows, columns=["host", "w", "prim", "sec", "best"])
+    ref = ref.sort_values(["prim", "best", "host"], ascending=[True, False, True])
+    ref["cum"] = ref.groupby("prim")["w"].cumsum()
+    ref["assigned"] = ref["prim"].where(ref["cum"] <= cap, ref["sec"])
+    want = {
+        r.host: (r.prim, r.assigned, int(r.prim != r.assigned))
+        for r in ref.itertuples()
+    }
+    assert got == want
+    # both branches exercised by the fixture
+    spills = sum(v[2] for v in got.values())
+    assert 0 < spills < len(got)
+
+
+def test_rendezvous_stability_on_shard_add(spark):
+    """HRW's point: growing the fleet K -> K+1 moves only the hosts whose
+    new shard wins the argmax — about 1/(K+1) of them, never a reshuffle."""
+    from oa_spider_spark.frontier.politeness import rendezvous_shards
+
+    hosts = _hosts_df(spark, n=400)
+    big_cap = 10**9  # no spill: isolate the primary assignment
+    a = {
+        r.host: r.assigned_shard
+        for r in rendezvous_shards(hosts, n_shards=8, cap=big_cap).collect()
+    }
+    b = {
+        r.host: r.assigned_shard
+        for r in rendezvous_shards(hosts, n_shards=9, cap=big_cap).collect()
+    }
+    moved = sum(1 for h in a if a[h] != b[h])
+    # expectation 400/9 ~ 44; anything close to a reshuffle is a bug
+    assert moved < 100
+    # every moved host moved TO the new shard (pure HRW property)
+    assert all(b[h] == 8 for h in a if a[h] != b[h])
