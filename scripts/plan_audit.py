@@ -115,6 +115,10 @@ AUDITED = [
     "q_containment_pairs",
     "q_spurious_params",
     "q_revalidation_plan",
+    # X98-X100: positional phrase search, bitext URL pairing, HRW sharding
+    "q_phrase_search",
+    "q_bitext_pairs",
+    "q_rendezvous_shards",
 ]
 
 
