@@ -506,3 +506,93 @@ def phrase_match(
         F.size("cur").alias("n_matches"),
         (F.array_min("cur") - F.lit(len(phrase) - 1)).alias("first_pos"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len_milli: int = 2500,
+    max_word_len_milli: int = 10_000,
+    max_symbol_milli: int = 100,
+    min_alpha_milli: int = 800,
+    max_bullet_milli: int = 900,
+    max_ellipsis_milli: int = 300,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021 §A.1.1, the
+    public spec) with a per-rule failure BITMASK — at corpus scale the
+    diagnostic question is never just "keep?" but "which rule is eating
+    my corpus?", and the mask aggregates into that histogram with one
+    groupBy. Complements repetition_stats (word/bigram repetition):
+    these are the structural rules — word-count bounds, mean word
+    length, symbol-word and alpha-word fractions, bullet-/ellipsis-line
+    fractions, required-stopword hits.
+
+    Bits: 1 word count ∉ [min,max] · 2 mean word length ∉ [min,max] ·
+    4 symbol words > max · 8 alpha words < min · 16 bullet lines > max ·
+    32 ellipsis lines > max · 64 stopword hits < min. keep ⇔ mask = 0.
+
+    Scale shape: every signal is a row-local array expression over the
+    token/line splits — ZERO shuffles, no explode (a 20k-word document
+    never leaves its row). Fractions are exact integer milli-units via
+    `div` on named columns (CLAUDE.md: no public Column div, float `/`
+    corrupts past 2^53), so the DuckDB oracle is value-exact."""
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    lines = F.split(F.col(text_col), "\n")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("_chars"),
+        F.size(F.filter(words, lambda w: w.contains("#"))).cast("long").alias("_sym"),
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("_alpha"),
+        F.size(F.filter(lines, lambda line: line.startswith("- ")))
+        .cast("long")
+        .alias("_bullet"),
+        F.size(F.filter(lines, lambda line: line.endswith("...")))
+        .cast("long")
+        .alias("_ell"),
+        F.size(F.filter(stop_arr, lambda s: F.array_contains(words, s)))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    m = base.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        "stop_hits",
+        F.expr("1000 * _chars div n_words").alias("word_len_milli"),
+        F.expr("1000 * _sym div n_words").alias("symbol_milli"),
+        F.expr("1000 * _alpha div n_words").alias("alpha_milli"),
+        F.expr("1000 * _bullet div n_lines").alias("bullet_milli"),
+        F.expr("1000 * _ell div n_lines").alias("ellipsis_milli"),
+    )
+    fail = (
+        F.when(
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words), 1
+        ).otherwise(0)
+        + F.when(
+            (F.col("word_len_milli") < min_word_len_milli)
+            | (F.col("word_len_milli") > max_word_len_milli),
+            2,
+        ).otherwise(0)
+        + F.when(F.col("symbol_milli") > max_symbol_milli, 4).otherwise(0)
+        + F.when(F.col("alpha_milli") < min_alpha_milli, 8).otherwise(0)
+        + F.when(F.col("bullet_milli") > max_bullet_milli, 16).otherwise(0)
+        + F.when(F.col("ellipsis_milli") > max_ellipsis_milli, 32).otherwise(0)
+        + F.when(F.col("stop_hits") < min_stop_hits, 64).otherwise(0)
+    )
+    return m.withColumn("fail_mask", fail.cast("long")).withColumn(
+        "keep", F.col("fail_mask") == 0
+    )

@@ -805,12 +805,117 @@ WHERE (1000::HUGEINT * p.c_ab * n.n_bigrams)
 """
 
 
+# --- X101: Gopher structural quality rules (bitmask diagnostics) -------------
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101: Gopher structural rules (operators/text.py::gopher_rules).
+    The flat documents text is decorated deterministically so every rule
+    has live branches: every 5th space becomes a newline (lines), %7
+    docs get '- ' on every line (bullet rule fires), %4 docs get ' ## #'
+    appended (symbol rule fires on short docs where 2/n > 50 milli), %5
+    docs get '...' attached to the last word (ellipsis rule fires when
+    n_lines <= 3; word-length floor 4000 splits the real distribution). Oracle rebuilds the decoration and every milli signal
+    with DuckDB list lambdas — bitmask and keep must match bit-for-bit."""
+    from .operators.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_replace(F.trim(F.col("text")), r"((?:\S+ ){4}\S+) ", "$1\n")
+    t = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("- "), F.regexp_replace(t, "\n", "\n- ")),
+        ).otherwise(t)
+    )
+    t = F.when(F.col("doc_id") % 4 == 0, F.concat(t, F.lit(" ## #"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 5 == 0, F.concat(t, F.lit("..."))).otherwise(t)
+    return gopher_rules(
+        d.select("doc_id", t.alias("text")),
+        min_words=20,
+        max_words=100_000,
+        min_word_len_milli=4000,
+        max_word_len_milli=10_000,
+        max_symbol_milli=50,
+        min_alpha_milli=800,
+        max_bullet_milli=900,
+        max_ellipsis_milli=300,
+        min_stop_hits=1,
+    )
+
+
+SQL_GOPHER_RULES = r"""
+WITH s1 AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '((?:\S+ ){4}\S+) ',
+                        '\1' || chr(10), 'g') AS t
+  FROM documents
+), s2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN '- ' || replace(t, chr(10), chr(10) || '- ')
+              ELSE t END AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN t || ' ## #' ELSE t END AS t
+  FROM s2
+), deco AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN t || '...' ELSE t END AS t
+  FROM s3
+), feat AS (
+  SELECT doc_id,
+    len(regexp_split_to_array(trim(t), '\s+'))::BIGINT AS n_words,
+    len(string_split(t, chr(10)))::BIGINT AS n_lines,
+    list_sum(list_transform(regexp_split_to_array(trim(t), '\s+'),
+                            w -> length(w)))::BIGINT AS chars,
+    len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+                    w -> w LIKE '%#%'))::BIGINT AS sym,
+    len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+                    w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS alpha,
+    len(list_filter(string_split(t, chr(10)),
+                    l -> l LIKE '- %'))::BIGINT AS bullet,
+    len(list_filter(string_split(t, chr(10)),
+                    l -> l LIKE '%...'))::BIGINT AS ell,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(
+                      regexp_split_to_array(trim(t), '\s+'), s)))::BIGINT
+      AS stop_hits
+  FROM deco
+), m AS (
+  SELECT doc_id, n_words, n_lines, stop_hits,
+    ((1000 * chars) // n_words)::BIGINT AS word_len_milli,
+    ((1000 * sym) // n_words)::BIGINT AS symbol_milli,
+    ((1000 * alpha) // n_words)::BIGINT AS alpha_milli,
+    ((1000 * bullet) // n_lines)::BIGINT AS bullet_milli,
+    ((1000 * ell) // n_lines)::BIGINT AS ellipsis_milli
+  FROM feat
+), f AS (
+  SELECT *,
+    (CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END
+     + CASE WHEN word_len_milli < 4000 OR word_len_milli > 10000
+            THEN 2 ELSE 0 END
+     + CASE WHEN symbol_milli > 50 THEN 4 ELSE 0 END
+     + CASE WHEN alpha_milli < 800 THEN 8 ELSE 0 END
+     + CASE WHEN bullet_milli > 900 THEN 16 ELSE 0 END
+     + CASE WHEN ellipsis_milli > 300 THEN 32 ELSE 0 END
+     + CASE WHEN stop_hits < 1 THEN 64 ELSE 0 END)::BIGINT AS fail_mask
+  FROM m
+)
+SELECT doc_id, n_words, n_lines, stop_hits, word_len_milli, symbol_milli,
+       alpha_milli, bullet_milli, ellipsis_milli, fail_mask,
+       fail_mask = 0 AS keep
+FROM f
+"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
 ) -> None:
     queries.update(
         {
+            "q_gopher_rules": q_gopher_rules,
             "q_repetition_stats": q_repetition_stats,
             "q_tfidf_top_terms": q_tfidf_top_terms,
             "q_triangle_count": q_triangle_count,
@@ -834,6 +939,7 @@ def register(
     )
     oracles.update(
         {
+            "q_gopher_rules": SQL_GOPHER_RULES,
             "q_repetition_stats": SQL_REPETITION_STATS,
             "q_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
             "q_triangle_count": SQL_TRIANGLE_COUNT,

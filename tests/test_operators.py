@@ -1052,3 +1052,39 @@ def test_containment_pairs_asymmetric(spark):
         ).collect()
     }
     assert capped == {(1, 2): (4, 800)}
+
+
+def test_gopher_rules_bitmask(spark):
+    """X101: each rule trips its own bit on a hand fixture; keep = mask 0."""
+    from oa_spider_spark.operators.text import gopher_rules
+
+    rows = [
+        (1, "the cat sat on the mat with a hat and a bat"),  # clean
+        (2, "zz xx yy"),                                  # short + no stopword
+        (3, "- the one\n- two three\n- four five"),       # every line a bullet
+        (4, "the end is near..."),                        # ellipsis line
+        (5, "## ## ## the x"),                            # symbols + low alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.fail_mask, r.keep)
+        for r in gopher_rules(
+            df,
+            min_words=4,
+            max_words=100,
+            min_word_len_milli=2000,
+            max_word_len_milli=10_000,
+            max_symbol_milli=300,
+            min_alpha_milli=500,
+            max_bullet_milli=500,
+            max_ellipsis_milli=500,
+            min_stop_hits=1,
+        ).collect()
+    }
+    assert out == {
+        1: (0, True),
+        2: (1 + 64, False),   # word count + stopwords
+        3: (16, False),       # bullets
+        4: (32, False),       # ellipsis
+        5: (4 + 8, False),    # symbols + alpha
+    }
