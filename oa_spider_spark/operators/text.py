@@ -596,3 +596,43 @@ def gopher_rules(
     return m.withColumn("fail_mask", fail.cast("long")).withColumn(
         "keep", F.col("fail_mask") == 0
     )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Intra-document repeated n-gram detection (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" — the
+    WITHIN-doc repetition their ExactSubstr pass targets, where the
+    cross-doc dedup family X1-X4 can't see it): one row per (doc_id,
+    n-gram) occurring >= min_occurrences times, with the 0-based first
+    and last token positions bounding the repeated span.
+
+    Scale shape: n-grams are built row-locally by folding zip_with over
+    n shifted slices (slice length size-n+1 is <= 0 for short docs =>
+    empty array; never F.sequence, whose hi<lo DESCENDING trap CLAUDE.md
+    documents), then ONE posexplode + ONE (doc_id, ngram) groupBy with
+    map-side combine — a 20k-token doc contributes O(tokens) rows, and
+    the HAVING-count filter prunes before anything leaves the agg."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select("doc_id", toks.alias("_t"))
+    m = n - 1  # number of shifted zips
+    grams = "slice(_t, 1, size(_t) - %d)" % m
+    for i in range(2, n + 1):
+        grams = (
+            "zip_with(%s, slice(_t, %d, size(_t) - %d),"
+            " (a, b) -> concat(a, ' ', b))" % (grams, i, m)
+        )
+    return (
+        base.select("doc_id", F.posexplode(F.expr(grams)).alias("pos", "ngram"))
+        .groupBy("doc_id", "ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )

@@ -909,6 +909,42 @@ FROM f
 """
 
 
+# --- X102: intra-document repeated n-gram spans ------------------------------
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102: within-doc repeated trigrams with their span bounds
+    (operators/text.py::repeated_ngram_spans) over the raw documents
+    text — 29 genuinely repeated (doc, trigram) pairs exist at sf0.01,
+    so both the detector and the min-occurrence threshold are live on
+    undoctored data. Positions are 0-based token offsets; the oracle
+    rebuilds the positional trigram stream with generate_series structs
+    and must match counts and both span endpoints exactly."""
+    from .operators.text import repeated_ngram_spans
+
+    return repeated_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=3, min_occurrences=2
+    )
+
+
+SQL_REPEATED_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), tri AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> {pos: i - 1,
+                      ng: t[i] || ' ' || t[i+1] || ' ' || t[i+2]})) AS s
+  FROM toks WHERE len(t) >= 3
+)
+SELECT doc_id, s.ng AS ngram,
+       count(*) AS n_occurrences,
+       min(s.pos)::BIGINT AS first_pos,
+       max(s.pos)::BIGINT AS last_pos
+FROM tri GROUP BY doc_id, s.ng HAVING count(*) >= 2
+"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -916,6 +952,7 @@ def register(
     queries.update(
         {
             "q_gopher_rules": q_gopher_rules,
+            "q_repeated_spans": q_repeated_spans,
             "q_repetition_stats": q_repetition_stats,
             "q_tfidf_top_terms": q_tfidf_top_terms,
             "q_triangle_count": q_triangle_count,
@@ -940,6 +977,7 @@ def register(
     oracles.update(
         {
             "q_gopher_rules": SQL_GOPHER_RULES,
+            "q_repeated_spans": SQL_REPEATED_SPANS,
             "q_repetition_stats": SQL_REPETITION_STATS,
             "q_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
             "q_triangle_count": SQL_TRIANGLE_COUNT,

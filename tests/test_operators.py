@@ -1088,3 +1088,31 @@ def test_gopher_rules_bitmask(spark):
         4: (32, False),       # ellipsis
         5: (4 + 8, False),    # symbols + alpha
     }
+
+
+def test_repeated_ngram_spans(spark):
+    """X102: counts and 0-based span endpoints; short docs vanish; n is
+    generic (the zip_with fold, not a hardcoded trigram)."""
+    from oa_spider_spark.operators.text import repeated_ngram_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b"), (2, "x y z w"), (3, "p q")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.ngram): (r.n_occurrences, r.first_pos, r.last_pos)
+        for r in repeated_ngram_spans(df, n=3).collect()
+    }
+    assert got == {
+        (1, "a b c"): (2, 0, 3),
+        (1, "b c a"): (2, 1, 4),
+        (1, "c a b"): (2, 2, 5),
+    }
+    bi = {
+        (r.doc_id, r.ngram): (r.n_occurrences, r.first_pos, r.last_pos)
+        for r in repeated_ngram_spans(
+            spark.createDataFrame([(9, "a a a")], "doc_id long, text string"),
+            n=2,
+        ).collect()
+    }
+    assert bi == {(9, "a a"): (2, 0, 1)}
