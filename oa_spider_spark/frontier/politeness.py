@@ -445,3 +445,71 @@ def rendezvous_shards(
         )
         .select("host", "primary_shard", "assigned_shard", "spilled")
     )
+
+
+def fetch_timeline(
+    selected: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    order_col: str = "priority",
+    t0_ms: int = 0,
+    default_delay_ms: int = 1000,
+    bucket_span: int = 256,
+) -> DataFrame:
+    """Per-host fetch schedule honoring crawl-delay: the k-th URL of a
+    host (0-based slot, in deterministic priority-then-url order) is
+    scheduled at t0 + k * crawl_delay_ms. This is the timeline the
+    budget gate's COUNT caps don't give you — the reference sleeps
+    between sequential fetches (time.sleep politeness); at fleet scale
+    the sleep becomes a precomputed schedule column workers obey.
+
+    Scale shape: the per-host rank is NEVER a flat per-host window (a
+    hot host with 10^7 pending URLs would sort in one task): priorities
+    are monotonely coarsened into `div bucket_span` cells (clamp-style
+    coarsening is safe because in-cell windows order by the FULL key —
+    the budget_and_order precedent, CLAUDE.md), per-cell counts are
+    running-summed over a metadata-sized (host x cell) window, and the
+    in-cell row_number is keyed by (host, cell). Hosts absent from the
+    delays table get default_delay_ms (left join + coalesce); both
+    joins broadcast metadata-sized frames, so the only data shuffle is
+    the (host, cell) window exchange."""
+    s = selected.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col(order_col).cast("long").alias("_o"),
+    )
+    keyed = s.withColumn("_b", F.expr(f"_o div {int(bucket_span)}L"))
+    w_off = (
+        Window.partitionBy("host")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("host", "_b")
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
+        .select("host", "_b", "_off")
+    )
+    w_in = Window.partitionBy("host", "_b").orderBy(
+        F.col("_o").asc(), F.col("url").asc()
+    )
+    slotted = (
+        keyed.join(F.broadcast(offsets), ["host", "_b"])
+        .withColumn(
+            "slot", (F.col("_off") + F.row_number().over(w_in) - 1).cast("long")
+        )
+    )
+    d = delays.select(
+        F.col(host_col).alias("host"),
+        F.col("crawl_delay_ms").cast("long").alias("_d"),
+    )
+    return slotted.join(F.broadcast(d), "host", "left").select(
+        "host",
+        "url",
+        "slot",
+        (
+            F.lit(t0_ms)
+            + F.col("slot") * F.coalesce(F.col("_d"), F.lit(default_delay_ms))
+        ).alias("scheduled_ms"),
+    )

@@ -462,10 +462,66 @@ FROM run
 """
 
 
+# --- X103: per-host politeness fetch timeline --------------------------------
+
+
+def q_fetch_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103: crawl-delay fetch schedule (frontier/politeness.py::
+    fetch_timeline). URL universe from events: host h{event_id mod 97},
+    url /u/{event_id}, priority (event_id div 97) mod 1000 — ~1000
+    priorities per host span 4 coarsened cells at bucket_span 256, with
+    heavy in-host ties exercising the url tie-break. Hosts with
+    hid%3==0 are MISSING from the delays table and must get the 1000 ms
+    default. Oracle is the flat per-host row_number the two-level
+    decomposition must be indistinguishable from."""
+    from .frontier.politeness import fetch_timeline
+
+    e = _t(spark, sf_dir, "events").select("event_id").distinct()
+    urls = e.select(
+        F.concat(F.lit("h"), (F.col("event_id") % 97).cast("string")).alias("host"),
+        F.concat(F.lit("/u/"), F.col("event_id").cast("string")).alias("url"),
+        (F.expr("event_id div 97") % 1000).alias("priority"),
+    )
+    delays = (
+        e.select((F.col("event_id") % 97).alias("hid"))
+        .distinct()
+        .filter(F.col("hid") % 3 != 0)
+        .select(
+            F.concat(F.lit("h"), F.col("hid").cast("string")).alias("host"),
+            ((F.col("hid") % 5 + 1) * 100).alias("crawl_delay_ms"),
+        )
+    )
+    return fetch_timeline(urls, delays, t0_ms=0, default_delay_ms=1000)
+
+
+SQL_FETCH_TIMELINE = """
+WITH e AS (
+  SELECT DISTINCT event_id FROM events
+), u AS (
+  SELECT 'h' || (event_id % 97) AS host,
+         '/u/' || event_id AS url,
+         (event_id // 97) % 1000 AS pri
+  FROM e
+), r AS (
+  SELECT host, url,
+         row_number() OVER (PARTITION BY host ORDER BY pri, url) - 1 AS slot
+  FROM u
+), d AS (
+  SELECT 'h' || hid AS host, ((hid % 5) + 1) * 100 AS delay
+  FROM (SELECT DISTINCT event_id % 97 AS hid FROM events)
+  WHERE hid % 3 <> 0
+)
+SELECT r.host, r.url, slot::BIGINT AS slot,
+       (slot * coalesce(delay, 1000))::BIGINT AS scheduled_ms
+FROM r LEFT JOIN d USING (host)
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
             "q_rendezvous_shards": q_rendezvous_shards,
+            "q_fetch_timeline": q_fetch_timeline,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -488,6 +544,7 @@ def register(queries: dict, oracles: dict) -> None:
     oracles.update(
         {
             "q_rendezvous_shards": SQL_RENDEZVOUS_SHARDS,
+            "q_fetch_timeline": SQL_FETCH_TIMELINE,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

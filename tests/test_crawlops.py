@@ -616,3 +616,34 @@ def test_rendezvous_stability_on_shard_add(spark):
     assert moved < 100
     # every moved host moved TO the new shard (pure HRW property)
     assert all(b[h] == 8 for h in a if a[h] != b[h])
+
+
+def test_fetch_timeline_slots_and_default_delay(spark):
+    """X103: slots follow (priority, url) order across coarsened cells
+    (bucket_span 4 forces the multi-cell offset path); hosts missing
+    from the delays table get the default delay."""
+    from oa_spider_spark.frontier.politeness import fetch_timeline
+
+    urls = spark.createDataFrame(
+        [
+            ("a", "u1", 5), ("a", "u2", 5), ("a", "u3", 3),
+            ("a", "u4", 900), ("a", "u5", 900), ("a", "u6", 1),
+            ("b", "w1", 7), ("b", "w2", 2),
+        ],
+        "host string, url string, priority long",
+    )
+    delays = spark.createDataFrame(
+        [("a", 200)], "host string, crawl_delay_ms long"
+    )
+    got = {
+        (r.host, r.url): (r.slot, r.scheduled_ms)
+        for r in fetch_timeline(
+            urls, delays, default_delay_ms=50, bucket_span=4
+        ).collect()
+    }
+    assert got == {
+        ("a", "u6"): (0, 0), ("a", "u3"): (1, 200),
+        ("a", "u1"): (2, 400), ("a", "u2"): (3, 600),
+        ("a", "u4"): (4, 800), ("a", "u5"): (5, 1000),
+        ("b", "w2"): (0, 0), ("b", "w1"): (1, 50),
+    }
