@@ -115,10 +115,14 @@ AUDITED = [
     "q_containment_pairs",
     "q_spurious_params",
     "q_revalidation_plan",
-    # X98-X100: positional phrase search, bitext URL pairing, HRW sharding
+    # X98-X103: positional phrase search, bitext URL pairing, HRW sharding,
+    # Gopher bitmask rules, repeated-span detection, fetch timeline
     "q_phrase_search",
     "q_bitext_pairs",
     "q_rendezvous_shards",
+    "q_gopher_rules",
+    "q_repeated_spans",
+    "q_fetch_timeline",
 ]
 
 
