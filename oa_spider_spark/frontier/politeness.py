@@ -513,3 +513,69 @@ def fetch_timeline(
             + F.col("slot") * F.coalesce(F.col("_d"), F.lit(default_delay_ms))
         ).alias("scheduled_ms"),
     )
+
+
+def robots_wildcard_decisions(
+    candidates: DataFrame,
+    rules: DataFrame,
+    path_col: str = "path",
+) -> DataFrame:
+    """Full RFC 9309 §2.2.2/§2.2.3 rule matching: '*' wildcards, '$'
+    end anchors, longest-match precedence (specificity = pattern octet
+    length, Google REP), allow beating disallow on ties, and
+    allow-by-default when nothing matches. Upgrades `robots_allowed`'s
+    prefix-only fast path to the semantics real robots.txt files use —
+    X91's parser already emits these patterns verbatim.
+
+    Each pattern is translated ONCE, dimension-side, into an anchored
+    regex (metachars escaped, escaped '*' → '.*', optional '$'); the
+    per-candidate probe is a JVM rlike for wildcard rules and a plain
+    startswith for the pure-prefix majority — the regex path never
+    touches the ~90% of real rules that have no metacharacter. Rules
+    are a broadcast dimension; the only aggregation is the per-(host,
+    path) argmax over (specificity, allow-wins) as a struct max — one
+    keyed shuffle of the candidate set.
+
+    candidates: (host, <path_col>, ...) — one decision per distinct
+    (host, path). rules: (host, rule in {'allow','disallow'}, pattern).
+    Output: host, path, allowed, win_rule, win_spec (-1 = no match)."""
+    dollar = F.endswith("pattern", F.lit("$"))
+    core = F.when(
+        dollar, F.expr("substring(pattern, 1, length(pattern)-1)")
+    ).otherwise(F.col("pattern"))
+    esc = F.regexp_replace(core, r"([\\.\[\]\{\}\(\)\*\+\-\?\^\$\|])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit(r"\*"), F.lit(".*")),
+        F.when(dollar, F.lit("$")).otherwise(F.lit("")),
+    )
+    rdim = rules.select(
+        "host",
+        F.col("pattern"),
+        (F.col("rule") == "allow").cast("int").alias("_is_allow"),
+        F.length("pattern").cast("long").alias("_spec"),
+        (F.col("pattern").contains("*") | dollar).alias("_wild"),
+        rx.alias("_rx"),
+    )
+    c = candidates.select("host", F.col(path_col).alias("path"))
+    j = c.join(F.broadcast(rdim), "host", "left")
+    hit = F.when(F.col("_wild"), F.expr("path rlike _rx")).otherwise(
+        F.startswith(F.col("path"), F.col("pattern"))
+    )
+    win = F.max(
+        F.when(hit, F.struct(F.col("_spec"), F.col("_is_allow")))
+    ).alias("_w")
+    return (
+        j.groupBy("host", "path")
+        .agg(win)
+        .select(
+            "host",
+            "path",
+            F.coalesce(F.col("_w._is_allow") == 1, F.lit(True)).alias("allowed"),
+            F.when(F.col("_w").isNull(), "none")
+            .when(F.col("_w._is_allow") == 1, "allow")
+            .otherwise("disallow")
+            .alias("win_rule"),
+            F.coalesce(F.col("_w._spec"), F.lit(-1).cast("long")).alias("win_spec"),
+        )
+    )

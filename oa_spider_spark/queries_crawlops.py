@@ -517,11 +517,121 @@ FROM r LEFT JOIN d USING (host)
 """
 
 
+# --- X104: RFC 9309 wildcard robots matching ---------------------------------
+
+
+def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104: wildcard robots decisions (frontier/politeness.py::
+    robots_wildcard_decisions). Hosts h0-h9; rules per host exercise
+    every precedence branch: a universal '/private' disallow, a LONGER
+    '/private/ok' allow on even hosts (longest-match flips the
+    verdict), a '*.php$' end-anchored wildcard disallow on %3 hosts, a
+    '/a*b' open wildcard disallow on %4 hosts, and an equal-length
+    allow+disallow tie on '/t/p' for %5 hosts (allow must win). Paths
+    from events cover every rule plus a no-match default-allow family.
+    The oracle rebuilds the regex translation and the (spec, allow)
+    argmax independently with RE2 + row_number."""
+    from .frontier.politeness import robots_wildcard_decisions
+
+    e = _t(spark, sf_dir, "events")
+    cand = (
+        e.select(
+            (F.col("event_id") % 10).alias("h"),
+            (F.col("event_id") % 6).alias("pe"),
+            (F.col("event_id") % 13).alias("n"),
+        )
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+            F.when(F.col("pe") == 0, F.concat(F.lit("/private/ok/"), F.col("n")))
+            .when(F.col("pe") == 1, F.concat(F.lit("/private/"), F.col("n")))
+            .when(F.col("pe") == 2, F.concat(F.lit("/page"), F.col("n"), F.lit(".php")))
+            .when(F.col("pe") == 3, F.concat(F.lit("/a/"), F.col("n"), F.lit("b")))
+            .when(F.col("pe") == 4, F.lit("/t/p"))
+            .otherwise(F.concat(F.lit("/free/"), F.col("n")))
+            .alias("path"),
+        )
+        .distinct()
+    )
+    hosts = e.select((F.col("event_id") % 10).alias("h")).distinct()
+    hn = F.concat(F.lit("h"), F.col("h").cast("string")).alias("host")
+
+    def _r(cond, rule, pattern):
+        return hosts.filter(cond).select(
+            hn, F.lit(rule).alias("rule"), F.lit(pattern).alias("pattern")
+        )
+
+    rules = (
+        _r(F.lit(True), "disallow", "/private")
+        .unionByName(_r(F.col("h") % 2 == 0, "allow", "/private/ok"))
+        .unionByName(_r(F.col("h") % 3 == 0, "disallow", "*.php$"))
+        .unionByName(_r(F.col("h") % 4 == 0, "disallow", "/a*b"))
+        .unionByName(_r(F.col("h") % 5 == 0, "allow", "/t/p"))
+        .unionByName(_r(F.col("h") % 5 == 0, "disallow", "/t/p"))
+    )
+    return robots_wildcard_decisions(cand, rules)
+
+
+SQL_ROBOTS_WILDCARD = r"""
+WITH hs AS (
+  SELECT DISTINCT event_id % 10 AS h FROM events
+), cand AS (
+  SELECT DISTINCT 'h' || h AS host,
+    CASE pe
+      WHEN 0 THEN '/private/ok/' || n
+      WHEN 1 THEN '/private/' || n
+      WHEN 2 THEN '/page' || n || '.php'
+      WHEN 3 THEN '/a/' || n || 'b'
+      WHEN 4 THEN '/t/p'
+      ELSE '/free/' || n END AS path
+  FROM (SELECT DISTINCT event_id % 10 AS h, event_id % 6 AS pe,
+               event_id % 13 AS n FROM events)
+), rules AS (
+  SELECT 'h' || h AS host, 'disallow' AS rule, '/private' AS pattern FROM hs
+  UNION ALL SELECT 'h' || h, 'allow', '/private/ok' FROM hs WHERE h % 2 = 0
+  UNION ALL SELECT 'h' || h, 'disallow', '*.php$' FROM hs WHERE h % 3 = 0
+  UNION ALL SELECT 'h' || h, 'disallow', '/a*b' FROM hs WHERE h % 4 = 0
+  UNION ALL SELECT 'h' || h, 'allow', '/t/p' FROM hs WHERE h % 5 = 0
+  UNION ALL SELECT 'h' || h, 'disallow', '/t/p' FROM hs WHERE h % 5 = 0
+), rdim AS (
+  SELECT host, pattern,
+    CASE WHEN rule = 'allow' THEN 1 ELSE 0 END AS is_allow,
+    length(pattern)::BIGINT AS spec,
+    (pattern LIKE '%*%' OR pattern LIKE '%$') AS wild,
+    '^' || replace(
+      regexp_replace(
+        CASE WHEN pattern LIKE '%$'
+             THEN pattern[1:len(pattern)-1] ELSE pattern END,
+        '([\\.\[\]{}()*+?^$|-])', '\\\1', 'g'),
+      '\*', '.*')
+      || (CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END) AS rx
+  FROM rules
+), hits AS (
+  SELECT c.host, c.path, r.spec, r.is_allow,
+         row_number() OVER (PARTITION BY c.host, c.path
+                            ORDER BY r.spec DESC, r.is_allow DESC) AS rk
+  FROM cand c JOIN rdim r ON c.host = r.host
+  WHERE CASE WHEN r.wild THEN regexp_matches(c.path, r.rx)
+             ELSE starts_with(c.path, r.pattern) END
+), win AS (
+  SELECT host, path, spec, is_allow FROM hits WHERE rk = 1
+)
+SELECT c.host, c.path,
+       coalesce(w.is_allow = 1, TRUE) AS allowed,
+       CASE WHEN w.host IS NULL THEN 'none'
+            WHEN w.is_allow = 1 THEN 'allow'
+            ELSE 'disallow' END AS win_rule,
+       coalesce(w.spec, -1)::BIGINT AS win_spec
+FROM cand c LEFT JOIN win w ON c.host = w.host AND c.path = w.path
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
             "q_rendezvous_shards": q_rendezvous_shards,
             "q_fetch_timeline": q_fetch_timeline,
+            "q_robots_wildcard": q_robots_wildcard,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -545,6 +655,7 @@ def register(queries: dict, oracles: dict) -> None:
         {
             "q_rendezvous_shards": SQL_RENDEZVOUS_SHARDS,
             "q_fetch_timeline": SQL_FETCH_TIMELINE,
+            "q_robots_wildcard": SQL_ROBOTS_WILDCARD,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

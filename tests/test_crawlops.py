@@ -647,3 +647,42 @@ def test_fetch_timeline_slots_and_default_delay(spark):
         ("a", "u4"): (4, 800), ("a", "u5"): (5, 1000),
         ("b", "w2"): (0, 0), ("b", "w1"): (1, 50),
     }
+
+
+def test_robots_wildcard_precedence(spark):
+    """X104: RFC 9309 matching — longest match wins, allow beats
+    disallow on ties, '$' anchors, open '*' spans, default allow."""
+    from oa_spider_spark.frontier.politeness import robots_wildcard_decisions
+
+    rules = spark.createDataFrame(
+        [
+            ("h", "disallow", "/private"),
+            ("h", "allow", "/private/ok"),
+            ("h", "disallow", "*.php$"),
+            ("h", "allow", "/pub*.php$"),
+            ("h", "disallow", "/a*b"),
+            ("h", "allow", "/t/p"),
+            ("h", "disallow", "/t/p"),
+        ],
+        "host string, rule string, pattern string",
+    )
+    paths = [
+        "/private/x", "/private/ok/1", "/index.php", "/pub1.php",
+        "/a/123b", "/a/123bc", "/t/p", "/none", "/pageX.phpx",
+    ]
+    cand = spark.createDataFrame([("h", p) for p in paths], "host string, path string")
+    got = {
+        r.path: (r.allowed, r.win_rule, r.win_spec)
+        for r in robots_wildcard_decisions(cand, rules).collect()
+    }
+    assert got == {
+        "/private/x": (False, "disallow", 8),
+        "/private/ok/1": (True, "allow", 11),
+        "/index.php": (False, "disallow", 6),
+        "/pub1.php": (True, "allow", 10),     # longer allow beats *.php$
+        "/a/123b": (False, "disallow", 4),
+        "/a/123bc": (False, "disallow", 4),   # no anchor: match mid-path
+        "/t/p": (True, "allow", 4),           # equal length: allow wins
+        "/none": (True, "none", -1),
+        "/pageX.phpx": (True, "none", -1),    # $ anchor rejects trailing x
+    }
