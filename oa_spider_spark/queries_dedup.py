@@ -610,9 +610,70 @@ WHERE greatest(cont_a_milli, cont_b_milli) >= 800
 """
 
 
+# --- X105: dedup clustering quality audit ------------------------------------
+
+
+def q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105: pair-level precision/recall of a clustering vs ground truth
+    (operators/dedup.py::dedup_audit). Truth groups documents in runs of
+    10 (truth = doc_id div 10); the audited clustering is the same
+    partition with an injected defect — every doc_id%7==0 doc is shifted
+    +5 before bucketing, splitting its true group (FN pairs) and
+    polluting a neighbor (FP pairs). The oracle recomputes the three
+    C(n,2) contingency sums relationally; every count and both milli
+    ratios must match exactly."""
+    from .operators.dedup import dedup_audit
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    truth = d.select("doc_id", F.expr("doc_id div 10").alias("truth_id"))
+    assign = d.select(
+        "doc_id",
+        F.expr(
+            "(doc_id + CASE WHEN doc_id % 7 = 0 THEN 5 ELSE 0 END) div 10"
+        ).alias("cluster_id"),
+    )
+    return dedup_audit(assign, truth)
+
+
+SQL_DEDUP_AUDIT = """
+WITH j AS (
+  SELECT doc_id,
+         (doc_id + CASE WHEN doc_id % 7 = 0 THEN 5 ELSE 0 END) // 10 AS c,
+         doc_id // 10 AS t
+  FROM documents
+), ct AS (
+  SELECT sum(n * (n - 1))::HUGEINT AS tp2
+  FROM (SELECT count(*) AS n FROM j GROUP BY c, t)
+), cc AS (
+  SELECT sum(n * (n - 1))::HUGEINT AS pred2, count(*) AS n_clusters
+  FROM (SELECT count(*) AS n FROM j GROUP BY c)
+), tt AS (
+  SELECT sum(n * (n - 1))::HUGEINT AS true2, count(*) AS n_truth
+  FROM (SELECT count(*) AS n FROM j GROUP BY t)
+), nd AS (
+  SELECT count(*) AS n_docs FROM j
+), base AS (
+  SELECT n_docs, n_clusters, n_truth,
+         (tp2 // 2)::BIGINT AS tp_pairs,
+         (pred2 // 2)::BIGINT AS pred_pairs,
+         (true2 // 2)::BIGINT AS true_pairs
+  FROM nd CROSS JOIN ct CROSS JOIN cc CROSS JOIN tt
+)
+SELECT *,
+       pred_pairs - tp_pairs AS fp_pairs,
+       true_pairs - tp_pairs AS fn_pairs,
+       CASE WHEN pred_pairs = 0 THEN 1000
+            ELSE (1000 * tp_pairs) // pred_pairs END AS precision_milli,
+       CASE WHEN true_pairs = 0 THEN 1000
+            ELSE (1000 * tp_pairs) // true_pairs END AS recall_milli
+FROM base
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
+            "q_dedup_audit": q_dedup_audit,
             "q_lang_id": q_lang_id,
             "q_ngram_jaccard": q_ngram_jaccard,
             "q_minhash_lsh": q_minhash_lsh,
@@ -628,6 +689,7 @@ def register(queries: dict, oracles: dict) -> None:
     )
     oracles.update(
         {
+            "q_dedup_audit": SQL_DEDUP_AUDIT,
             "q_lang_id": SQL_LANG_ID,
             "q_ngram_jaccard": SQL_NGRAM_JACCARD,
             "q_minhash_lsh": SQL_MINHASH_LSH,

@@ -1116,3 +1116,22 @@ def test_repeated_ngram_spans(spark):
         ).collect()
     }
     assert bi == {(9, "a a"): (2, 0, 1)}
+
+
+def test_dedup_audit_contingency(spark):
+    """X105: hand-checkable pair contingency — TP/FP/FN and milli ratios."""
+    from oa_spider_spark.operators.dedup import dedup_audit
+
+    truth = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 2) for i in range(1, 7)],
+        "doc_id long, truth_id long",
+    )
+    assign = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20), (5, 30), (6, 30)],
+        "doc_id long, cluster_id long",
+    )
+    r = dedup_audit(assign, truth).collect()[0]
+    assert (r.n_docs, r.n_clusters, r.n_truth) == (6, 3, 2)
+    assert (r.tp_pairs, r.pred_pairs, r.true_pairs) == (2, 3, 6)
+    assert (r.fp_pairs, r.fn_pairs) == (1, 4)
+    assert (r.precision_milli, r.recall_milli) == (666, 333)
