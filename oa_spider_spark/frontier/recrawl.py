@@ -225,3 +225,51 @@ def revalidation_plan(
         action.alias("action"),
         F.when(action == "fresh", "none").otherwise(validator).alias("validator"),
     )
+
+
+def host_saturation(
+    visits: DataFrame,
+    novelty_threshold_milli: int = 300,
+    k_rounds: int = 3,
+) -> DataFrame:
+    """Host saturation detection — the stopping rule a broad crawl needs
+    as much as a starting one: when a host's novelty rate (new URLs per
+    fetched URL) has stayed below the threshold for the k most recent
+    consecutive rounds, further budget there is waste and the scheduler
+    should decay it (the frontier-side complement of X72's per-URL
+    revisit intervals).
+
+    visits: (host, round, fetched, new_count) per-round per-host tallies
+    (new_count = first-seen content fingerprints, from the seen path).
+    Output per host: n_rounds, last_round, novelty decay streak
+    (consecutive below-threshold rounds counting back from last_round;
+    equals n_rounds when no round was ever above), and the verdict.
+
+    Scale shape: one (host, round) groupBy, one per-host conditional
+    agg for the last above-threshold round, then a host-keyed join back
+    for the streak count — three keyed shuffles of round-granular rows
+    (#hosts × #rounds, already tiny relative to URL-granular data) and
+    no per-host window over anything URL-sized."""
+    nv = (
+        visits.groupBy("host", "round")
+        .agg(F.sum("fetched").alias("f"), F.sum("new_count").alias("nw"))
+        .withColumn("novelty_milli", F.expr("1000 * nw div f"))
+    )
+    thr = F.lit(novelty_threshold_milli)
+    last_above = nv.groupBy("host").agg(
+        F.max(F.when(F.col("novelty_milli") >= thr, F.col("round"))).alias("_la")
+    )
+    return (
+        nv.join(last_above, "host")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_rounds"),
+            F.max("round").alias("last_round"),
+            F.sum(
+                F.when(
+                    F.col("_la").isNull() | (F.col("round") > F.col("_la")), 1
+                ).otherwise(0)
+            ).alias("streak_below"),
+        )
+        .withColumn("saturated", F.col("streak_below") >= k_rounds)
+    )

@@ -517,6 +517,65 @@ FROM r LEFT JOIN d USING (host)
 """
 
 
+# --- X106: host saturation detection -----------------------------------------
+
+
+def q_host_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106: novelty-decay stopping rule (frontier/recrawl.py::
+    host_saturation). Visit tallies from events: host h{e mod 40},
+    round (e div 40) mod 12, fetched (h+r) mod 7 + 3, new URLs
+    greatest(fetched − r, 0) — novelty genuinely decays with round but
+    wiggles with the mod-7 fetch volume, so hosts differ in where their
+    last above-threshold round lands. threshold 300 milli, k=3."""
+    from .frontier.recrawl import host_saturation
+
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.select(
+            (F.col("event_id") % 40).alias("h"),
+            (F.expr("event_id div 40") % 12).alias("round"),
+        )
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+            "round",
+            ((F.col("h") + F.col("round")) % 7 + 3).alias("fetched"),
+            F.greatest(
+                (F.col("h") + F.col("round")) % 7 + 3 - F.col("round"), F.lit(0)
+            ).alias("new_count"),
+        )
+    )
+    return host_saturation(v, novelty_threshold_milli=300, k_rounds=3)
+
+
+SQL_HOST_SATURATION = """
+WITH base AS (
+  SELECT DISTINCT event_id % 40 AS h, (event_id // 40) % 12 AS r FROM events
+), v AS (
+  SELECT 'h' || h AS host, r,
+         (h + r) % 7 + 3 AS f,
+         greatest((h + r) % 7 + 3 - r, 0) AS nw
+  FROM base
+), nv AS (
+  SELECT host, r, sum(f) AS f, sum(nw) AS nw FROM v GROUP BY host, r
+), n2 AS (
+  SELECT host, r, (1000 * nw) // f AS novelty FROM nv
+), la AS (
+  SELECT host, max(CASE WHEN novelty >= 300 THEN r END) AS la
+  FROM n2 GROUP BY host
+)
+SELECT n2.host,
+       count(*) AS n_rounds,
+       max(r) AS last_round,
+       sum(CASE WHEN la.la IS NULL OR r > la.la THEN 1 ELSE 0 END)::BIGINT
+         AS streak_below,
+       sum(CASE WHEN la.la IS NULL OR r > la.la THEN 1 ELSE 0 END) >= 3
+         AS saturated
+FROM n2 JOIN la ON n2.host = la.host
+GROUP BY n2.host
+"""
+
+
 # --- X104: RFC 9309 wildcard robots matching ---------------------------------
 
 
@@ -632,6 +691,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_rendezvous_shards": q_rendezvous_shards,
             "q_fetch_timeline": q_fetch_timeline,
             "q_robots_wildcard": q_robots_wildcard,
+            "q_host_saturation": q_host_saturation,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -656,6 +716,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_rendezvous_shards": SQL_RENDEZVOUS_SHARDS,
             "q_fetch_timeline": SQL_FETCH_TIMELINE,
             "q_robots_wildcard": SQL_ROBOTS_WILDCARD,
+            "q_host_saturation": SQL_HOST_SATURATION,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

@@ -686,3 +686,31 @@ def test_robots_wildcard_precedence(spark):
         "/none": (True, "none", -1),
         "/pageX.phpx": (True, "none", -1),    # $ anchor rejects trailing x
     }
+
+
+def test_host_saturation_streaks(spark):
+    """X106: streak counts back from the last round; never-above hosts
+    saturate with streak = n_rounds; a late novelty burst resets it."""
+    from oa_spider_spark.frontier.recrawl import host_saturation
+
+    rows = [
+        # host a: novelty 1000, 500, 100, 0, 0 -> last above at r1, streak 3
+        ("a", 0, 10, 10), ("a", 1, 10, 5), ("a", 2, 10, 1),
+        ("a", 3, 10, 0), ("a", 4, 10, 0),
+        # host b: never above threshold -> streak = n_rounds = 2
+        ("b", 0, 10, 1), ("b", 1, 10, 2),
+        # host c: burst in the LAST round -> streak 0, not saturated
+        ("c", 0, 10, 0), ("c", 1, 10, 0), ("c", 2, 10, 9),
+    ]
+    v = spark.createDataFrame(
+        rows, "host string, round long, fetched long, new_count long"
+    )
+    got = {
+        r.host: (r.n_rounds, r.last_round, r.streak_below, r.saturated)
+        for r in host_saturation(v, novelty_threshold_milli=300, k_rounds=3).collect()
+    }
+    assert got == {
+        "a": (5, 4, 3, True),
+        "b": (2, 1, 2, False),
+        "c": (3, 2, 0, False),
+    }
