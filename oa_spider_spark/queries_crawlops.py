@@ -12,7 +12,7 @@ driver-generated tables — same discipline as every other query module.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -517,6 +517,74 @@ FROM r LEFT JOIN d USING (host)
 """
 
 
+# --- X107: sitemap discovery feed (composed end-to-end) -----------------------
+
+
+def q_discovery_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107: the composed discovery flow a crawler actually runs —
+    X92's sitemap parse → per-(host,url) dedup of repeated entries →
+    anti-join against the seen set (portable md5h60(url) mod 3 == 0
+    plays the seen table) → integer freshness/priority score
+    (priority_milli·10⁵ + days since 2020-01-01 of lastmod) → top-2 per
+    host. 'sitemap' kind rows are excluded (they feed the fetcher, not
+    the frontier). The oracle chains the FULL sitemap-parse oracle as a
+    CTE (corpus_pipeline precedent) and re-derives the feed; per-host
+    windows run over sitemap-sized groups (KB documents — bounded)."""
+    from .operators.dedup import md5h60
+
+    sm = q_sitemap_parse(spark, sf_dir)
+    urls = (
+        sm.filter(F.col("kind") == "url")
+        .groupBy("host", F.col("loc").alias("url"))
+        .agg(
+            F.max("priority_milli").alias("prio"),
+            F.max("lastmod").alias("lastmod"),
+        )
+    )
+    seen = urls.filter(md5h60(F.col("url")) % 3 == 0).select("url")
+    fresh = urls.join(seen, "url", "left_anti")
+    score = F.expr(
+        "coalesce(prio, 500) * 100000"
+        " + coalesce(datediff(to_date(lastmod), date'2020-01-01'), 0)"
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("url").asc()
+    )
+    return (
+        fresh.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("host", "url", F.col("score").cast("long").alias("score"), "rank")
+    )
+
+
+def _sql_discovery_feed() -> str:
+    return f"""
+WITH sm AS (
+{SQL_SITEMAP_PARSE}
+), urls AS (
+  SELECT host, loc AS url,
+         max(priority_milli) AS prio, max(lastmod) AS lastmod
+  FROM sm WHERE kind = 'url'
+  GROUP BY host, loc
+), fresh AS (
+  SELECT * FROM urls
+  WHERE ('0x' || substr(md5(url), 1, 15))::BIGINT % 3 <> 0
+), scored AS (
+  SELECT host, url,
+         (coalesce(prio, 500) * 100000
+          + coalesce(date_diff('day', DATE '2020-01-01', lastmod::DATE), 0)
+         )::BIGINT AS score
+  FROM fresh
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+                               ORDER BY score DESC, url ASC) AS rank
+  FROM scored
+)
+SELECT host, url, score, rank FROM ranked WHERE rank <= 2
+"""
+
+
 # --- X106: host saturation detection -----------------------------------------
 
 
@@ -692,6 +760,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_fetch_timeline": q_fetch_timeline,
             "q_robots_wildcard": q_robots_wildcard,
             "q_host_saturation": q_host_saturation,
+            "q_discovery_feed": q_discovery_feed,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -717,6 +786,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_fetch_timeline": SQL_FETCH_TIMELINE,
             "q_robots_wildcard": SQL_ROBOTS_WILDCARD,
             "q_host_saturation": SQL_HOST_SATURATION,
+            "q_discovery_feed": _sql_discovery_feed(),
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,
