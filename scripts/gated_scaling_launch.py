@@ -87,6 +87,13 @@ def main() -> None:
         )
         print(line, flush=True)
         if streak >= need:
+            if os.path.exists(LOCK):
+                # another session's bench is mid-flight: launching now would
+                # degrade BOTH runs. Stand down and re-earn the streak.
+                print("[gate] lock held by another bench — standing down", flush=True)
+                streak = 0
+                time.sleep(sleep_s)
+                continue
             print(f"[gate] window OPEN (gate {gate}) — launching", flush=True)
             open(LOCK, "w").write(str(os.getpid()))
             try:
