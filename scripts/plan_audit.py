@@ -123,6 +123,11 @@ AUDITED = [
     "q_gopher_rules",
     "q_repeated_spans",
     "q_fetch_timeline",
+    # X104-X107: wildcard robots, dedup audit, saturation, discovery feed
+    "q_robots_wildcard",
+    "q_dedup_audit",
+    "q_host_saturation",
+    "q_discovery_feed",
 ]
 
 
