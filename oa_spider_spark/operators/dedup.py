@@ -1077,3 +1077,60 @@ def dedup_audit(
             "ELSE 1000 * tp_pairs div true_pairs END"
         ).alias("recall_milli"),
     )
+
+
+def cross_doc_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    df_min: int = 2,
+    df_max: int = 16,
+    max_positions_per_gram: int = 64,
+    min_run_tokens: int = 4,
+) -> DataFrame:
+    """Cross-document verbatim span detection — the ExactSubstr side of
+    Lee et al. 2022 that signature dedup (X2/X3) structurally misses:
+    two documents sharing a long contiguous token run are near-certain
+    template/quotation/mirror artifacts even when their overall Jaccard
+    is tiny. Suffix arrays don't distribute; this is the relational
+    formulation: rare positional n-grams as anchors, then shared runs
+    as DIAGONAL islands — consecutive matched positions at a constant
+    offset pa − pb, found with the classic pos − row_number gaps-and-
+    islands key. run_tokens = matched n-grams + n − 1.
+
+    Scale shape: the n-gram stream is row-local (ngram_positions); the
+    document-frequency filter (df in [df_min, df_max]) keeps only
+    anchors rare enough to be meaningful AND join-safe, `_cap_groups`
+    bounds any residual hot gram, and the per-(pair, diagonal) windows
+    are bounded by document length. Nothing ever materializes the
+    all-pairs product."""
+    from .text import ngram_positions
+
+    g = ngram_positions(docs, text_col=text_col, n=n)
+    dfc = g.groupBy("ngram").agg(F.count_distinct("doc_id").alias("_df"))
+    rare = dfc.filter(
+        (F.col("_df") >= df_min) & (F.col("_df") <= df_max)
+    ).select("ngram")
+    gr = _cap_groups(g.join(rare, "ngram"), ["ngram"], max_positions_per_gram)
+    a = gr.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "ngram")
+    b = gr.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "ngram")
+    d = (
+        a.join(b, "ngram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        d.withColumn("_grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "_grp")
+        .agg(F.count("*").alias("_k"))
+        .withColumn("run_tokens", F.col("_k") + F.lit(n - 1))
+        .filter(F.col("run_tokens") >= min_run_tokens)
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("run_tokens").alias("max_run_tokens"),
+        F.count("*").alias("n_runs"),
+    )

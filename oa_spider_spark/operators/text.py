@@ -617,6 +617,28 @@ def repeated_ngram_spans(
     documents), then ONE posexplode + ONE (doc_id, ngram) groupBy with
     map-side combine — a 20k-token doc contributes O(tokens) rows, and
     the HAVING-count filter prunes before anything leaves the agg."""
+    return (
+        ngram_positions(docs, text_col=text_col, n=n)
+        .groupBy("doc_id", "ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+
+
+def ngram_positions(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Positional word n-gram stream (doc_id, pos, ngram), 0-based —
+    the shared primitive under repeated_ngram_spans (within-doc) and
+    cross_doc_spans (cross-doc ExactSubstr). n-grams are folded
+    row-locally by zip_with over n shifted slices (slice length
+    size-n+1 <= 0 for short docs => empty array; never F.sequence,
+    whose hi<lo descending trap CLAUDE.md documents), then ONE
+    posexplode — O(tokens) rows per doc."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select("doc_id", toks.alias("_t"))
     m = n - 1  # number of shifted zips
@@ -626,13 +648,6 @@ def repeated_ngram_spans(
             "zip_with(%s, slice(_t, %d, size(_t) - %d),"
             " (a, b) -> concat(a, ' ', b))" % (grams, i, m)
         )
-    return (
-        base.select("doc_id", F.posexplode(F.expr(grams)).alias("pos", "ngram"))
-        .groupBy("doc_id", "ngram")
-        .agg(
-            F.count("*").alias("n_occurrences"),
-            F.min("pos").cast("long").alias("first_pos"),
-            F.max("pos").cast("long").alias("last_pos"),
-        )
-        .filter(F.col("n_occurrences") >= min_occurrences)
+    return base.select(
+        "doc_id", F.posexplode(F.expr(grams)).alias("pos", "ngram")
     )

@@ -610,6 +610,88 @@ WHERE greatest(cont_a_milli, cont_b_milli) >= 800
 """
 
 
+# --- X108: cross-document verbatim spans (ExactSubstr-style) ------------------
+
+
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108: cross-doc verbatim runs (operators/dedup.py::
+    cross_doc_spans). Every doc_id%51==0 document (10 at sf0.01) gets a
+    shared 6-token boilerplate sentence appended — a 45-pair clique
+    whose diagonal runs span 4 matched trigrams (run_tokens 6); every
+    doc_id%13==0 doc appends a 2-token decoy that can never form a
+    trigram anchor shared across docs (its third word is the doc's own
+    last word). Natural rare-trigram single matches (run_tokens 3) are
+    filtered by min_run_tokens=4, so surviving pairs are genuinely
+    verbatim overlaps. The oracle rebuilds the positional stream, the
+    df window, the cap, and the pos − row_number islands."""
+    from .operators.dedup import cross_doc_spans
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    t = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(t, F.lit(" alpha beta"))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 51 == 0,
+        F.concat(t, F.lit(" alpha beta gamma delta epsilon zeta")),
+    ).otherwise(t)
+    return cross_doc_spans(
+        d.select("doc_id", t.alias("text")),
+        n=3,
+        df_min=2,
+        df_max=16,
+        max_positions_per_gram=64,
+        min_run_tokens=4,
+    )
+
+
+SQL_CROSS_DOC_SPANS = r"""
+WITH deco AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 13 = 0 THEN trim(text) || ' alpha beta'
+          ELSE trim(text) END)
+    || (CASE WHEN doc_id % 51 = 0
+             THEN ' alpha beta gamma delta epsilon zeta' ELSE '' END) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w FROM deco
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> {pos: i - 1,
+                      ng: w[i] || ' ' || w[i+1] || ' ' || w[i+2]})) AS s
+  FROM toks WHERE len(w) >= 3
+), gp AS (
+  SELECT doc_id, s.pos AS pos, s.ng AS ng FROM g
+), rare AS (
+  SELECT ng FROM (
+    SELECT ng, count(DISTINCT doc_id) AS df FROM gp GROUP BY ng
+  ) WHERE df BETWEEN 2 AND 16
+), gr AS (
+  SELECT doc_id, pos, ng FROM (
+    SELECT gp.*, count(*) OVER (PARTITION BY gp.ng) AS c
+    FROM gp JOIN rare USING (ng)
+  ) WHERE c <= 64
+), p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, a.pos - b.pos AS diag
+  FROM gr a JOIN gr b ON a.ng = b.ng AND a.doc_id < b.doc_id
+), i AS (
+  SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pa) AS grp
+  FROM p
+), runs AS (
+  SELECT doc_a, doc_b, count(*) + 2 AS run_tokens
+  FROM i GROUP BY doc_a, doc_b, diag, grp
+  HAVING count(*) + 2 >= 4
+)
+SELECT doc_a, doc_b,
+       max(run_tokens)::BIGINT AS max_run_tokens,
+       count(*) AS n_runs
+FROM runs GROUP BY doc_a, doc_b
+"""
+
+
 # --- X105: dedup clustering quality audit ------------------------------------
 
 
@@ -674,6 +756,7 @@ def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
             "q_dedup_audit": q_dedup_audit,
+            "q_cross_doc_spans": q_cross_doc_spans,
             "q_lang_id": q_lang_id,
             "q_ngram_jaccard": q_ngram_jaccard,
             "q_minhash_lsh": q_minhash_lsh,
@@ -690,6 +773,7 @@ def register(queries: dict, oracles: dict) -> None:
     oracles.update(
         {
             "q_dedup_audit": SQL_DEDUP_AUDIT,
+            "q_cross_doc_spans": SQL_CROSS_DOC_SPANS,
             "q_lang_id": SQL_LANG_ID,
             "q_ngram_jaccard": SQL_NGRAM_JACCARD,
             "q_minhash_lsh": SQL_MINHASH_LSH,

@@ -1135,3 +1135,30 @@ def test_dedup_audit_contingency(spark):
     assert (r.tp_pairs, r.pred_pairs, r.true_pairs) == (2, 3, 6)
     assert (r.fp_pairs, r.fn_pairs) == (1, 4)
     assert (r.precision_milli, r.recall_milli) == (666, 333)
+
+
+def test_cross_doc_spans_diagonal_runs(spark):
+    """X108: a shared 4-token run survives; a single shared trigram
+    (run 3 < min 4) is filtered; disjoint docs produce nothing."""
+    from oa_spider_spark.operators.dedup import cross_doc_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "x p q r s y"),
+            (2, "z p q r s w"),   # shares 'p q r s' with doc 1
+            (3, "a b c d e f"),   # disjoint
+            (4, "m p q r t"),     # single shared trigram with 1,2: run 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.max_run_tokens, r.n_runs)
+        for r in cross_doc_spans(df, min_run_tokens=4).collect()
+    }
+    assert got == {(1, 2): (4, 1)}
+    # lowering the floor admits the single-trigram matches too
+    low = {
+        (r.doc_a, r.doc_b): r.max_run_tokens
+        for r in cross_doc_spans(df, min_run_tokens=3).collect()
+    }
+    assert low == {(1, 2): 4, (1, 4): 3, (2, 4): 3}
