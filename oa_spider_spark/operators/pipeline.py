@@ -792,3 +792,52 @@ def temperature_targets(
         .cast("long")
         .alias("target_docs"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen week
+    (the cohort), each later week's activity expressed as
+    retention_milli = 1000 · active div cohort_size at age = weeks
+    since cohort. The engagement readout every crawl/user log gets
+    asked for; age 0 is 1000 by construction (a useful self-check).
+
+    Scale shape: first-seen week is one user-keyed groupBy; the
+    (cohort, age) activity needs DISTINCT users per cell, done as a
+    groupBy on (cohort, age, user) then a count — two keyed shuffles
+    with map-side combine, no count_distinct over a window. Cohort
+    sizes are a cohort-keyed dimension (≤ weeks-of-history rows),
+    broadcast back onto the matrix."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    u = F.col(user_col)
+    first = (
+        events.select(u.alias("_u"), wk.alias("_w"))
+        .groupBy("_u")
+        .agg(F.min("_w").alias("cohort_week"))
+    )
+    act = (
+        events.select(u.alias("_u"), wk.alias("_w"))
+        .join(first, "_u")
+        .withColumn(
+            "age_weeks",
+            F.expr("datediff(_w, cohort_week) div 7").cast("long"),
+        )
+        .groupBy("cohort_week", "age_weeks", "_u")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        act.join(F.broadcast(sizes), "cohort_week")
+        .withColumn(
+            "retention_milli", F.expr("1000 * n_active div cohort_size")
+        )
+        .select(
+            "cohort_week", "age_weeks", "n_active", "cohort_size",
+            "retention_milli",
+        )
+    )

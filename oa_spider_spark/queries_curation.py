@@ -805,6 +805,40 @@ WHERE (1000::HUGEINT * p.c_ab * n.n_bigrams)
 """
 
 
+# --- X109: weekly cohort retention matrix ------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109: cohort retention (operators/pipeline.py::retention_cohorts)
+    straight over the events log — first-seen week per user, distinct
+    activity per (cohort, age) cell, exact milli retention. Both
+    engines truncate to ISO Monday weeks under the pinned UTC session
+    zone; age 0 must read 1000 for every cohort."""
+    from .operators.pipeline import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+SQL_RETENTION_COHORTS = """
+WITH uw AS (
+  SELECT user_id AS u, date_trunc('week', ts) AS w FROM events
+), first AS (
+  SELECT u, min(w) AS cohort_week FROM uw GROUP BY u
+), act AS (
+  SELECT cohort_week, date_diff('day', cohort_week, w) // 7 AS age_weeks,
+         count(DISTINCT uw.u) AS n_active
+  FROM uw JOIN first ON uw.u = first.u
+  GROUP BY cohort_week, age_weeks
+), sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM first GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.age_weeks::BIGINT AS age_weeks, a.n_active,
+       s.cohort_size,
+       ((1000 * a.n_active) // s.cohort_size)::BIGINT AS retention_milli
+FROM act a JOIN sizes s USING (cohort_week)
+"""
+
+
 # --- X101: Gopher structural quality rules (bitmask diagnostics) -------------
 
 
@@ -953,6 +987,7 @@ def register(
         {
             "q_gopher_rules": q_gopher_rules,
             "q_repeated_spans": q_repeated_spans,
+            "q_retention_cohorts": q_retention_cohorts,
             "q_repetition_stats": q_repetition_stats,
             "q_tfidf_top_terms": q_tfidf_top_terms,
             "q_triangle_count": q_triangle_count,
@@ -978,6 +1013,7 @@ def register(
         {
             "q_gopher_rules": SQL_GOPHER_RULES,
             "q_repeated_spans": SQL_REPEATED_SPANS,
+            "q_retention_cohorts": SQL_RETENTION_COHORTS,
             "q_repetition_stats": SQL_REPETITION_STATS,
             "q_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
             "q_triangle_count": SQL_TRIANGLE_COUNT,

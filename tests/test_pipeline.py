@@ -499,3 +499,35 @@ def test_phrase_match_positions(spark):
     df2 = spark.createDataFrame([(9, "a b a b a")], "doc_id long, text string")
     got2 = phrase_match(df2, ["a", "b", "a"]).collect()
     assert (got2[0].n_matches, got2[0].first_pos) == (2, 0)
+
+
+def test_retention_cohorts_matrix(spark):
+    """X109: cohort = first-seen week; age-0 cells read 1000; later
+    cells count distinct users exactly."""
+    import datetime as dt
+
+    from oa_spider_spark.operators.pipeline import retention_cohorts
+
+    def w(k, d=0):  # Monday of week k (+d days)
+        return dt.datetime(2024, 1, 1) + dt.timedelta(weeks=k, days=d)
+
+    rows = [
+        ("A", w(0)), ("A", w(0, 3)), ("A", w(1)), ("A", w(3)),
+        ("B", w(0, 2)),
+        ("C", w(1)), ("C", w(2, 4)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (r.cohort_week.isocalendar()[:2], r.age_weeks): (
+            r.n_active, r.cohort_size, r.retention_milli
+        )
+        for r in retention_cohorts(ev).collect()
+    }
+    wk0, wk1 = w(0).isocalendar()[:2], w(1).isocalendar()[:2]
+    assert got == {
+        (wk0, 0): (2, 2, 1000),
+        (wk0, 1): (1, 2, 500),
+        (wk0, 3): (1, 2, 500),
+        (wk1, 0): (1, 1, 1000),
+        (wk1, 1): (1, 1, 1000),
+    }
