@@ -128,6 +128,9 @@ AUDITED = [
     "q_dedup_audit",
     "q_host_saturation",
     "q_discovery_feed",
+    # X108-X109: cross-doc verbatim spans, cohort retention
+    "q_cross_doc_spans",
+    "q_retention_cohorts",
 ]
 
 
