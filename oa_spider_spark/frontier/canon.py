@@ -300,3 +300,43 @@ def bitext_url_pairs(
         .filter(F.col("ratio_milli") >= min_len_ratio_milli)
         .select("url_a", "url_b", "lang_b", "ratio_milli")
     )
+
+
+def scheme_merge(pages: DataFrame) -> DataFrame:
+    """HTTP→HTTPS duplicate-origin merge: the same (host, path) served
+    under both schemes is ONE logical page when the content fingerprint
+    agrees — the canonicalizer should collapse it (and the frontier
+    should stop budgeting it twice), but only the fingerprint, not the
+    scheme, can prove that. Pages: (host, path, scheme, content_fp).
+
+    Output per (host, path): which schemes exist, the canonical scheme
+    (https when present — the upgrade direction), whether both schemes
+    exist AND agree on content (mergeable=true ⇒ emit the redirect
+    rule; both-but-different ⇒ a cloaking/KEEP-BOTH case the merge must
+    NOT touch). One (host, path)-keyed groupBy with conditional
+    max-aggregation — no self-join, no window."""
+    return (
+        pages.groupBy("host", "path")
+        .agg(
+            F.max(F.when(F.col("scheme") == "https", F.col("content_fp"))).alias(
+                "_fps"
+            ),
+            F.max(F.when(F.col("scheme") == "http", F.col("content_fp"))).alias(
+                "_fph"
+            ),
+        )
+        .select(
+            "host",
+            "path",
+            (F.col("_fph").isNotNull().cast("int")
+             + F.col("_fps").isNotNull().cast("int")).alias("n_schemes"),
+            F.when(F.col("_fps").isNotNull(), "https")
+            .otherwise("http")
+            .alias("canonical_scheme"),
+            (
+                F.col("_fps").isNotNull()
+                & F.col("_fph").isNotNull()
+                & (F.col("_fps") == F.col("_fph"))
+            ).alias("mergeable"),
+        )
+    )

@@ -273,3 +273,57 @@ def host_saturation(
         )
         .withColumn("saturated", F.col("streak_below") >= k_rounds)
     )
+
+
+DRIFT_STATUSES = ["ok", "retry", "dead", "redirect"]
+
+
+def status_drift(
+    log: DataFrame,
+    drift_threshold_milli: int = 400,
+) -> DataFrame:
+    """Per-host status-mix drift between consecutive crawl rounds — the
+    ops alarm for 'this host just started failing differently' (soft
+    bans, new bot walls, infra moves) that absolute error rates miss
+    when volume changes too. log: (host, round, status, n) tallies over
+    the fixed taxonomy (ok/retry/dead/redirect, T2).
+
+    Each (host, round) becomes a 4-column milli distribution
+    (conditional sums — one keyed groupBy, statuses are columns not
+    rows, so no per-status join fan-out); consecutive rounds pair by an
+    equi-join on (host, round+1); drift = Σ_status |milli_a − milli_b|
+    (L1 × 1000, range 0..2000). flagged ⇒ drift > threshold."""
+    sums = [
+        F.sum(F.when(F.col("status") == s, F.col("n")).otherwise(0)).alias(
+            f"_n_{s}"
+        )
+        for s in DRIFT_STATUSES
+    ]
+    per = log.groupBy("host", "round").agg(F.sum("n").alias("_tot"), *sums)
+    for s in DRIFT_STATUSES:
+        per = per.withColumn(f"_m_{s}", F.expr(f"1000 * _n_{s} div _tot"))
+    a = per.select(
+        "host",
+        F.col("round").alias("round_from"),
+        *[F.col(f"_m_{s}").alias(f"_a_{s}") for s in DRIFT_STATUSES],
+    )
+    b = per.select(
+        "host",
+        (F.col("round") - 1).alias("round_from"),
+        F.col("round").alias("round_to"),
+        *[F.col(f"_m_{s}").alias(f"_b_{s}") for s in DRIFT_STATUSES],
+    )
+    drift = None
+    for s in DRIFT_STATUSES:
+        term = F.abs(F.col(f"_a_{s}") - F.col(f"_b_{s}"))
+        drift = term if drift is None else drift + term
+    return (
+        a.join(b, ["host", "round_from"])
+        .select(
+            "host",
+            "round_from",
+            "round_to",
+            drift.cast("long").alias("drift_milli"),
+        )
+        .withColumn("flagged", F.col("drift_milli") > drift_threshold_milli)
+    )

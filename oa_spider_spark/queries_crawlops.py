@@ -585,6 +585,142 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X110: HTTP->HTTPS scheme merge -------------------------------------------
+
+
+def q_scheme_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110: duplicate-origin merge (frontier/canon.py::scheme_merge).
+    Page universe p = event_id div 2, scheme = event_id mod 2; https is
+    MISSING for p%7==0 pages (http-only survivors), and p%11==0 pages
+    serve DIFFERENT content over http (':variant' fingerprint — the
+    keep-both cloaking case the merge must not touch). Everything else
+    is mergeable with canonical https."""
+    from .frontier.canon import scheme_merge
+
+    e = _t(spark, sf_dir, "events")
+    base = (
+        e.select(
+            F.expr("event_id div 2").alias("p"), (F.col("event_id") % 2).alias("s")
+        )
+        .distinct()
+        .filter(~((F.col("p") % 7 == 0) & (F.col("s") == 1)))
+    )
+    host = F.concat(F.lit("h"), (F.col("p") % 30).cast("string"))
+    path = F.concat(F.lit("/p/"), F.expr("p div 30").cast("string"))
+    fp = F.md5(
+        F.concat(
+            host,
+            path,
+            F.when(
+                (F.col("p") % 11 == 0) & (F.col("s") == 0), F.lit(":variant")
+            ).otherwise(F.lit("")),
+        )
+    )
+    pages = base.select(
+        host.alias("host"),
+        path.alias("path"),
+        F.when(F.col("s") == 1, "https").otherwise("http").alias("scheme"),
+        fp.alias("content_fp"),
+    )
+    return scheme_merge(pages)
+
+
+SQL_SCHEME_MERGE = """
+WITH base AS (
+  SELECT DISTINCT event_id // 2 AS p, event_id % 2 AS s FROM events
+), pg AS (
+  SELECT 'h' || (p % 30) AS host, '/p/' || (p // 30) AS path,
+         CASE WHEN s = 1 THEN 'https' ELSE 'http' END AS scheme,
+         md5('h' || (p % 30) || '/p/' || (p // 30)
+             || CASE WHEN p % 11 = 0 AND s = 0 THEN ':variant' ELSE '' END)
+           AS fp
+  FROM base WHERE NOT (p % 7 = 0 AND s = 1)
+), agg AS (
+  SELECT host, path,
+         max(CASE WHEN scheme = 'https' THEN fp END) AS fps,
+         max(CASE WHEN scheme = 'http' THEN fp END) AS fph
+  FROM pg GROUP BY host, path
+)
+SELECT host, path,
+       ((fph IS NOT NULL)::INT + (fps IS NOT NULL)::INT) AS n_schemes,
+       CASE WHEN fps IS NOT NULL THEN 'https' ELSE 'http' END
+         AS canonical_scheme,
+       (fps IS NOT NULL AND fph IS NOT NULL AND fps = fph) AS mergeable
+FROM agg
+"""
+
+
+# --- X111: per-host status-mix drift ------------------------------------------
+
+
+def q_status_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111: consecutive-round status-distribution drift
+    (frontier/recrawl.py::status_drift). Tallies from events: host
+    h{e mod 20}, round (e div 20) mod 8; the status pick switches from
+    a 2-way ok/retry mix to a 4-way uniform mix exactly at round
+    h mod 8 — every host has one engineered drift spike at a different
+    round, plus the spike's recovery edge one round later."""
+    from .frontier.recrawl import status_drift
+
+    e = _t(spark, sf_dir, "events")
+    h = (F.col("event_id") % 20).alias("h")
+    r = (F.expr("event_id div 20") % 8).alias("r")
+    pick = F.when(
+        F.col("r") == F.col("h") % 8, F.col("event_id") % 4
+    ).otherwise(F.col("event_id") % 2)
+    st = F.element_at(
+        F.array(F.lit("ok"), F.lit("retry"), F.lit("dead"), F.lit("redirect")),
+        pick.cast("int") + 1,
+    )
+    log = (
+        e.select(h, r, "event_id")
+        .withColumn("status", st)
+        .groupBy("h", "r", "status")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+            F.col("r").alias("round"),
+            "status",
+            "n",
+        )
+    )
+    return status_drift(log, drift_threshold_milli=400)
+
+
+SQL_STATUS_DRIFT = """
+WITH ev AS (
+  SELECT event_id % 20 AS h, (event_id // 20) % 8 AS r,
+         CASE WHEN (event_id // 20) % 8 = (event_id % 20) % 8
+              THEN event_id % 4 ELSE event_id % 2 END AS pick
+  FROM events
+), log AS (
+  SELECT 'h' || h AS host, r AS round,
+         ['ok','retry','dead','redirect'][pick + 1] AS status,
+         count(*) AS n
+  FROM ev GROUP BY h, r, pick
+), per AS (
+  SELECT host, round,
+         (1000 * sum(CASE WHEN status = 'ok' THEN n ELSE 0 END))
+           // sum(n) AS m_ok,
+         (1000 * sum(CASE WHEN status = 'retry' THEN n ELSE 0 END))
+           // sum(n) AS m_retry,
+         (1000 * sum(CASE WHEN status = 'dead' THEN n ELSE 0 END))
+           // sum(n) AS m_dead,
+         (1000 * sum(CASE WHEN status = 'redirect' THEN n ELSE 0 END))
+           // sum(n) AS m_redirect
+  FROM log GROUP BY host, round
+)
+SELECT a.host, a.round AS round_from, b.round AS round_to,
+       (abs(a.m_ok - b.m_ok) + abs(a.m_retry - b.m_retry)
+        + abs(a.m_dead - b.m_dead)
+        + abs(a.m_redirect - b.m_redirect))::BIGINT AS drift_milli,
+       (abs(a.m_ok - b.m_ok) + abs(a.m_retry - b.m_retry)
+        + abs(a.m_dead - b.m_dead)
+        + abs(a.m_redirect - b.m_redirect)) > 400 AS flagged
+FROM per a JOIN per b ON a.host = b.host AND b.round = a.round + 1
+"""
+
+
 # --- X106: host saturation detection -----------------------------------------
 
 
@@ -761,6 +897,8 @@ def register(queries: dict, oracles: dict) -> None:
             "q_robots_wildcard": q_robots_wildcard,
             "q_host_saturation": q_host_saturation,
             "q_discovery_feed": q_discovery_feed,
+            "q_scheme_merge": q_scheme_merge,
+            "q_status_drift": q_status_drift,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -787,6 +925,8 @@ def register(queries: dict, oracles: dict) -> None:
             "q_robots_wildcard": SQL_ROBOTS_WILDCARD,
             "q_host_saturation": SQL_HOST_SATURATION,
             "q_discovery_feed": _sql_discovery_feed(),
+            "q_scheme_merge": SQL_SCHEME_MERGE,
+            "q_status_drift": SQL_STATUS_DRIFT,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

@@ -714,3 +714,44 @@ def test_host_saturation_streaks(spark):
         "b": (2, 1, 2, False),
         "c": (3, 2, 0, False),
     }
+
+
+def test_scheme_merge_cases(spark):
+    """X110: mergeable only when both schemes exist AND agree on content."""
+    from oa_spider_spark.frontier.canon import scheme_merge
+
+    rows = [
+        ("h", "/a", "http", "F1"), ("h", "/a", "https", "F1"),   # mergeable
+        ("h", "/b", "http", "F2"),                               # http-only
+        ("h", "/c", "http", "F3"), ("h", "/c", "https", "F4"),   # cloaked
+        ("h", "/d", "https", "F5"),                              # https-only
+    ]
+    df = spark.createDataFrame(rows, "host string, path string, scheme string, content_fp string")
+    got = {
+        r.path: (r.n_schemes, r.canonical_scheme, r.mergeable)
+        for r in scheme_merge(df).collect()
+    }
+    assert got == {
+        "/a": (2, "https", True),
+        "/b": (1, "http", False),
+        "/c": (2, "https", False),
+        "/d": (1, "https", False),
+    }
+
+
+def test_status_drift_spike(spark):
+    """X111: the ok->dead mix shift reads drift 1000 and flags; a
+    steady round reads 0."""
+    from oa_spider_spark.frontier.recrawl import status_drift
+
+    rows = [
+        ("h", 0, "ok", 10),
+        ("h", 1, "ok", 5), ("h", 1, "dead", 5),
+        ("h", 2, "ok", 5), ("h", 2, "dead", 5),
+    ]
+    log = spark.createDataFrame(rows, "host string, round long, status string, n long")
+    got = {
+        (r.round_from, r.round_to): (r.drift_milli, r.flagged)
+        for r in status_drift(log, drift_threshold_milli=400).collect()
+    }
+    assert got == {(0, 1): (1000, True), (1, 2): (0, False)}
