@@ -407,3 +407,31 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 50) -> DataFrame:
         "cnt",
         F.expr("(1000 * cnt) div _n").alias("share_milli"),
     )
+
+
+def hll_sliding_distinct(
+    df: DataFrame, key: F.Column | str, ts_col: str = "ts", hops: int = 3
+) -> DataFrame:
+    """Distinct keys per h-hour SLIDING window via register max-merge —
+    the workload HLL's mergeability exists for: a windowed exact
+    count_distinct re-shuffles the raw keys once per overlapping
+    window, while here the stream is sketched ONCE per hourly tumble
+    and each sliding window (labeled by its last hour, covering hours
+    [end-h+1, end]) merges its member sketches with the same MAX that
+    built them. Register rows fan out ×hops (256·hops per tumble — a
+    metadata-sized explosion); the data itself is scanned once.
+    Windows whose end falls after the last data hour carry the trailing
+    partial merges and are emitted as-is (deterministic; a deployment
+    filters to closed windows at read time)."""
+    regs = hll_registers(
+        df.withColumn("_tb", F.date_trunc("hour", F.col(ts_col))), key, ["_tb"]
+    )
+    wins = regs.select(
+        F.explode(
+            F.array(*[F.expr(f"_tb + INTERVAL {k} HOUR") for k in range(hops)])
+        ).alias("win_end"),
+        "register",
+        "rho",
+    )
+    merged = wins.groupBy("win_end", "register").agg(F.max("rho").alias("rho"))
+    return hll_estimate(merged, group_cols=["win_end"])

@@ -686,6 +686,75 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+# --- X112: sliding-window HLL distinct (register merge across hops) ---------
+
+
+def q_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112: distinct users per 3-hour sliding window over events via
+    HLL register max-merge (operators/sketch.py::hll_sliding_distinct)
+    — the stream is sketched once per hourly tumble, every overlapping
+    window merges 256-row sketches instead of re-shuffling keys.
+    `exact_distinct` rides along (the same hop-explode on raw rows +
+    windowed countDistinct — exactly the full-key shuffle the sketch
+    replaces at 100 TB)."""
+    from .operators.sketch import hll_sliding_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_sliding_distinct(ev, "user_id", ts_col="ts", hops=3)
+    raw = ev.select(
+        F.explode(
+            F.array(*[
+                F.expr(f"date_trunc('hour', ts) + INTERVAL {k} HOUR")
+                for k in range(3)
+            ])
+        ).alias("win_end"),
+        "user_id",
+    )
+    exact = raw.groupBy("win_end").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "win_end")
+
+
+SQL_HLL_SLIDING = f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS tb,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), s AS (
+  SELECT tb, h // {_LOW} AS register, h % {_LOW} AS low FROM h
+), reg AS (
+  SELECT tb, register,
+         MAX(CASE WHEN low = 0 THEN 53 ELSE 53 - length(bin(low)) END) AS rho
+  FROM s GROUP BY tb, register
+), wins AS (
+  SELECT tb + k * INTERVAL 1 HOUR AS win_end, register, rho
+  FROM reg CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+), merged AS (
+  SELECT win_end, register, MAX(rho) AS rho
+  FROM wins GROUP BY win_end, register
+), agg AS (
+  SELECT win_end,
+         CAST(count(*) AS BIGINT) AS regs_seen,
+         CAST({HLL_M} - count(*) AS BIGINT) AS zeros,
+         CAST(sum(1::BIGINT << (53 - rho))
+              + ({HLL_M} - count(*)) * (1::BIGINT << 53) AS BIGINT) AS z_scaled
+  FROM merged GROUP BY win_end
+), exact AS (
+  SELECT win_end, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM (
+    SELECT date_trunc('hour', ts) + k * INTERVAL 1 HOUR AS win_end, user_id
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+  ) GROUP BY win_end
+)
+SELECT a.win_end, a.regs_seen, a.zeros, a.z_scaled,
+       CAST(floor({HLL_EST_NUM!r} / CAST(a.z_scaled AS DOUBLE)) AS BIGINT)
+         AS est_milli,
+       e.exact_distinct
+FROM agg a JOIN exact e ON e.win_end = a.win_end
+"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -694,6 +763,7 @@ def register(
         {
             "q_session_window": q_session_window,
             "q_hll_distinct": q_hll_distinct,
+            "q_hll_sliding": q_hll_sliding,
             "q_asof_prior_click": q_asof_prior_click,
             "q_error_window_activity": q_error_window_activity,
             "q_pagerank": q_pagerank,
@@ -711,6 +781,7 @@ def register(
         {
             "q_session_window": SQL_SESSION_WINDOW,
             "q_hll_distinct": SQL_HLL_DISTINCT,
+            "q_hll_sliding": SQL_HLL_SLIDING,
             "q_asof_prior_click": SQL_ASOF_PRIOR_CLICK,
             "q_error_window_activity": SQL_ERROR_WINDOW_ACTIVITY,
             "q_pagerank": SQL_PAGERANK,

@@ -1162,3 +1162,34 @@ def test_cross_doc_spans_diagonal_runs(spark):
         for r in cross_doc_spans(df, min_run_tokens=3).collect()
     }
     assert low == {(1, 2): 4, (1, 4): 3, (2, 4): 3}
+
+
+def test_hll_sliding_merge_equals_recompute(spark):
+    """X112: merging tumble sketches across a window's hops must give
+    EXACTLY the sketch of the window's raw union (merge ≡ recompute),
+    including leading/trailing partial windows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    from oa_spider_spark.operators.sketch import (
+        hll_distinct, hll_sliding_distinct,
+    )
+
+    h0 = dt.datetime(2024, 3, 1, 10, 0)
+
+    def at(hour, users):
+        return [(u, h0 + dt.timedelta(hours=hour)) for u in users]
+
+    rows = at(0, ["A", "B"]) + at(1, ["B", "C"]) + at(2, ["D"])
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        r.win_end: r.est_milli
+        for r in hll_sliding_distinct(ev, "user_id", hops=2).collect()
+    }
+    member_users = {0: ["A", "B"], 1: ["A", "B", "C"], 2: ["B", "C", "D"], 3: ["D"]}
+    for hour, users in member_users.items():
+        sub = spark.createDataFrame([(u,) for u in users], "user_id string")
+        want = hll_distinct(sub, "user_id").collect()[0].est_milli
+        assert got[h0 + dt.timedelta(hours=hour)] == want, hour
+    assert len(got) == 4
