@@ -579,3 +579,44 @@ def robots_wildcard_decisions(
             F.coalesce(F.col("_w._spec"), F.lit(-1).cast("long")).alias("win_spec"),
         )
     )
+
+
+def adaptive_crawl_delay(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "elapsed_ms",
+    permille: int = 950,
+    width: int = 64,
+    factor_milli: int = 2000,
+    min_delay_ms: int = 100,
+    max_delay_ms: int = 5000,
+) -> DataFrame:
+    """Latency-adaptive politeness: crawl_delay = clamp(p95 latency ×
+    factor, min, max) per host — the control loop that closes T5's
+    static budgets against observed server health (a host answering in
+    40 ms can absorb a faster cadence than one struggling at 2 s; a
+    struggling host gets backed off before the retry taxonomy ever
+    fires). Built on the MERGEABLE histogram sketch (X75): per-host
+    shuffle volume is latency_range/width rows per round regardless of
+    fetch count, and round sketches union into longer-horizon delays
+    for free. All integer: the p95 estimate is the sketch's inclusive
+    bucket upper bound, factor applied in milli via div."""
+    from ..operators.sketch import histogram_quantiles, histogram_sketch
+
+    sk = histogram_sketch(
+        fetch_log.select(F.col(host_col).alias("host"), F.col(latency_col)),
+        ["host"],
+        latency_col,
+        width,
+    )
+    q = histogram_quantiles(sk, ["host"], (permille,), width)
+    delay = F.expr(f"estimate * {int(factor_milli)} div 1000")
+    return q.select(
+        "host",
+        "n",
+        F.col("estimate").alias("p95_ms"),
+        F.least(
+            F.lit(max_delay_ms).cast("long"),
+            F.greatest(F.lit(min_delay_ms).cast("long"), delay),
+        ).alias("crawl_delay_ms"),
+    )

@@ -585,6 +585,63 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X113: latency-adaptive crawl delay ---------------------------------------
+
+
+def q_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113: p95-driven politeness (frontier/politeness.py::
+    adaptive_crawl_delay). Latency universe: host h{e mod 25}, latency
+    ((e·37) mod 997) div (1 + h mod 7) + 300·(h mod 5), with host h24
+    shifted +12000 ms (a struggling origin — the MAX clamp must fire)
+    and the div-7 compression making h20 fast enough that the MIN
+    clamp fires at factor 0.5. Both clamps and the open interior are
+    live; the oracle replicates the sketch → cumulative → inclusive-
+    upper-bound pick → clamp chain in integers."""
+    from .frontier.politeness import adaptive_crawl_delay
+
+    e = _t(spark, sf_dir, "events")
+    h = F.col("event_id") % 25
+    lat = (
+        F.expr("((event_id * 37) % 997) div (1 + (event_id % 25) % 7)")
+        + (h % 5) * 300
+        + F.when(h == 24, 12000).otherwise(0)
+    )
+    log = e.select(
+        F.concat(F.lit("h"), h.cast("string")).alias("host"),
+        lat.cast("long").alias("elapsed_ms"),
+    )
+    return adaptive_crawl_delay(
+        log, factor_milli=500, min_delay_ms=100, max_delay_ms=5000
+    )
+
+
+SQL_ADAPTIVE_DELAY = """
+WITH f AS (
+  SELECT 'h' || (event_id % 25) AS host,
+         ((event_id * 37) % 997) // (1 + (event_id % 25) % 7)
+         + ((event_id % 25) % 5) * 300
+         + CASE WHEN event_id % 25 = 24 THEN 12000 ELSE 0 END AS lat
+  FROM events
+), sk AS (
+  SELECT host, lat // 64 AS bucket, count(*) AS cnt FROM f GROUP BY host, bucket
+), cum AS (
+  SELECT host, bucket,
+         sum(cnt) OVER (PARTITION BY host ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY host) AS n
+  FROM sk
+), hit AS (
+  SELECT host, max(n) AS n,
+         min(CASE WHEN cum >= (950 * n + 999) // 1000 THEN bucket END) AS b
+  FROM cum GROUP BY host
+)
+SELECT host, n::BIGINT AS n, (b * 64 + 63)::BIGINT AS p95_ms,
+       least(5000, greatest(100, ((b * 64 + 63) * 500) // 1000))::BIGINT
+         AS crawl_delay_ms
+FROM hit
+"""
+
+
 # --- X110: HTTP->HTTPS scheme merge -------------------------------------------
 
 
@@ -899,6 +956,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_discovery_feed": q_discovery_feed,
             "q_scheme_merge": q_scheme_merge,
             "q_status_drift": q_status_drift,
+            "q_adaptive_delay": q_adaptive_delay,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -927,6 +985,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_discovery_feed": _sql_discovery_feed(),
             "q_scheme_merge": SQL_SCHEME_MERGE,
             "q_status_drift": SQL_STATUS_DRIFT,
+            "q_adaptive_delay": SQL_ADAPTIVE_DELAY,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

@@ -755,3 +755,26 @@ def test_status_drift_spike(spark):
         for r in status_drift(log, drift_threshold_milli=400).collect()
     }
     assert got == {(0, 1): (1000, True), (1, 2): (0, False)}
+
+
+def test_adaptive_delay_clamps(spark):
+    """X113: p95 bucket upper bound drives the delay; both clamps bind."""
+    from oa_spider_spark.frontier.politeness import adaptive_crawl_delay
+
+    rows = (
+        [("fast", 10)] * 20            # p95 bucket [0,63] -> 63*2=126 -> min 200
+        + [("mid", 900)] * 20          # bucket 14 -> 959*2=1918
+        + [("slow", 9000)] * 20        # bucket 140 -> 9023*2=18046 -> max 5000
+    )
+    log = spark.createDataFrame(rows, "host string, elapsed_ms long")
+    got = {
+        r.host: (r.p95_ms, r.crawl_delay_ms)
+        for r in adaptive_crawl_delay(
+            log, factor_milli=2000, min_delay_ms=200, max_delay_ms=5000
+        ).collect()
+    }
+    assert got == {
+        "fast": (63, 200),
+        "mid": (959, 1918),
+        "slow": (9023, 5000),
+    }
