@@ -272,3 +272,66 @@ def extract_links(
     return df.select(*key_cols, html_col).mapInArrow(
         run, schema=f"{key_ddl}, href string, name string"
     )
+
+
+def render_routing(
+    pages: DataFrame,
+    html_col: str = "html",
+    min_visible_chars: int = 200,
+    max_script_milli: int = 700,
+) -> DataFrame:
+    """Render-tier routing: which pages need a headless-browser fetch
+    (the 10-100× cost tier) versus the plain HTTP path — the P9-style
+    type-dispatch a mixed crawl runs before scheduling, because
+    rendering everything is the single biggest avoidable cost in a
+    JS-era crawl. All signals are row-local JVM regex/length
+    expressions (pyspark.sql.functions, NOT this module's Arrow
+    parser — routing must stay cheaper than the parse it gates):
+
+      script_blocks   count of <script openings
+      script_milli    1000·script-source bytes div total bytes
+      visible_chars   text length after stripping tags/scripts
+      spa_marker      root/app mount divs or framework attributes
+
+    route = 'render' when (spa_marker AND visible < min) OR
+    script_milli > max — i.e. a mount point with no server-rendered
+    text, or script-dominated payloads."""
+    from pyspark.sql import functions as F
+
+    h = F.col(html_col)
+    total = F.length(h)
+    noscripts = F.regexp_replace(h, r"(?is)<script\b.*?</script>", "")
+    script_bytes = total - F.length(noscripts)
+    visible = F.length(
+        F.trim(F.regexp_replace(noscripts, r"(?s)<[^>]*>", ""))
+    )
+    spa = (
+        F.lower(h).contains('id="root"')
+        | F.lower(h).contains('id="app"')
+        | F.lower(h).contains("data-reactroot")
+        | F.lower(h).contains("ng-app")
+    )
+    base = pages.withColumn("_total", total).withColumn(
+        "_sb", script_bytes.cast("long")
+    )
+    out = base.select(
+        *[c for c in pages.columns if c != html_col],
+        F.size(F.split(h, r"(?i)<script\b")).cast("long").alias("_nsplit"),
+        F.expr("1000 * _sb div _total").alias("script_milli"),
+        visible.cast("long").alias("visible_chars"),
+        spa.alias("spa_marker"),
+    ).withColumn("script_blocks", F.col("_nsplit") - 1)
+    return out.select(
+        *[c for c in pages.columns if c != html_col],
+        "script_blocks",
+        "script_milli",
+        "visible_chars",
+        "spa_marker",
+        F.when(
+            (F.col("spa_marker") & (F.col("visible_chars") < min_visible_chars))
+            | (F.col("script_milli") > max_script_milli),
+            "render",
+        )
+        .otherwise("static")
+        .alias("route"),
+    )

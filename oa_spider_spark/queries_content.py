@@ -321,6 +321,81 @@ FROM s2 WHERE len(cur) > 0
 """
 
 
+# --- X114: render-tier routing ------------------------------------------------
+
+
+def q_render_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114: headless-render routing (operators/html.py::render_routing).
+    Pages synthesized from documents: every %3 doc carries two script
+    blocks (one sized by doc_id — script-dominated for short docs),
+    every %5 doc a root mount div, every %15 doc truncated server text
+    (50 chars) — the SPA signature (mount + no visible text) that MUST
+    route to render even when script share alone wouldn't. The oracle
+    replicates the strip-regex byte accounting, not the generator."""
+    from .operators.html import render_routing
+
+    d = _t(spark, sf_dir, "documents")
+    txt = F.when(
+        F.col("doc_id") % 15 == 0, F.substring(F.trim(F.col("text")), 1, 50)
+    ).otherwise(F.trim(F.col("text")))
+    h = F.concat(
+        F.lit("<html><body><p>"),
+        txt,
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<script src="a.js"></script><script>var x="'),
+                F.repeat(F.lit("x"), (F.col("doc_id") % 400 + 100).cast("int")),
+                F.lit('";</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit('<div id="root"></div>')).otherwise(
+            F.lit("")
+        ),
+        F.lit("</body></html>"),
+    )
+    return render_routing(d.select("doc_id", h.alias("html")))
+
+
+SQL_RENDER_ROUTING = r"""
+WITH doc AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 15 = 0 THEN substr(trim(text), 1, 50)
+         ELSE trim(text) END AS txt
+  FROM documents
+), pg AS (
+  SELECT doc_id,
+    '<html><body><p>' || txt || '</p>'
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<script src="a.js"></script><script>var x="'
+                 || repeat('x', (doc_id % 400) + 100) || '";</script>'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '<div id="root"></div>' ELSE '' END
+    || '</body></html>' AS h
+  FROM doc
+), m AS (
+  SELECT doc_id, h, length(h) AS total,
+         regexp_replace(h, '(?is)<script\b.*?</script>', '', 'g') AS nos
+  FROM pg
+), f AS (
+  SELECT doc_id,
+    len(regexp_extract_all(h, '(?i)<script\b'))::BIGINT AS script_blocks,
+    ((1000 * (total - length(nos))) // total)::BIGINT AS script_milli,
+    length(trim(regexp_replace(nos, '(?s)<[^>]*>', '', 'g')))::BIGINT
+      AS visible_chars,
+    (contains(lower(h), 'id="root"') OR contains(lower(h), 'id="app"')
+     OR contains(lower(h), 'data-reactroot')
+     OR contains(lower(h), 'ng-app')) AS spa_marker
+  FROM m
+)
+SELECT doc_id, script_blocks, script_milli, visible_chars, spa_marker,
+       CASE WHEN (spa_marker AND visible_chars < 200) OR script_milli > 700
+            THEN 'render' ELSE 'static' END AS route
+FROM f
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -330,6 +405,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_digest_render": q_digest_render,
             "q_anchor_text": q_anchor_text,
             "q_phrase_search": q_phrase_search,
+            "q_render_routing": q_render_routing,
         }
     )
     oracles.update(
@@ -340,5 +416,6 @@ def register(queries: dict, oracles: dict) -> None:
             "q_digest_render": SQL_DIGEST_RENDER,
             "q_anchor_text": SQL_ANCHOR_TEXT,
             "q_phrase_search": SQL_PHRASE_SEARCH,
+            "q_render_routing": SQL_RENDER_ROUTING,
         }
     )

@@ -71,3 +71,27 @@ def test_attribute_without_value_and_void_tags():
     root = parse_html('<div id="d"><img src="x"><br><a href="/z" data-x>t</a></div>')
     assert select(root, "#d a")[0].attrs["href"] == "/z"
     assert node_text(select(root, "#d")[0]) == "t"
+
+
+def test_render_routing_signals(spark):
+    """X114: SPA-mount-with-no-text and script-dominated pages route to
+    render; server-rendered pages with markers or scripts stay static."""
+    from oa_spider_spark.operators.html import render_routing
+
+    long_text = "w" * 500
+    rows = [
+        (1, f"<html><body><p>{long_text}</p></body></html>"),
+        (2, '<html><body><div id="root"></div><p>tiny</p></body></html>'),
+        (3, f'<html><body><div id="app"></div><p>{long_text}</p></body></html>'),
+        (4, '<html><body><p>hi</p><script>"' + "x" * 900 + '"</script>'
+            "<script src=\"a.js\"></script></body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r.doc_id: (r.script_blocks, r.spa_marker, r.route)
+        for r in render_routing(df).collect()
+    }
+    assert got[1] == (0, False, "static")
+    assert got[2] == (0, True, "render")    # mount + no server text
+    assert got[3] == (0, True, "static")    # mount but real content
+    assert got[4] == (2, False, "render")   # script-dominated
