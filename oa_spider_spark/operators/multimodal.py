@@ -400,3 +400,77 @@ def sniff_content_type(
         .otherwise(0)
         .cast("int"),
     )
+
+
+def charset_detect(
+    blobs: DataFrame,
+    hex_col: str = "lead_hex",
+    header_col: str = "header_ct",
+    html_col: str = "html",
+    high_byte_threshold_milli: int = 300,
+) -> DataFrame:
+    """Charset detection cascade in WHATWG encoding-sniffing order —
+    BOM > transport header > meta prescan > content heuristic — the
+    decision F16's GBK decode sits downstream of (the reference
+    hardcodes per-site GBK, oa.py:931; a general crawl must sniff).
+    `lead_hex` is the uppercase hex of the payload's leading bytes (the
+    cross-engine-safe binary representation).
+
+    * BOM: EFBBBF → utf-8, FFFE → utf-16le, FEFF → utf-16be;
+    * header/meta: charset= parameter via one regexp_extract each
+      (empty → NULL via nullif, matching DuckDB's no-match NULL);
+    * heuristic: share of leading bytes with the high bit set
+      (first hex nibble ≥ '8' — an ASCII string compare on upper hex)
+      over threshold → 'gbk-likely', else 'ascii'.
+
+    Every signal is a row-local expression; the pair walk guards the
+    F.sequence(1,0) DESCENDING trap with an explicit n_pairs >= 1
+    branch (CLAUDE.md). Output adds charset, charset_source,
+    highbyte_milli."""
+    hx = F.upper(F.col(hex_col))
+    bom = (
+        F.when(hx.startswith("EFBBBF"), "utf-8")
+        .when(hx.startswith("FFFE"), "utf-16le")
+        .when(hx.startswith("FEFF"), "utf-16be")
+    )
+    header = F.nullif(
+        F.lower(
+            F.regexp_extract(F.col(header_col), r"(?i)charset=([A-Za-z0-9_-]+)", 1)
+        ),
+        F.lit(""),
+    )
+    meta = F.nullif(
+        F.lower(
+            F.regexp_extract(
+                F.col(html_col), "(?i)<meta[^>]*charset=[\"']?([A-Za-z0-9_-]+)", 1
+            )
+        ),
+        F.lit(""),
+    )
+    n_pairs = F.expr(f"length(upper({hex_col})) div 2")
+    hb = F.when(
+        n_pairs >= 1,
+        F.expr(
+            f"size(filter(sequence(1, length(upper({hex_col})) div 2),"
+            f" i -> substring(upper({hex_col}), 2*i-1, 1) >= '8'))"
+        ),
+    ).otherwise(F.lit(0))
+    base = blobs.withColumn("_np", n_pairs.cast("long")).withColumn(
+        "_hb", hb.cast("long")
+    )
+    milli = F.when(
+        F.col("_np") > 0, F.expr("1000 * _hb div _np")
+    ).otherwise(F.lit(0).cast("long"))
+    heur = F.when(
+        milli > high_byte_threshold_milli, F.lit("gbk-likely")
+    ).otherwise(F.lit("ascii"))
+    return base.select(
+        *blobs.columns,
+        milli.alias("highbyte_milli"),
+        F.coalesce(bom, header, meta, heur).alias("charset"),
+        F.when(bom.isNotNull(), "bom")
+        .when(header.isNotNull(), "header")
+        .when(meta.isNotNull(), "meta")
+        .otherwise("heuristic")
+        .alias("charset_source"),
+    )

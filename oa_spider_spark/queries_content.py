@@ -321,6 +321,106 @@ FROM s2 WHERE len(cur) > 0
 """
 
 
+# --- X115: charset detection cascade ------------------------------------------
+
+
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115: WHATWG-order charset sniffing (operators/multimodal.py::
+    charset_detect). Six deterministic variants from events: a UTF-8
+    BOM payload; a header charset that OVERRIDES a contradicting meta
+    (precedence pinned); a meta-only GBK; a high-byte GBK-looking body
+    with no declarations (heuristic fires); plain ASCII; and the
+    http-equiv meta form with the charset buried in the content
+    attribute."""
+    from .operators.multimodal import charset_detect
+
+    e = _t(spark, sf_dir, "events")
+    v = (F.col("event_id") % 6).alias("v")
+    base = e.select(F.col("event_id").alias("blob_id"), v)
+    hexes = F.array(
+        F.lit("EFBBBF414243"),
+        F.lit("414243"),
+        F.lit("414243"),
+        F.lit("C4E3BAC3C4E3"),
+        F.lit("68656C6C6F"),
+        F.lit("414243"),
+    )
+    headers = F.array(
+        F.lit("text/html"),
+        F.lit("text/html; charset=ISO-8859-1"),
+        F.lit("text/html"),
+        F.lit("text/html"),
+        F.lit("text/html"),
+        F.lit("text/html"),
+    )
+    htmls = F.array(
+        F.lit("<html></html>"),
+        F.lit('<html><meta charset="utf-8"></html>'),
+        F.lit('<html><meta charset="GBK"></html>'),
+        F.lit("<html></html>"),
+        F.lit("<html></html>"),
+        F.lit(
+            '<html><meta http-equiv="Content-Type"'
+            ' content="text/html; charset=big5"></html>'
+        ),
+    )
+    blobs = base.select(
+        "blob_id",
+        F.element_at(hexes, F.col("v").cast("int") + 1).alias("lead_hex"),
+        F.element_at(headers, F.col("v").cast("int") + 1).alias("header_ct"),
+        F.element_at(htmls, F.col("v").cast("int") + 1).alias("html"),
+    )
+    return charset_detect(blobs).select(
+        "blob_id", "highbyte_milli", "charset", "charset_source"
+    )
+
+
+SQL_CHARSET_DETECT = """
+WITH base AS (
+  SELECT event_id AS blob_id, event_id % 6 AS v FROM events
+), blobs AS (
+  SELECT blob_id,
+    ['EFBBBF414243','414243','414243','C4E3BAC3C4E3','68656C6C6F','414243'][v + 1]
+      AS hx,
+    ['text/html','text/html; charset=ISO-8859-1','text/html','text/html',
+     'text/html','text/html'][v + 1] AS header_ct,
+    ['<html></html>','<html><meta charset="utf-8"></html>',
+     '<html><meta charset="GBK"></html>','<html></html>','<html></html>',
+     '<html><meta http-equiv="Content-Type" content="text/html; charset=big5"></html>'
+    ][v + 1] AS html
+  FROM base
+), f AS (
+  SELECT blob_id, hx, header_ct, html,
+    length(hx) // 2 AS np,
+    len(list_filter(range(1, length(hx) // 2 + 1),
+        i -> substr(hx, (2 * i - 1)::INT, 1) >= '8')) AS hb,
+    CASE WHEN hx LIKE 'EFBBBF%' THEN 'utf-8'
+         WHEN hx LIKE 'FFFE%' THEN 'utf-16le'
+         WHEN hx LIKE 'FEFF%' THEN 'utf-16be' END AS bom,
+    nullif(lower(regexp_extract(header_ct, '(?i)charset=([A-Za-z0-9_-]+)', 1)),
+           '') AS hdr,
+    nullif(lower(regexp_extract(html,
+           '(?i)<meta[^>]*charset=["'']?([A-Za-z0-9_-]+)', 1)), '') AS meta
+  FROM blobs
+), m AS (
+  SELECT blob_id,
+    (CASE WHEN np > 0 THEN (1000 * hb) // np ELSE 0 END)::BIGINT
+      AS highbyte_milli,
+    bom, hdr, meta
+  FROM f
+)
+SELECT blob_id, highbyte_milli,
+       coalesce(bom, hdr, meta,
+                CASE WHEN highbyte_milli > 300 THEN 'gbk-likely'
+                     ELSE 'ascii' END) AS charset,
+       CASE WHEN bom IS NOT NULL THEN 'bom'
+            WHEN hdr IS NOT NULL THEN 'header'
+            WHEN meta IS NOT NULL THEN 'meta'
+            ELSE 'heuristic' END AS charset_source
+FROM m
+"""
+
+
 # --- X114: render-tier routing ------------------------------------------------
 
 
@@ -406,6 +506,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_anchor_text": q_anchor_text,
             "q_phrase_search": q_phrase_search,
             "q_render_routing": q_render_routing,
+            "q_charset_detect": q_charset_detect,
         }
     )
     oracles.update(
@@ -417,5 +518,6 @@ def register(queries: dict, oracles: dict) -> None:
             "q_anchor_text": SQL_ANCHOR_TEXT,
             "q_phrase_search": SQL_PHRASE_SEARCH,
             "q_render_routing": SQL_RENDER_ROUTING,
+            "q_charset_detect": SQL_CHARSET_DETECT,
         }
     )

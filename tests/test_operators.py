@@ -1193,3 +1193,39 @@ def test_hll_sliding_merge_equals_recompute(spark):
         want = hll_distinct(sub, "user_id").collect()[0].est_milli
         assert got[h0 + dt.timedelta(hours=hour)] == want, hour
     assert len(got) == 4
+
+
+def test_charset_detect_precedence(spark):
+    """X115: BOM > header > meta > heuristic, WHATWG sniffing order."""
+    from oa_spider_spark.operators.multimodal import charset_detect
+
+    rows = [
+        # BOM present: wins over a contradicting header AND meta
+        (1, "EFBBBF4142", "text/html; charset=ISO-8859-1",
+         '<meta charset="gbk">'),
+        # header beats meta
+        (2, "4142", "text/html; charset=ISO-8859-1", '<meta charset="gbk">'),
+        # meta only
+        (3, "4142", "text/html", "<meta charset='Shift_JIS'>"),
+        # heuristic: high bytes
+        (4, "C4E3BAC3", "text/html", "<p></p>"),
+        # heuristic: ascii
+        (5, "68656C6C", "text/html", "<p></p>"),
+        # empty payload: no pairs, ascii by convention
+        (6, "", "text/html", "<p></p>"),
+    ]
+    df = spark.createDataFrame(
+        rows, "blob_id long, lead_hex string, header_ct string, html string"
+    )
+    got = {
+        r.blob_id: (r.charset, r.charset_source, r.highbyte_milli)
+        for r in charset_detect(df).collect()
+    }
+    assert got == {
+        1: ("utf-8", "bom", 600),
+        2: ("iso-8859-1", "header", 0),
+        3: ("shift_jis", "meta", 0),
+        4: ("gbk-likely", "heuristic", 1000),
+        5: ("ascii", "heuristic", 0),
+        6: ("ascii", "heuristic", 0),
+    }
