@@ -131,6 +131,14 @@ AUDITED = [
     # X108-X109: cross-doc verbatim spans, cohort retention
     "q_cross_doc_spans",
     "q_retention_cohorts",
+    # X110-X115: scheme merge, status drift, sliding HLL, adaptive delay,
+    # render routing, charset cascade
+    "q_scheme_merge",
+    "q_status_drift",
+    "q_hll_sliding",
+    "q_adaptive_delay",
+    "q_render_routing",
+    "q_charset_detect",
 ]
 
 
