@@ -620,3 +620,55 @@ def adaptive_crawl_delay(
             F.greatest(F.lit(min_delay_ms).cast("long"), delay),
         ).alias("crawl_delay_ms"),
     )
+
+
+def byte_budget_select(
+    candidates: DataFrame,
+    budget_bytes: int,
+    url_col: str = "url",
+    prio_col: str = "priority",
+    bytes_col: str = "est_bytes",
+    prefix_len: int = 5,
+) -> DataFrame:
+    """Bandwidth-budget admission: take candidates in deterministic
+    (priority DESC, url) order until cumulative estimated payload bytes
+    exceed the round's byte budget — the greedy knapsack a fetch fleet
+    runs when the constraint is egress, not URL count (O4's budget caps
+    rows; this caps bytes, and X72/X97's size estimates feed it).
+
+    Scale shape: the global running sum is NEVER one flat window —
+    the order key decomposes into (exact negated priority × url
+    PREFIX) cells: a string prefix is a monotone coarsening of the
+    url order, so in-cell running sums over the FULL url key compose
+    with cell offsets from a metadata-sized window exactly as in
+    global_order_and_limit / rendezvous_shards (the budget_and_order
+    clamp precedent, CLAUDE.md). Output: every candidate with its
+    cumulative position and the admission verdict."""
+    keyed = candidates.select(
+        F.col(url_col).alias("url"),
+        F.col(prio_col).cast("long").alias("priority"),
+        F.col(bytes_col).cast("long").alias("est_bytes"),
+        (-F.col(prio_col).cast("long")).alias("_p"),
+        F.substring(F.col(url_col), 1, prefix_len).alias("_pre"),
+    )
+    w_off = (
+        Window.orderBy("_p", "_pre")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("_p", "_pre")
+        .agg(F.sum("est_bytes").alias("_cw"))
+        .withColumn("_off", F.coalesce(F.sum("_cw").over(w_off), F.lit(0)))
+        .select("_p", "_pre", "_off")
+    )
+    w_in = (
+        Window.partitionBy("_p", "_pre")
+        .orderBy("url")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), ["_p", "_pre"])
+        .withColumn("cum_bytes", F.col("_off") + F.sum("est_bytes").over(w_in))
+        .withColumn("selected", F.col("cum_bytes") <= budget_bytes)
+        .select("url", "priority", "est_bytes", "cum_bytes", "selected")
+    )

@@ -585,6 +585,49 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X116: global byte-budget admission ---------------------------------------
+
+BB_BUDGET = 40_000_000  # bytes; ~30% of the sf0.01 candidate total
+
+
+def q_byte_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116: bandwidth-capped selection (frontier/politeness.py::
+    byte_budget_select). Candidates from events: url /u/{e}, priority
+    e mod 20, est_bytes (e·131) mod 50000 + 500 — the budget admits
+    roughly the top third, so the cut falls mid-priority-class and the
+    in-cell url tie-break decides the boundary rows. Oracle is the
+    flat ORDER BY (priority DESC, url) running sum the two-level
+    decomposition must reproduce exactly."""
+    from .frontier.politeness import byte_budget_select
+
+    e = _t(spark, sf_dir, "events")
+    cand = e.select(
+        F.concat(F.lit("/u/"), F.col("event_id").cast("string")).alias("url"),
+        (F.col("event_id") % 20).alias("priority"),
+        ((F.col("event_id") * 131) % 50000 + 500).alias("est_bytes"),
+    ).distinct()
+    return byte_budget_select(cand, budget_bytes=BB_BUDGET)
+
+
+SQL_BYTE_BUDGET = f"""
+WITH cand AS (
+  SELECT DISTINCT '/u/' || event_id AS url,
+         event_id % 20 AS priority,
+         (event_id * 131) % 50000 + 500 AS est_bytes
+  FROM events
+), r AS (
+  SELECT url, priority, est_bytes,
+         (sum(est_bytes) OVER (ORDER BY priority DESC, url
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW))::BIGINT AS cum_bytes
+  FROM cand
+)
+SELECT url, priority, est_bytes, cum_bytes,
+       cum_bytes <= {BB_BUDGET} AS selected
+FROM r
+"""
+
+
 # --- X113: latency-adaptive crawl delay ---------------------------------------
 
 
@@ -957,6 +1000,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_scheme_merge": q_scheme_merge,
             "q_status_drift": q_status_drift,
             "q_adaptive_delay": q_adaptive_delay,
+            "q_byte_budget": q_byte_budget,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -986,6 +1030,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_scheme_merge": SQL_SCHEME_MERGE,
             "q_status_drift": SQL_STATUS_DRIFT,
             "q_adaptive_delay": SQL_ADAPTIVE_DELAY,
+            "q_byte_budget": SQL_BYTE_BUDGET,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

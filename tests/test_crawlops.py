@@ -778,3 +778,23 @@ def test_adaptive_delay_clamps(spark):
         "mid": (959, 1918),
         "slow": (9023, 5000),
     }
+
+
+def test_byte_budget_select_matches_flat_order(spark):
+    """X116: the two-level byte admission equals the flat
+    (priority DESC, url) running sum, and the cut is exact."""
+    from oa_spider_spark.frontier.politeness import byte_budget_select
+
+    rows = [(f"/u/{i}", i % 3, 100 + (i * 7) % 50) for i in range(40)]
+    cand = spark.createDataFrame(rows, "url string, priority long, est_bytes long")
+    budget = 1500
+    got = {
+        r.url: (r.cum_bytes, r.selected)
+        for r in byte_budget_select(cand, budget, prefix_len=4).collect()
+    }
+    flat = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum = 0
+    for url, _p, b in flat:
+        cum += b
+        assert got[url] == (cum, cum <= budget), url
+    assert 0 < sum(v[1] for v in got.values()) < len(rows)
