@@ -340,3 +340,45 @@ def scheme_merge(pages: DataFrame) -> DataFrame:
             ).alias("mergeable"),
         )
     )
+
+
+def rel_canonical_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Extract <link rel=canonical> targets as (src, dst) edges — the
+    duplicate-collapse signal sites publish themselves (quoted or bare
+    attribute forms both parse; pages without the element, or pointing
+    at themselves, contribute no edge). One row-local regexp_extract;
+    feeds resolve_pointer_chains exactly like redirect edges do."""
+    href = F.nullif(
+        F.regexp_extract(
+            F.col(html_col),
+            "(?i)<link[^>]*rel=[\"']?canonical[\"']?[^>]*href=[\"']?([^\"' >]+)",
+            1,
+        ),
+        F.lit(""),
+    )
+    return (
+        pages.select(F.col(url_col).alias("src"), href.alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+
+
+def canonical_resolution(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_hops: int = 8,
+) -> DataFrame:
+    """rel=canonical cluster collapse: harvest the per-page canonical
+    edges and resolve multi-hop chains (a→b→c declarations are common
+    when sites migrate twice) with X85's pointer doubling —
+    ceil(log2(hops)) key-joins, cycles reported unresolved. Output
+    (node, final_node, hops, resolved) for every url touching a
+    canonical declaration; the frontier keys its seen-set on
+    final_node to stop re-budgeting declared duplicates."""
+    from ..operators.graph import resolve_pointer_chains
+
+    return resolve_pointer_chains(
+        rel_canonical_edges(pages, url_col, html_col), max_hops=max_hops
+    )

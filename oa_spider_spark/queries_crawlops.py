@@ -585,6 +585,81 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X117: rel=canonical cluster resolution -----------------------------------
+
+
+def q_canonical_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117: canonical collapse (frontier/canon.py::canonical_resolution).
+    Pages /p/{k} (k = event_id mod 500) declare canonicals in REAL HTML
+    — double-quoted on even k, bare-attribute on odd k (both forms must
+    parse): k%5==0 pages declare THEMSELVES (no edge), k%3==0 pages
+    point at /p/{k div 2} (multi-hop chains where halves stay
+    divisible), and pages 7↔11 form a declared cycle that must report
+    unresolved at the hop cap. The oracle derives the edge set from the
+    moduli INDEPENDENTLY of the HTML and walks it recursively — any
+    extraction drift (quote forms, self-link filter) diverges."""
+    from .frontier.canon import canonical_resolution
+
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id") % 500
+    tgt = (
+        F.when(k == 7, F.lit(11).cast("long"))
+        .when(k == 11, F.lit(7).cast("long"))
+        .when(k % 5 == 0, k)
+        .when(k % 3 == 0, F.expr("(event_id % 500) div 2"))
+    )
+    link = F.when(
+        tgt.isNotNull() & (k % 2 == 0),
+        F.concat(
+            F.lit('<link rel="canonical" href="/p/'), tgt.cast("string"),
+            F.lit('">'),
+        ),
+    ).when(
+        tgt.isNotNull(),
+        F.concat(
+            F.lit("<link rel=canonical href=/p/"), tgt.cast("string"), F.lit(">")
+        ),
+    ).otherwise(F.lit(""))
+    pages = e.select(k.alias("k"), link.alias("_l")).distinct().select(
+        F.concat(F.lit("/p/"), F.col("k").cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><head>"), F.col("_l"), F.lit("</head><body>x</body></html>")
+        ).alias("html"),
+    )
+    return canonical_resolution(pages, max_hops=8)
+
+
+SQL_CANONICAL_RESOLUTION = """
+WITH RECURSIVE ks AS (
+  SELECT DISTINCT event_id % 500 AS k FROM events
+), e AS (
+  SELECT '/p/' || k AS src, '/p/' || dst AS dst FROM (
+    SELECT k,
+           CASE WHEN k = 7 THEN 11
+                WHEN k = 11 THEN 7
+                WHEN k % 5 = 0 THEN NULL
+                WHEN k % 3 = 0 THEN k // 2 END AS dst
+    FROM ks
+  ) WHERE dst IS NOT NULL AND dst <> k
+), allnodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), walk AS (
+  SELECT node AS src, node AS cur, 0 AS hops FROM allnodes
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.cur
+  WHERE w.hops < 8
+), fin AS (
+  SELECT src, max(hops) AS mh FROM walk GROUP BY src
+)
+SELECT w.src AS node, w.cur AS final_node, CAST(w.hops AS BIGINT) AS hops,
+       CAST(CASE WHEN w.cur IN (SELECT src FROM e) THEN 0 ELSE 1 END AS INTEGER)
+         AS resolved
+FROM walk w JOIN fin f ON w.src = f.src AND w.hops = f.mh
+"""
+
+
 # --- X116: global byte-budget admission ---------------------------------------
 
 BB_BUDGET = 40_000_000  # bytes; ~30% of the sf0.01 candidate total
@@ -1001,6 +1076,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_status_drift": q_status_drift,
             "q_adaptive_delay": q_adaptive_delay,
             "q_byte_budget": q_byte_budget,
+            "q_canonical_resolution": q_canonical_resolution,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -1031,6 +1107,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_status_drift": SQL_STATUS_DRIFT,
             "q_adaptive_delay": SQL_ADAPTIVE_DELAY,
             "q_byte_budget": SQL_BYTE_BUDGET,
+            "q_canonical_resolution": SQL_CANONICAL_RESOLUTION,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

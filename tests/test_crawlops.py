@@ -798,3 +798,28 @@ def test_byte_budget_select_matches_flat_order(spark):
         cum += b
         assert got[url] == (cum, cum <= budget), url
     assert 0 < sum(v[1] for v in got.values()) < len(rows)
+
+
+def test_rel_canonical_edges_and_chains(spark):
+    """X117: quoted and bare attribute forms parse; self-links drop;
+    chains resolve through hops; a declared cycle reports unresolved."""
+    from oa_spider_spark.frontier.canon import canonical_resolution
+
+    rows = [
+        ("/a", '<head><link rel="canonical" href="/b"></head>'),
+        ("/b", "<head><link rel=canonical href=/c></head>"),
+        ("/c", "<head></head>"),                                   # terminal
+        ("/self", '<head><link rel="canonical" href="/self"></head>'),
+        ("/x", '<head><link rel="canonical" href="/y"></head>'),
+        ("/y", '<head><link rel="canonical" href="/x"></head>'),   # cycle
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    got = {
+        r.node: (r.final_node, r.hops, r.resolved)
+        for r in canonical_resolution(pages, max_hops=8).collect()
+    }
+    assert got["/a"] == ("/c", 2, 1)
+    assert got["/b"] == ("/c", 1, 1)
+    assert got["/c"] == ("/c", 0, 1)
+    assert "/self" not in got            # self-link contributes no edge
+    assert got["/x"][2] == 0 and got["/x"][1] == 8   # cycle: hop cap, unresolved
