@@ -841,3 +841,57 @@ def retention_cohorts(
             "retention_milli",
         )
     )
+
+
+def annotator_agreement(
+    labels: DataFrame,
+    rater_a: str = "a",
+    rater_b: str = "b",
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cohen's kappa between two raters over the co-rated items, in
+    EXACT integers — the labeling-QA gate a supervised-data pipeline
+    runs before trusting a batch of annotations. The float formula
+    (po−pe)/(1−pe) becomes, after clearing denominators,
+
+        kappa_milli = 1000·(agree·n − S) div (n² − S),
+        S = Σ_c n_a(c)·n_b(c)
+
+    so no per-class fraction is ever rounded before the sum. Degenerate
+    marginals (n² = S, chance agreement 1) report 1000 iff agreement is
+    perfect, else 0, flagged via `degenerate`.
+
+    Scale shape: one equi-join on item (both sides pre-filtered to one
+    rater each), class marginals are two class-sized aggregates joined
+    on label — never a pivot over raters or a window."""
+    a = labels.filter(F.col(rater_col) == rater_a).select(
+        F.col(item_col).alias("_i"), F.col(label_col).alias("_la")
+    )
+    b = labels.filter(F.col(rater_col) == rater_b).select(
+        F.col(item_col).alias("_i"), F.col(label_col).alias("_lb")
+    )
+    j = a.join(b, "_i")
+    counts = j.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("_la") == F.col("_lb")).cast("long")).alias("agree"),
+    )
+    na = j.groupBy(F.col("_la").alias("_c")).agg(F.count("*").alias("_na"))
+    nb = j.groupBy(F.col("_lb").alias("_c")).agg(F.count("*").alias("_nb"))
+    s = (
+        na.join(nb, "_c")
+        .agg(F.coalesce(F.sum(F.col("_na") * F.col("_nb")), F.lit(0)).alias("s"))
+    )
+    out = counts.crossJoin(F.broadcast(s))
+    return out.select(
+        "n",
+        "agree",
+        F.expr("1000 * agree div n").alias("po_milli"),
+        F.expr("1000 * s div (n * n)").alias("pe_milli"),
+        (F.col("n") * F.col("n") == F.col("s")).alias("degenerate"),
+        F.expr(
+            "CASE WHEN n * n = s THEN CASE WHEN agree = n THEN 1000 ELSE 0 END "
+            "ELSE 1000 * (agree * n - s) div (n * n - s) END"
+        ).alias("kappa_milli"),
+    )

@@ -805,6 +805,61 @@ WHERE (1000::HUGEINT * p.c_ab * n.n_bigrams)
 """
 
 
+# --- X118: inter-annotator agreement (exact-integer Cohen's kappa) -----------
+
+
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118: Cohen's kappa (operators/pipeline.py::annotator_agreement).
+    Items i = event_id mod 3000, 5 classes: rater a labels (i·7) mod 5;
+    rater b agrees except every 6th item, where the label rotates one
+    class — agreement 5/6 against near-uniform marginals (chance ≈ 1/5),
+    kappa ≈ 792 milli. The oracle clears the same denominators; any
+    drift in the marginal sum S or the div order mismatches."""
+    from .operators.pipeline import annotator_agreement
+
+    e = _t(spark, sf_dir, "events")
+    i = (F.col("event_id") % 3000).alias("item_id")
+    la = ((F.col("event_id") % 3000) * 7 % 5).alias("label")
+    lb = (
+        ((F.col("event_id") % 3000) * 7
+         + F.when(F.col("event_id") % 3000 % 6 == 0, 1).otherwise(0)) % 5
+    ).alias("label")
+    base = e.select(i, la, lb.alias("lb")).distinct()
+    labels = base.select(
+        "item_id", F.lit("a").alias("rater"), F.col("label")
+    ).unionByName(
+        base.select("item_id", F.lit("b").alias("rater"), F.col("lb").alias("label"))
+    )
+    return annotator_agreement(labels)
+
+
+SQL_ANNOTATOR_KAPPA = """
+WITH items AS (
+  SELECT DISTINCT event_id % 3000 AS i FROM events
+), j AS (
+  SELECT i, (i * 7) % 5 AS la,
+         (i * 7 + CASE WHEN i % 6 = 0 THEN 1 ELSE 0 END) % 5 AS lb
+  FROM items
+), c AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN la = lb THEN 1 ELSE 0 END)::BIGINT AS agree
+  FROM j
+), na AS (SELECT la AS c2, count(*) AS na FROM j GROUP BY la),
+nb AS (SELECT lb AS c2, count(*) AS nb FROM j GROUP BY lb),
+s AS (
+  SELECT coalesce(sum(na.na * nb.nb), 0)::BIGINT AS s
+  FROM na JOIN nb USING (c2)
+)
+SELECT n, agree,
+       (1000 * agree) // n AS po_milli,
+       (1000 * s) // (n * n) AS pe_milli,
+       n * n = s AS degenerate,
+       CASE WHEN n * n = s THEN CASE WHEN agree = n THEN 1000 ELSE 0 END
+            ELSE (1000 * (agree * n - s)) // (n * n - s) END AS kappa_milli
+FROM c CROSS JOIN s
+"""
+
+
 # --- X109: weekly cohort retention matrix ------------------------------------
 
 
@@ -988,6 +1043,7 @@ def register(
             "q_gopher_rules": q_gopher_rules,
             "q_repeated_spans": q_repeated_spans,
             "q_retention_cohorts": q_retention_cohorts,
+            "q_annotator_kappa": q_annotator_kappa,
             "q_repetition_stats": q_repetition_stats,
             "q_tfidf_top_terms": q_tfidf_top_terms,
             "q_triangle_count": q_triangle_count,
@@ -1014,6 +1070,7 @@ def register(
             "q_gopher_rules": SQL_GOPHER_RULES,
             "q_repeated_spans": SQL_REPEATED_SPANS,
             "q_retention_cohorts": SQL_RETENTION_COHORTS,
+            "q_annotator_kappa": SQL_ANNOTATOR_KAPPA,
             "q_repetition_stats": SQL_REPETITION_STATS,
             "q_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
             "q_triangle_count": SQL_TRIANGLE_COUNT,

@@ -531,3 +531,17 @@ def test_retention_cohorts_matrix(spark):
         (wk1, 0): (1, 1, 1000),
         (wk1, 1): (1, 1, 1000),
     }
+
+
+def test_annotator_agreement_kappa(spark):
+    """X118: hand-checkable kappa — po 750, pe 500, kappa 500 milli."""
+    from oa_spider_spark.operators.pipeline import annotator_agreement
+
+    rows = []
+    for item, (la, lb) in enumerate([(0, 0), (0, 0), (1, 1), (1, 0)]):
+        rows += [(item, "a", la), (item, "b", lb)]
+    labels = spark.createDataFrame(rows, "item_id long, rater string, label long")
+    r = annotator_agreement(labels).collect()[0]
+    assert (r.n, r.agree) == (4, 3)
+    assert (r.po_milli, r.pe_milli) == (750, 500)
+    assert r.kappa_milli == 500 and not r.degenerate
