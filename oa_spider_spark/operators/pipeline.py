@@ -895,3 +895,76 @@ def annotator_agreement(
             "ELSE 1000 * (agree * n - s) div (n * n - s) END"
         ).alias("kappa_milli"),
     )
+
+
+def dense_vocab_ids(
+    counts: DataFrame,
+    existing: DataFrame | None = None,
+    term_col: str = "term",
+    df_col: str = "df",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Stable dense vocabulary numbering — the embedding-table id
+    assignment a training pipeline needs: ids are 0..V-1 in
+    (document-frequency DESC, term ASC) order (frequent terms get small
+    ids, the layout embedding kernels want), and once assigned they
+    NEVER move: with `existing` (term, vid) given, old terms keep their
+    ids and only unseen terms append after max(vid), ranked among
+    themselves — growing the corpus can only extend the table.
+
+    Scale shape: the global rank is the two-level cell decomposition
+    (exact negated df × term PREFIX — a prefix is a monotone coarsening
+    of the term order, so the df=1 long tail spreads across prefix
+    cells instead of one giant window task); the append base rides a
+    broadcast one-row max, never a driver collect."""
+
+    def _ranked(df0: DataFrame, base_col) -> DataFrame:
+        extra = [F.col("_mx")] if "_mx" in df0.columns else []
+        keyed = df0.select(
+            F.col(term_col).alias("term"),
+            F.col(df_col).cast("long").alias("df"),
+            (-F.col(df_col).cast("long")).alias("_d"),
+            F.substring(F.col(term_col), 1, prefix_len).alias("_pre"),
+            *extra,
+        )
+        w_off = Window.orderBy("_d", "_pre").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            keyed.groupBy("_d", "_pre")
+            .agg(F.count("*").alias("_c"))
+            .withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
+            .select("_d", "_pre", "_off")
+        )
+        w_in = Window.partitionBy("_d", "_pre").orderBy("term")
+        return (
+            keyed.join(F.broadcast(offsets), ["_d", "_pre"])
+            .withColumn(
+                "vid",
+                base_col + F.col("_off") + F.row_number().over(w_in) - 1,
+            )
+            .select("term", "df", "vid")
+        )
+
+    if existing is None:
+        return _ranked(counts, F.lit(0).cast("long")).withColumn(
+            "is_new", F.lit(True)
+        )
+    ex = existing.select(F.col(term_col).alias("term"), F.col("vid"))
+    mx = ex.agg(
+        F.coalesce(F.max("vid"), F.lit(-1).cast("long")).alias("_mx")
+    )
+    new = (
+        counts.join(ex, counts[term_col] == ex["term"], "left_anti")
+        .crossJoin(F.broadcast(mx))
+    )
+    ranked_new = _ranked(new, F.col("_mx") + 1).withColumn(
+        "is_new", F.lit(True)
+    )
+    kept = (
+        counts.select(F.col(term_col).alias("term"), F.col(df_col).cast("long").alias("df"))
+        .join(ex, "term")
+        .select("term", "df", "vid")
+        .withColumn("is_new", F.lit(False))
+    )
+    return kept.unionByName(ranked_new)

@@ -805,6 +805,53 @@ WHERE (1000::HUGEINT * p.c_ab * n.n_bigrams)
 """
 
 
+# --- X119: stable dense vocabulary ids ---------------------------------------
+
+
+def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119: embedding-table numbering (operators/pipeline.py::
+    dense_vocab_ids). Document frequency over the documents words; the
+    df>=8 head plays the PREVIOUS snapshot (assigned first, ids
+    0..V₀-1), then the full vocabulary assigns incrementally — head ids
+    must not move, tail terms append after max(vid) in (df DESC, term)
+    order. Oracle: two flat row_numbers + the max offset."""
+    from .operators.pipeline import dense_vocab_ids
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    ).distinct()
+    counts = words.groupBy("term").agg(F.count("*").alias("df"))
+    existing = dense_vocab_ids(counts.filter(F.col("df") >= 8)).select(
+        "term", "vid"
+    )
+    return dense_vocab_ids(counts, existing)
+
+
+SQL_VOCAB_IDS = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, count(*) AS df FROM pairs GROUP BY term
+), old AS (
+  SELECT term, df,
+         row_number() OVER (ORDER BY df DESC, term) - 1 AS vid
+  FROM counts WHERE df >= 8
+), mx AS (
+  SELECT coalesce(max(vid), -1) AS mx FROM old
+), newt AS (
+  SELECT term, df,
+         row_number() OVER (ORDER BY df DESC, term) - 1 AS r
+  FROM counts WHERE df < 8
+)
+SELECT term, df, vid::BIGINT AS vid, FALSE AS is_new FROM old
+UNION ALL
+SELECT term, df, (mx + 1 + r)::BIGINT AS vid, TRUE AS is_new
+FROM newt CROSS JOIN mx
+"""
+
+
 # --- X118: inter-annotator agreement (exact-integer Cohen's kappa) -----------
 
 
@@ -1044,6 +1091,7 @@ def register(
             "q_repeated_spans": q_repeated_spans,
             "q_retention_cohorts": q_retention_cohorts,
             "q_annotator_kappa": q_annotator_kappa,
+            "q_vocab_ids": q_vocab_ids,
             "q_repetition_stats": q_repetition_stats,
             "q_tfidf_top_terms": q_tfidf_top_terms,
             "q_triangle_count": q_triangle_count,
@@ -1071,6 +1119,7 @@ def register(
             "q_repeated_spans": SQL_REPEATED_SPANS,
             "q_retention_cohorts": SQL_RETENTION_COHORTS,
             "q_annotator_kappa": SQL_ANNOTATOR_KAPPA,
+            "q_vocab_ids": SQL_VOCAB_IDS,
             "q_repetition_stats": SQL_REPETITION_STATS,
             "q_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
             "q_triangle_count": SQL_TRIANGLE_COUNT,

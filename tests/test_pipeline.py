@@ -545,3 +545,25 @@ def test_annotator_agreement_kappa(spark):
     assert (r.n, r.agree) == (4, 3)
     assert (r.po_milli, r.pe_milli) == (750, 500)
     assert r.kappa_milli == 500 and not r.degenerate
+
+
+def test_dense_vocab_ids_stability(spark):
+    """X119: frequent terms get small ids; existing ids never move;
+    new terms append after max(vid) in (df DESC, term) order."""
+    from oa_spider_spark.operators.pipeline import dense_vocab_ids
+
+    counts = spark.createDataFrame(
+        [("x", 5), ("y", 5), ("a", 3), ("b", 1), ("c", 1)],
+        "term string, df long",
+    )
+    first = dense_vocab_ids(counts.filter("df >= 5"))
+    ids0 = {r.term: r.vid for r in first.collect()}
+    assert ids0 == {"x": 0, "y": 1}
+    full = {
+        r.term: (r.vid, r.is_new)
+        for r in dense_vocab_ids(counts, first.select("term", "vid")).collect()
+    }
+    assert full == {
+        "x": (0, False), "y": (1, False),
+        "a": (2, True), "b": (3, True), "c": (4, True),
+    }
