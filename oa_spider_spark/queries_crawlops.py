@@ -585,6 +585,184 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X120: per-host crawl-health dashboard (composed) -------------------------
+
+
+def q_host_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120: the ops view a crawl fleet actually watches — ONE host
+    universe (h = event_id mod 20) feeding four operators, joined per
+    host: overall ok-rate, worst consecutive-round status drift (X111),
+    novelty-decay saturation (X106), and the p95-latency adaptive delay
+    (X113). health = 'quarantine' (drift flagged OR saturated) >
+    'throttle' (delay >= 1000 ms) > 'healthy'. The oracle chains every
+    stage's SQL as CTEs on the same universe — the corpus_pipeline
+    composition discipline applied to crawl ops."""
+    from .frontier.politeness import adaptive_crawl_delay
+    from .frontier.recrawl import host_saturation, status_drift
+
+    e = _t(spark, sf_dir, "events")
+    h = (F.col("event_id") % 20).alias("h")
+    r = (F.expr("event_id div 20") % 8).alias("r")
+    pick = F.when(
+        (F.col("r") == F.col("h") % 8) & (F.col("h") % 3 == 0),
+        F.col("event_id") % 4,
+    ).otherwise(F.col("event_id") % 2)
+    st = F.element_at(
+        F.array(F.lit("ok"), F.lit("retry"), F.lit("dead"), F.lit("redirect")),
+        pick.cast("int") + 1,
+    )
+    log = (
+        e.select(h, r, "event_id")
+        .withColumn("status", st)
+        .groupBy("h", "r", "status")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+            F.col("r").alias("round"),
+            "status",
+            "n",
+        )
+    )
+    sr = log.groupBy("host").agg(
+        F.expr(
+            "1000 * sum(CASE WHEN status = 'ok' THEN n ELSE 0 END) div sum(n)"
+        ).alias("ok_milli")
+    )
+    dr = (
+        status_drift(log, drift_threshold_milli=400)
+        .groupBy("host")
+        .agg(
+            F.max("drift_milli").alias("max_drift_milli"),
+            (F.max(F.col("flagged").cast("int")) == 1).alias("drift_flagged"),
+        )
+    )
+    visits = (
+        e.select(h, r)
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+            F.col("r").alias("round"),
+            ((F.col("h") + F.col("r")) % 7 + 3).alias("fetched"),
+            F.greatest(
+                (F.col("h") + F.col("r")) % 7 + 3 - F.col("r"), F.lit(0)
+            ).alias("new_count"),
+        )
+    )
+    sat = host_saturation(visits, novelty_threshold_milli=300, k_rounds=3).select(
+        "host", "streak_below", "saturated"
+    )
+    lat = e.select(
+        F.concat(F.lit("h"), h.cast("string")).alias("host"),
+        (
+            F.expr("((event_id * 37) % 997) div (1 + (event_id % 20) % 7)")
+            + ((F.col("event_id") % 20) % 5) * 300
+        ).cast("long").alias("elapsed_ms"),
+    )
+    delay = adaptive_crawl_delay(
+        lat, factor_milli=2000, min_delay_ms=100, max_delay_ms=5000
+    ).select("host", "p95_ms", "crawl_delay_ms")
+    dash = sr.join(dr, "host").join(sat, "host").join(delay, "host")
+    health = (
+        F.when(F.col("drift_flagged") | F.col("saturated"), "quarantine")
+        .when(F.col("crawl_delay_ms") >= 1000, "throttle")
+        .otherwise("healthy")
+    )
+    return dash.select(
+        "host", "ok_milli", "max_drift_milli", "drift_flagged",
+        "streak_below", "saturated", "p95_ms", "crawl_delay_ms",
+        health.alias("health"),
+    )
+
+
+SQL_HOST_DASHBOARD = """
+WITH ev AS (
+  SELECT event_id % 20 AS h, (event_id // 20) % 8 AS r,
+         CASE WHEN (event_id // 20) % 8 = (event_id % 20) % 8
+                   AND (event_id % 20) % 3 = 0
+              THEN event_id % 4 ELSE event_id % 2 END AS pick,
+         event_id
+  FROM events
+), log AS (
+  SELECT 'h' || h AS host, r AS round,
+         ['ok','retry','dead','redirect'][pick + 1] AS status, count(*) AS n
+  FROM ev GROUP BY h, r, pick
+), sr AS (
+  SELECT host,
+         ((1000 * sum(CASE WHEN status = 'ok' THEN n ELSE 0 END))
+          // sum(n))::BIGINT AS ok_milli
+  FROM log GROUP BY host
+), per AS (
+  SELECT host, round,
+         (1000 * sum(CASE WHEN status = 'ok' THEN n ELSE 0 END))
+           // sum(n) AS m_ok,
+         (1000 * sum(CASE WHEN status = 'retry' THEN n ELSE 0 END))
+           // sum(n) AS m_retry,
+         (1000 * sum(CASE WHEN status = 'dead' THEN n ELSE 0 END))
+           // sum(n) AS m_dead,
+         (1000 * sum(CASE WHEN status = 'redirect' THEN n ELSE 0 END))
+           // sum(n) AS m_redirect
+  FROM log GROUP BY host, round
+), dr AS (
+  SELECT a.host,
+         max(abs(a.m_ok - b.m_ok) + abs(a.m_retry - b.m_retry)
+             + abs(a.m_dead - b.m_dead)
+             + abs(a.m_redirect - b.m_redirect))::BIGINT AS max_drift_milli,
+         bool_or(abs(a.m_ok - b.m_ok) + abs(a.m_retry - b.m_retry)
+                 + abs(a.m_dead - b.m_dead)
+                 + abs(a.m_redirect - b.m_redirect) > 400) AS drift_flagged
+  FROM per a JOIN per b ON a.host = b.host AND b.round = a.round + 1
+  GROUP BY a.host
+), vis AS (
+  SELECT DISTINCT h, r FROM ev
+), v2 AS (
+  SELECT 'h' || h AS host, r, (h + r) % 7 + 3 AS f,
+         greatest((h + r) % 7 + 3 - r, 0) AS nw
+  FROM vis
+), nv AS (
+  SELECT host, r, (1000 * sum(nw)) // sum(f) AS novelty
+  FROM v2 GROUP BY host, r
+), la AS (
+  SELECT host, max(CASE WHEN novelty >= 300 THEN r END) AS la
+  FROM nv GROUP BY host
+), sat AS (
+  SELECT nv.host,
+         sum(CASE WHEN la.la IS NULL OR r > la.la THEN 1 ELSE 0 END)::BIGINT
+           AS streak_below,
+         sum(CASE WHEN la.la IS NULL OR r > la.la THEN 1 ELSE 0 END) >= 3
+           AS saturated
+  FROM nv JOIN la ON nv.host = la.host
+  GROUP BY nv.host
+), lf AS (
+  SELECT 'h' || h AS host,
+         ((event_id * 37) % 997) // (1 + h % 7) + (h % 5) * 300 AS lat
+  FROM ev
+), sk AS (
+  SELECT host, lat // 64 AS bucket, count(*) AS cnt FROM lf GROUP BY host, bucket
+), cum AS (
+  SELECT host, bucket,
+         sum(cnt) OVER (PARTITION BY host ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY host) AS n
+  FROM sk
+), hit AS (
+  SELECT host,
+         min(CASE WHEN cum >= (950 * n + 999) // 1000 THEN bucket END) AS b
+  FROM cum GROUP BY host
+), dl AS (
+  SELECT host, (b * 64 + 63)::BIGINT AS p95_ms,
+         least(5000, greatest(100, ((b * 64 + 63) * 2000) // 1000))::BIGINT
+           AS crawl_delay_ms
+  FROM hit
+)
+SELECT sr.host, sr.ok_milli, dr.max_drift_milli, dr.drift_flagged,
+       sat.streak_below, sat.saturated, dl.p95_ms, dl.crawl_delay_ms,
+       CASE WHEN dr.drift_flagged OR sat.saturated THEN 'quarantine'
+            WHEN dl.crawl_delay_ms >= 1000 THEN 'throttle'
+            ELSE 'healthy' END AS health
+FROM sr JOIN dr USING (host) JOIN sat USING (host) JOIN dl USING (host)
+"""
+
+
 # --- X117: rel=canonical cluster resolution -----------------------------------
 
 
@@ -1077,6 +1255,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_adaptive_delay": q_adaptive_delay,
             "q_byte_budget": q_byte_budget,
             "q_canonical_resolution": q_canonical_resolution,
+            "q_host_dashboard": q_host_dashboard,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -1108,6 +1287,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_adaptive_delay": SQL_ADAPTIVE_DELAY,
             "q_byte_budget": SQL_BYTE_BUDGET,
             "q_canonical_resolution": SQL_CANONICAL_RESOLUTION,
+            "q_host_dashboard": SQL_HOST_DASHBOARD,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,
