@@ -139,6 +139,12 @@ AUDITED = [
     "q_adaptive_delay",
     "q_render_routing",
     "q_charset_detect",
+    # X116-X120: byte budget, canonical chains, kappa, vocab ids, dashboard
+    "q_byte_budget",
+    "q_canonical_resolution",
+    "q_annotator_kappa",
+    "q_vocab_ids",
+    "q_host_dashboard",
 ]
 
 
