@@ -335,3 +335,54 @@ def render_routing(
         .otherwise("static")
         .alias("route"),
     )
+
+
+def extract_tables(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML tables to relational cells — (doc, table_idx, row_idx,
+    col_idx, cell_text) — the structured-data mining step that turns a
+    crawled page's <table> islands into joinable rows (the reference
+    scrapes exactly one fixed table shape at oa.py:922-941; a general
+    pipeline gets arbitrary ones). Pure JVM regex explode: tables via
+    regexp_extract_all('(?is)<table[^>]*>(.*?)</table>'), rows via
+    '(?is)<tr[^>]*>(.*?)</tr>', cells via '(?is)<t[dh][^>]*>(.*?)</t[dh]>'
+    (td and th both — header rows are data here), inner tags stripped
+    and whitespace collapsed. Three posexplodes, zero shuffles, zero
+    Python — a page never leaves its row until the final cell explode.
+    Nested tables surface their cells under the OUTER table's cell scan
+    once stripped — genuinely nested layouts need the DOM parser above;
+    this is the bulk-mining fast path."""
+    from pyspark.sql import functions as F
+
+    tables = F.expr(
+        f"regexp_extract_all({html_col}, '(?is)<table[^>]*>(.*?)</table>', 1)"
+    )
+    t = pages.select(
+        F.col(id_col), F.posexplode(tables).alias("table_idx", "_t")
+    )
+    rows = t.select(
+        id_col,
+        "table_idx",
+        F.posexplode(
+            F.expr("regexp_extract_all(_t, '(?is)<tr[^>]*>(.*?)</tr>', 1)")
+        ).alias("row_idx", "_r"),
+    )
+    cells = rows.select(
+        id_col,
+        "table_idx",
+        "row_idx",
+        F.posexplode(
+            F.expr(
+                "regexp_extract_all(_r, '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1)"
+            )
+        ).alias("col_idx", "_c"),
+    )
+    txt = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_c"), r"(?s)<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    return cells.select(
+        id_col, "table_idx", "row_idx", "col_idx", txt.alias("cell_text")
+    )

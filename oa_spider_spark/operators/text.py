@@ -651,3 +651,40 @@ def ngram_positions(
     return base.select(
         "doc_id", F.posexplode(F.expr(grams)).alias("pos", "ngram")
     )
+
+
+def truncation_loss(
+    docs: DataFrame,
+    lengths: tuple[int, ...] = (128, 256, 512, 1024),
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length planning curve: for each candidate truncation
+    length L (in whitespace tokens), how many documents overflow, how
+    many tokens would be cut, and the lost-token fraction in milli —
+    the table that decides a pipeline's sequence length / chunking
+    policy before anyone trains anything. One row-local token count,
+    one explode over the (tiny) L grid, one groupBy(L) with map-side
+    combine; totals are DECIMAL(38,0)-safe longs."""
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    g = docs.select(
+        n.alias("_n"),
+        F.explode(F.array(*[F.lit(int(x)).cast("long") for x in lengths])).alias(
+            "trunc_len"
+        ),
+    )
+    return (
+        g.groupBy("trunc_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("_n") > F.col("trunc_len")).cast("long")).alias(
+                "docs_over"
+            ),
+            F.sum("_n").alias("total_tokens"),
+            F.sum(F.greatest(F.col("_n") - F.col("trunc_len"), F.lit(0))).alias(
+                "tokens_lost"
+            ),
+        )
+        .withColumn(
+            "lost_milli", F.expr("1000 * tokens_lost div total_tokens")
+        )
+    )

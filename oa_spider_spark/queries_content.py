@@ -321,6 +321,51 @@ FROM s2 WHERE len(cur) > 0
 """
 
 
+# --- X121: HTML table -> relational cells -------------------------------------
+
+
+def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121: bulk table mining (operators/html.py::extract_tables).
+    Every doc publishes a 3-row key/value table (th header row, a
+    source row, an inner-<b>-tagged label the strip must flatten) and
+    every 4th doc a SECOND one-cell table — multi-table indexing,
+    th+td mixing, and tag stripping all live. The oracle derives the
+    cell relation directly from the source columns, never touching the
+    HTML — extraction drift mismatches values."""
+    from .operators.html import extract_tables
+
+    d = _t(spark, sf_dir, "documents")
+    t1 = F.concat(
+        F.lit("<table><tr><th>k</th><th>v</th></tr><tr><td>src</td><td>"),
+        F.col("source"),
+        F.lit("</td></tr><tr><td><b>n</b></td><td>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</td></tr></table>"),
+    )
+    html = F.concat(
+        F.lit("<html><body>"),
+        t1,
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("<table><tr><td>extra</td></tr></table>"),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return extract_tables(d.select("doc_id", html.alias("html")))
+
+
+SQL_TABLE_EXTRACT = """
+SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx, 'k' AS cell_text
+FROM documents
+UNION ALL SELECT doc_id, 0, 0, 1, 'v' FROM documents
+UNION ALL SELECT doc_id, 0, 1, 0, 'src' FROM documents
+UNION ALL SELECT doc_id, 0, 1, 1, source FROM documents
+UNION ALL SELECT doc_id, 0, 2, 0, 'n' FROM documents
+UNION ALL SELECT doc_id, 0, 2, 1, n_chars::VARCHAR FROM documents
+UNION ALL SELECT doc_id, 1, 0, 0, 'extra' FROM documents WHERE doc_id % 4 = 0
+"""
+
+
 # --- X115: charset detection cascade ------------------------------------------
 
 
@@ -507,6 +552,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_phrase_search": q_phrase_search,
             "q_render_routing": q_render_routing,
             "q_charset_detect": q_charset_detect,
+            "q_table_extract": q_table_extract,
         }
     )
     oracles.update(
@@ -519,5 +565,6 @@ def register(queries: dict, oracles: dict) -> None:
             "q_phrase_search": SQL_PHRASE_SEARCH,
             "q_render_routing": SQL_RENDER_ROUTING,
             "q_charset_detect": SQL_CHARSET_DETECT,
+            "q_table_extract": SQL_TABLE_EXTRACT,
         }
     )

@@ -805,6 +805,39 @@ WHERE (1000::HUGEINT * p.c_ab * n.n_bigrams)
 """
 
 
+# --- X122: truncation-loss planning curve ------------------------------------
+
+
+def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122: context-length planning (operators/text.py::
+    truncation_loss) over documents at L ∈ {16, 32, 64, 128} — the
+    word-count distribution (10..99) makes every grid point distinct,
+    including the zero-loss L=128 edge."""
+    from .operators.text import truncation_loss
+
+    return truncation_loss(
+        _t(spark, sf_dir, "documents"), lengths=(16, 32, 64, 128)
+    )
+
+
+SQL_TRUNCATION_LOSS = r"""
+WITH n AS (
+  SELECT len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n
+  FROM documents
+), g AS (
+  SELECT n, unnest([16, 32, 64, 128]) AS trunc_len FROM n
+)
+SELECT trunc_len::BIGINT AS trunc_len,
+       count(*) AS n_docs,
+       sum(CASE WHEN n > trunc_len THEN 1 ELSE 0 END)::BIGINT AS docs_over,
+       sum(n)::BIGINT AS total_tokens,
+       sum(greatest(n - trunc_len, 0))::BIGINT AS tokens_lost,
+       ((1000 * sum(greatest(n - trunc_len, 0))) // sum(n))::BIGINT
+         AS lost_milli
+FROM g GROUP BY trunc_len
+"""
+
+
 # --- X119: stable dense vocabulary ids ---------------------------------------
 
 
@@ -1092,6 +1125,7 @@ def register(
             "q_retention_cohorts": q_retention_cohorts,
             "q_annotator_kappa": q_annotator_kappa,
             "q_vocab_ids": q_vocab_ids,
+            "q_truncation_loss": q_truncation_loss,
             "q_repetition_stats": q_repetition_stats,
             "q_tfidf_top_terms": q_tfidf_top_terms,
             "q_triangle_count": q_triangle_count,
@@ -1120,6 +1154,7 @@ def register(
             "q_retention_cohorts": SQL_RETENTION_COHORTS,
             "q_annotator_kappa": SQL_ANNOTATOR_KAPPA,
             "q_vocab_ids": SQL_VOCAB_IDS,
+            "q_truncation_loss": SQL_TRUNCATION_LOSS,
             "q_repetition_stats": SQL_REPETITION_STATS,
             "q_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
             "q_triangle_count": SQL_TRIANGLE_COUNT,

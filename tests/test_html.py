@@ -95,3 +95,26 @@ def test_render_routing_signals(spark):
     assert got[2] == (0, True, "render")    # mount + no server text
     assert got[3] == (0, True, "static")    # mount but real content
     assert got[4] == (2, False, "render")   # script-dominated
+
+
+def test_extract_tables_cells(spark):
+    """X121: multi-table indexing, th+td cells, inner tags stripped,
+    whitespace collapsed."""
+    from oa_spider_spark.operators.html import extract_tables
+
+    html = (
+        "<table><tr><th>A</th><td> b <i>c</i> </td></tr>"
+        "<tr><td>d</td></tr></table><p>x</p>"
+        "<TABLE><tr><td>e</td></tr></TABLE>"
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    got = {
+        (r.table_idx, r.row_idx, r.col_idx): r.cell_text
+        for r in extract_tables(df).collect()
+    }
+    assert got == {
+        (0, 0, 0): "A",
+        (0, 0, 1): "b c",
+        (0, 1, 0): "d",
+        (1, 0, 0): "e",
+    }

@@ -1229,3 +1229,20 @@ def test_charset_detect_precedence(spark):
         5: ("ascii", "heuristic", 0),
         6: ("ascii", "heuristic", 0),
     }
+
+
+def test_truncation_loss_curve(spark):
+    """X122: overflow counts and lost-token sums per grid point."""
+    from oa_spider_spark.operators.text import truncation_loss
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 5)), (2, " ".join(["w"] * 10)),
+         (3, " ".join(["w"] * 20))],
+        "doc_id long, text string",
+    )
+    got = {
+        r.trunc_len: (r.n_docs, r.docs_over, r.total_tokens, r.tokens_lost,
+                      r.lost_milli)
+        for r in truncation_loss(docs, lengths=(8, 16)).collect()
+    }
+    assert got == {8: (3, 2, 35, 14, 400), 16: (3, 1, 35, 4, 114)}
