@@ -968,3 +968,40 @@ def dense_vocab_ids(
         .withColumn("is_new", F.lit(False))
     )
     return kept.unionByName(ranked_new)
+
+
+def embedding_drift(
+    docs: DataFrame,
+    emb_old: DataFrame,
+    emb_new: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    threshold_micro: int = 50_000,
+) -> DataFrame:
+    """Per-language embedding-centroid drift between two snapshots —
+    the monitor that catches an encoder change, a scraper regression,
+    or a poisoned source shifting a language's representation before
+    anything retrains on it. Both centroids ride
+    lang_centroid_quantized (quantize-then-sum: exact under any
+    partitioning), so the drift — L1 over dims of |mean_old − mean_new|
+    plus the worst single dimension, in micro-units — is deterministic
+    and value-oracle-able end-to-end. One (lang, dim) equi-join of two
+    centroid tables (languages × dims rows — metadata-sized), one
+    lang-keyed aggregate."""
+    a = lang_centroid_quantized(docs, emb_old, vec_col, scale).select(
+        "lang", "dim", F.col("mean_q").alias("_a")
+    )
+    b = lang_centroid_quantized(docs, emb_new, vec_col, scale).select(
+        "lang", "dim", F.col("mean_q").alias("_b")
+    )
+    d = F.abs(F.col("_a") - F.col("_b"))
+    return (
+        a.join(b, ["lang", "dim"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.sum(d).alias("l1_micro"),
+            F.max(d).alias("max_dim_micro"),
+        )
+        .withColumn("drifted", F.col("l1_micro") > threshold_micro)
+    )

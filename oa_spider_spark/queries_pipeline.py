@@ -430,6 +430,68 @@ FROM d
 """
 
 
+# --- X123: embedding-centroid drift monitor ----------------------------------
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123: per-language centroid drift (operators/pipeline.py::
+    embedding_drift). The 'new' snapshot is the SAME vector set with a
+    +0.25 shift injected into dimension 0 for en/zh documents only —
+    natural sampling noise is exactly zero, so the monitor must read
+    ~250000 micro L1 (the quantized shift) for en/zh and 0 elsewhere;
+    threshold 100000 flags precisely the shifted languages. Float
+    discipline: the shift is F.lit(0.25) / 0.25::DOUBLE with identical
+    expression shape both engines (CLAUDE.md)."""
+    from .operators.pipeline import embedding_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    shifted = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            (i == 0) & F.col("lang").isin("en", "zh"), x + F.lit(0.25)
+        ).otherwise(x),
+    )
+    new = joined.select("vec_id", shifted.alias("embedding"))
+    return embedding_drift(docs, emb, new, threshold_micro=100_000)
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH d AS (
+  SELECT doc_id, lang FROM documents
+), x AS (
+  SELECT d.lang,
+         CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x
+  FROM d JOIN embeddings e ON d.doc_id = e.vec_id
+), old AS (
+  SELECT lang, dim,
+         CAST(floor(CAST(sum(floor(x * 1000000.0)) AS BIGINT) * 1.0
+                    / count(*)) AS BIGINT) AS m
+  FROM x GROUP BY lang, dim
+), newx AS (
+  SELECT lang, dim,
+         CASE WHEN dim = 0 AND lang IN ('en', 'zh')
+              THEN x + 0.25::DOUBLE ELSE x END AS x
+  FROM x
+), neww AS (
+  SELECT lang, dim,
+         CAST(floor(CAST(sum(floor(x * 1000000.0)) AS BIGINT) * 1.0
+                    / count(*)) AS BIGINT) AS m
+  FROM newx GROUP BY lang, dim
+)
+SELECT o.lang, count(*) AS n_dims,
+       sum(abs(o.m - n.m))::BIGINT AS l1_micro,
+       max(abs(o.m - n.m))::BIGINT AS max_dim_micro,
+       sum(abs(o.m - n.m)) > 100000 AS drifted
+FROM old o JOIN neww n ON o.lang = n.lang AND o.dim = n.dim
+GROUP BY o.lang
+"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
@@ -444,6 +506,7 @@ def register(
             "q_contamination": q_contamination,
             "q_pii_redact": q_pii_redact,
             "q_lang_centroid": q_lang_centroid,
+            "q_embedding_drift": q_embedding_drift,
             "q_user_sessions": q_sessionize,
             "q_incremental_dedup": q_incremental_dedup,
             "q_temperature_targets": q_temperature_targets,
@@ -458,6 +521,7 @@ def register(
             "q_contamination": SQL_CONTAMINATION,
             "q_pii_redact": SQL_PII_REDACT,
             "q_lang_centroid": SQL_LANG_CENTROID,
+            "q_embedding_drift": SQL_EMBEDDING_DRIFT,
             "q_user_sessions": SQL_SESSIONIZE,
             "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
             "q_temperature_targets": SQL_TEMPERATURE_TARGETS,

@@ -567,3 +567,38 @@ def test_dense_vocab_ids_stability(spark):
         "x": (0, False), "y": (1, False),
         "a": (2, True), "b": (3, True), "c": (4, True),
     }
+
+
+def test_embedding_drift_isolated_shift(spark):
+    """X123: identical snapshots drift 0; a known dim-0 shift on one
+    language reads exactly its quantized delta and flags only it."""
+    from oa_spider_spark.operators.pipeline import embedding_drift
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de")], "doc_id long, lang string"
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, [0.25, 0.125]), (3, [0.0625, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    same = {
+        r.lang: (r.l1_micro, r.drifted)
+        for r in embedding_drift(docs, emb, emb, threshold_micro=1).collect()
+    }
+    assert same == {"en": (0, False), "de": (0, False)}
+    from pyspark.sql import functions as F2
+
+    shifted = emb.select(
+        "vec_id",
+        F2.transform(
+            "embedding",
+            lambda x, i: F2.when(
+                (i == 0) & (F2.col("vec_id") < 3), x + F2.lit(0.5)
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    moved = {
+        r.lang: (r.l1_micro, r.max_dim_micro, r.drifted)
+        for r in embedding_drift(docs, emb, shifted, threshold_micro=100_000).collect()
+    }
+    assert moved == {"en": (500_000, 500_000, True), "de": (0, 0, False)}
