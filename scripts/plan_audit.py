@@ -145,6 +145,10 @@ AUDITED = [
     "q_annotator_kappa",
     "q_vocab_ids",
     "q_host_dashboard",
+    # X121-X123: table extraction, truncation loss, embedding drift
+    "q_table_extract",
+    "q_truncation_loss",
+    "q_embedding_drift",
 ]
 
 
