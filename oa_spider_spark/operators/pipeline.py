@@ -1005,3 +1005,54 @@ def embedding_drift(
         )
         .withColumn("drifted", F.col("l1_micro") > threshold_micro)
     )
+
+
+def join_preflight(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Pre-flight cardinality check for a planned equi-join: the EXACT
+    output size Sum_k n_L(k)*n_R(k) and the worst single key, computed
+    from two key-histogram aggregates JOINED ON KEY - cost O(distinct
+    keys), never the join itself. This is the guard that predicts the
+    quadratic blowup `_cap_groups` exists to stop (a 200-row hot key on
+    both sides reads as 40,000 output rows HERE, before anyone shuffles
+    a payload), and the number that decides broadcast vs shuffle vs
+    salt. Products ride DECIMAL(38,0) (ANSI discipline); amplification
+    is milli output-per-input-row.
+
+    Output: one row (n_left, n_right, n_keys_both, est_out_rows,
+    max_key_out, top_key, amp_milli)."""
+    k = [F.col(c).cast("string") for c in key_cols]
+    key = F.concat_ws("", *k).alias("_k")
+    la = left.select(key).groupBy("_k").agg(F.count("*").alias("_nl"))
+    ra = right.select(key).groupBy("_k").agg(F.count("*").alias("_nr"))
+    j = la.join(ra, "_k").select(
+        "_k", (F.col("_nl") * F.col("_nr")).cast("decimal(38,0)").alias("_p")
+    )
+    tot = j.agg(
+        F.count("*").alias("n_keys_both"),
+        F.coalesce(F.sum("_p"), F.lit(0).cast("decimal(38,0)")).alias("_est"),
+        F.coalesce(F.max("_p"), F.lit(0).cast("decimal(38,0)")).alias("_mx"),
+    )
+    top = (
+        j.orderBy(F.col("_p").desc(), F.col("_k").asc())
+        .limit(1)
+        .select(F.col("_k").alias("top_key"))
+    )
+    nl = left.agg(F.count("*").alias("n_left"))
+    nr = right.agg(F.count("*").alias("n_right"))
+    out = nl.crossJoin(nr).crossJoin(tot).crossJoin(F.broadcast(top))
+    return out.select(
+        "n_left",
+        "n_right",
+        "n_keys_both",
+        F.expr("cast(_est as long)").alias("est_out_rows"),
+        F.expr("cast(_mx as long)").alias("max_key_out"),
+        "top_key",
+        F.expr(
+            "CASE WHEN n_left + n_right = 0 THEN 0 "
+            "ELSE cast(1000 * _est div (n_left + n_right) as long) END"
+        ).alias("amp_milli"),
+    )

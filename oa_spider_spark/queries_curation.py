@@ -805,6 +805,50 @@ WHERE (1000::HUGEINT * p.c_ab * n.n_bigrams)
 """
 
 
+# --- X124: join-blowup preflight ----------------------------------------------
+
+
+def q_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124: exact join-cardinality preflight (operators/pipeline.py::
+    join_preflight) for the events self-join on user_id mod 50 (right
+    side thinned to every 3rd event) — the check that would have
+    predicted every hot-key pair blowup `_cap_groups` guards, at
+    O(distinct keys) cost. est_out_rows is the EXACT join size; the
+    oracle recomputes histograms, the HUGEINT product sum, and the
+    deterministic top offender."""
+    from .operators.pipeline import join_preflight
+
+    e = _t(spark, sf_dir, "events")
+    left = e.select((F.col("user_id") % 50).alias("k"))
+    right = e.filter(F.col("event_id") % 3 == 0).select(
+        (F.col("user_id") % 50).alias("k")
+    )
+    return join_preflight(left, right, ["k"])
+
+
+SQL_JOIN_PREFLIGHT = """
+WITH l AS (
+  SELECT (user_id % 50)::VARCHAR AS k FROM events
+), r AS (
+  SELECT (user_id % 50)::VARCHAR AS k FROM events WHERE event_id % 3 = 0
+), la AS (SELECT k, count(*) AS nl FROM l GROUP BY k),
+ra AS (SELECT k, count(*) AS nr FROM r GROUP BY k),
+j AS (SELECT la.k, nl::HUGEINT * nr AS p FROM la JOIN ra USING (k)),
+tot AS (
+  SELECT count(*) AS nk, coalesce(sum(p), 0) AS est,
+         coalesce(max(p), 0) AS mx
+  FROM j
+), top AS (SELECT k FROM j ORDER BY p DESC, k ASC LIMIT 1),
+nl2 AS (SELECT count(*) AS n_left FROM l),
+nr2 AS (SELECT count(*) AS n_right FROM r)
+SELECT n_left, n_right, nk AS n_keys_both,
+       est::BIGINT AS est_out_rows, mx::BIGINT AS max_key_out,
+       top.k AS top_key,
+       ((1000 * est) // (n_left + n_right))::BIGINT AS amp_milli
+FROM nl2 CROSS JOIN nr2 CROSS JOIN tot CROSS JOIN top
+"""
+
+
 # --- X122: truncation-loss planning curve ------------------------------------
 
 
@@ -1126,6 +1170,7 @@ def register(
             "q_annotator_kappa": q_annotator_kappa,
             "q_vocab_ids": q_vocab_ids,
             "q_truncation_loss": q_truncation_loss,
+            "q_join_preflight": q_join_preflight,
             "q_repetition_stats": q_repetition_stats,
             "q_tfidf_top_terms": q_tfidf_top_terms,
             "q_triangle_count": q_triangle_count,
@@ -1155,6 +1200,7 @@ def register(
             "q_annotator_kappa": SQL_ANNOTATOR_KAPPA,
             "q_vocab_ids": SQL_VOCAB_IDS,
             "q_truncation_loss": SQL_TRUNCATION_LOSS,
+            "q_join_preflight": SQL_JOIN_PREFLIGHT,
             "q_repetition_stats": SQL_REPETITION_STATS,
             "q_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
             "q_triangle_count": SQL_TRIANGLE_COUNT,

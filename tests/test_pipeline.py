@@ -602,3 +602,18 @@ def test_embedding_drift_isolated_shift(spark):
         for r in embedding_drift(docs, emb, shifted, threshold_micro=100_000).collect()
     }
     assert moved == {"en": (500_000, 500_000, True), "de": (0, 0, False)}
+
+
+def test_join_preflight_exact(spark):
+    """X124: the preflight's est_out_rows equals the ACTUAL join size;
+    the top offender and amplification are exact."""
+    from oa_spider_spark.operators.pipeline import join_preflight
+
+    left = spark.createDataFrame([("a",)] * 3 + [("b",), ("c",)], "k string")
+    right = spark.createDataFrame([("a",)] * 2 + [("b",)] * 2 + [("d",)], "k string")
+    r = join_preflight(left, right, ["k"]).collect()[0]
+    actual = left.join(right, "k").count()
+    assert r.est_out_rows == actual == 8
+    assert (r.n_left, r.n_right, r.n_keys_both) == (5, 5, 2)
+    assert (r.max_key_out, r.top_key) == (6, "a")
+    assert r.amp_milli == 800
