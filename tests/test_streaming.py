@@ -415,3 +415,64 @@ def test_streaming_maintains_persisted_bloom_index(spark, tmp_path):
     n_seen = cat.read(spark, "seen").count()
     assert meta.n_items == n_seen and n_seen > 0
     assert meta.capacity >= meta.n_items
+
+
+def test_streaming_status_drift_matches_batch_twin(spark, tmp_path):
+    """X125: the stateful streaming drift alarm equals the batch twin
+    (X111) including the consecutive-round pair that STRADDLES two
+    checkpointed drains, and the gap round emits nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oa_spider_spark.frontier.recrawl import status_drift
+    from oa_spider_spark.streaming.drift import streaming_status_drift
+
+    rows = []
+    # h1: steady -> spike -> steady; h2: gap between rounds 1 and 3
+    for r in range(6):
+        if r == 3:
+            rows += [("h1", r, "ok", 5), ("h1", r, "dead", 5)]
+        else:
+            rows += [("h1", r, "ok", 10)]
+    rows += [("h2", 0, "ok", 8), ("h2", 1, "retry", 8), ("h2", 3, "ok", 8)]
+    df = spark.createDataFrame(rows, "host string, round long, status string, n long")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for k, (lo, hi) in enumerate([(0, 3), (3, 6)]):  # rounds 2->3 straddle
+        part = df.filter((F.col("round") >= lo) & (F.col("round") < hi))
+        path = f"{in_dir}/slice{k}"
+        part.coalesce(1).write.parquet(path)
+        t = 1_700_000_000 + k * 10
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("host string, round long, status string, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        streaming_status_drift(stream, drift_threshold_milli=400)
+        .writeStream.format("memory")
+        .queryName("drift_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.round_from, r.round_to, r.drift_milli, r.flagged)
+        for r in spark.sql("SELECT * FROM drift_sink").collect()
+    }
+    want = {
+        (r.host, r.round_from, r.round_to, r.drift_milli, r.flagged)
+        for r in status_drift(df, drift_threshold_milli=400).collect()
+    }
+    assert got == want
+    # the h1 spike pair (2 -> 3) crossed the drain boundary and flagged
+    assert ("h1", 2, 3, 1000, True) in got
+    # h2's 1 -> 3 gap produced no pair
+    assert not any(r[0] == "h2" and r[2] == 3 for r in got)
