@@ -672,3 +672,44 @@ def byte_budget_select(
         .withColumn("selected", F.col("cum_bytes") <= budget_bytes)
         .select("url", "priority", "est_bytes", "cum_bytes", "selected")
     )
+
+
+def politeness_audit(
+    fetches: DataFrame,
+    delays: DataFrame,
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """Compliance audit: did the fleet actually honor each host's
+    crawl-delay? Per host, the observed inter-fetch gaps (lag over the
+    fetch timestamps) are checked against the declared delay; the
+    output is the per-host violation census the crawl operator reviews
+    (and the evidence to show a webmaster). fetches: (host, ts_us);
+    delays: (host, crawl_delay_ms), absentees take the default.
+
+    Scale shape: ONE window partitioned by host ordered by ts_us — the
+    politeness budget bounds a host's fetches per round, so the
+    partition is budget-sized by construction (the same invariant the
+    scheduler enforces is what makes its audit cheap). Output: host,
+    n_fetches, min_gap_us, violations, compliant."""
+    d = delays.select(
+        "host", F.col("crawl_delay_ms").cast("long").alias("_d")
+    )
+    w = Window.partitionBy("host").orderBy("ts_us")
+    gaps = (
+        fetches.select("host", F.col("ts_us").cast("long"))
+        .withColumn("_gap", F.col("ts_us") - F.lag("ts_us").over(w))
+        .join(F.broadcast(d), "host", "left")
+        .withColumn("_delay_us", F.coalesce(F.col("_d"), F.lit(default_delay_ms)) * 1000)
+    )
+    return gaps.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.min("_gap").alias("min_gap_us"),
+        F.sum(
+            F.when(F.col("_gap") < F.col("_delay_us"), 1).otherwise(0)
+        ).alias("violations"),
+        (
+            F.sum(
+                F.when(F.col("_gap") < F.col("_delay_us"), 1).otherwise(0)
+            ) == 0
+        ).alias("compliant"),
+    )

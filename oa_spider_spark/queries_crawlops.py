@@ -585,6 +585,62 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X126: politeness compliance audit ----------------------------------------
+
+
+def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126: crawl-delay compliance (frontier/politeness.py::
+    politeness_audit). Fetch timeline from events: host h{e mod 30},
+    fetch k = e div 30 at ts = k·(h mod 4 + 1)·500 ms — hosts with
+    h%4==0 space fetches 500 ms apart against an 800 ms declared delay
+    (every gap violates), everyone else sits at >= 1000 ms (compliant);
+    h%5==0 hosts are MISSING from the delays table and take the 700 ms
+    default. The oracle replays the lag window and census."""
+    from .frontier.politeness import politeness_audit
+
+    e = _t(spark, sf_dir, "events")
+    h = F.col("event_id") % 30
+    fetches = e.select(
+        F.concat(F.lit("h"), h.cast("string")).alias("host"),
+        (
+            F.expr("event_id div 30") * (h % 4 + 1) * 500_000
+        ).cast("long").alias("ts_us"),
+    )
+    delays = (
+        e.select((F.col("event_id") % 30).alias("hid"))
+        .distinct()
+        .filter(F.col("hid") % 5 != 0)
+        .select(
+            F.concat(F.lit("h"), F.col("hid").cast("string")).alias("host"),
+            F.lit(800).cast("long").alias("crawl_delay_ms"),
+        )
+    )
+    return politeness_audit(fetches, delays, default_delay_ms=700)
+
+
+SQL_POLITENESS_AUDIT = """
+WITH f AS (
+  SELECT 'h' || (event_id % 30) AS host,
+         (event_id // 30) * ((event_id % 30) % 4 + 1) * 500000 AS ts_us
+  FROM events
+), d AS (
+  SELECT 'h' || hid AS host, 800 AS delay_ms
+  FROM (SELECT DISTINCT event_id % 30 AS hid FROM events)
+  WHERE hid % 5 <> 0
+), g AS (
+  SELECT f.host,
+         ts_us - lag(ts_us) OVER (PARTITION BY f.host ORDER BY ts_us) AS gap,
+         coalesce(d.delay_ms, 700) * 1000 AS delay_us
+  FROM f LEFT JOIN d ON f.host = d.host
+)
+SELECT host, count(*) AS n_fetches,
+       min(gap)::BIGINT AS min_gap_us,
+       sum(CASE WHEN gap < delay_us THEN 1 ELSE 0 END)::BIGINT AS violations,
+       sum(CASE WHEN gap < delay_us THEN 1 ELSE 0 END) = 0 AS compliant
+FROM g GROUP BY host
+"""
+
+
 # --- X120: per-host crawl-health dashboard (composed) -------------------------
 
 
@@ -1256,6 +1312,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_byte_budget": q_byte_budget,
             "q_canonical_resolution": q_canonical_resolution,
             "q_host_dashboard": q_host_dashboard,
+            "q_politeness_audit": q_politeness_audit,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -1288,6 +1345,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_byte_budget": SQL_BYTE_BUDGET,
             "q_canonical_resolution": SQL_CANONICAL_RESOLUTION,
             "q_host_dashboard": SQL_HOST_DASHBOARD,
+            "q_politeness_audit": SQL_POLITENESS_AUDIT,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

@@ -823,3 +823,28 @@ def test_rel_canonical_edges_and_chains(spark):
     assert got["/c"] == ("/c", 0, 1)
     assert "/self" not in got            # self-link contributes no edge
     assert got["/x"][2] == 0 and got["/x"][1] == 8   # cycle: hop cap, unresolved
+
+
+def test_politeness_audit_violations(spark):
+    """X126: gaps below the declared delay count as violations; the
+    first fetch (no gap) never does; absent hosts take the default."""
+    from oa_spider_spark.frontier.politeness import politeness_audit
+
+    fetches = spark.createDataFrame(
+        [("a", 0), ("a", 500_000), ("a", 1_600_000),
+         ("b", 0), ("b", 2_000_000),
+         ("c", 0), ("c", 400_000)],
+        "host string, ts_us long",
+    )
+    delays = spark.createDataFrame(
+        [("a", 800), ("b", 1000)], "host string, crawl_delay_ms long"
+    )
+    got = {
+        r.host: (r.n_fetches, r.min_gap_us, r.violations, r.compliant)
+        for r in politeness_audit(fetches, delays, default_delay_ms=500).collect()
+    }
+    assert got == {
+        "a": (3, 500_000, 1, False),   # 500ms gap < 800ms; 1.1s gap ok
+        "b": (2, 2_000_000, 0, True),
+        "c": (2, 400_000, 1, False),   # default 500ms
+    }
