@@ -1056,3 +1056,57 @@ def join_preflight(
             "ELSE cast(1000 * _est div (n_left + n_right) as long) END"
         ).alias("amp_milli"),
     )
+
+
+def session_attribution(
+    events: DataFrame,
+    gap_s: int = 3600,
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-touch / last-touch attribution per conversion event: within
+    the converting user's gap-based session (same session derivation as
+    `sessionize` — integer microseconds, (ts, event_id) total order),
+    the session's FIRST event type is the first-touch channel and the
+    nearest strictly-prior event the last-touch ('direct' when the
+    conversion opens its own session). The funnel/attribution readout
+    every event log gets asked for, with deterministic tie-breaks.
+
+    Scale shape: two window families, both partitioned by user (then
+    (user, session)) — bounded per-user streams, billions of users
+    spread across tasks; no joins at all."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(us, "event_id")
+    new_sess = (
+        F.when(F.lag(us).over(w).isNull(), 1)
+        .when(us - F.lag(us).over(w) > gap_s * 1_000_000, 1)
+        .otherwise(0)
+    )
+    seq = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = events.select(
+        F.col(user_col).alias("user_id"),
+        "event_id",
+        F.col(type_col).alias("_ty"),
+        us.alias("_us"),
+        seq.alias("session_seq"),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("_us", "event_id")
+    first_touch = F.first("_ty").over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_prior = F.lag("_ty").over(ws)
+    return (
+        tagged.withColumn("first_touch", first_touch)
+        .withColumn("_lp", last_prior)
+        .filter(F.col("_ty") == conversion)
+        .select(
+            "user_id",
+            F.col("event_id").alias("conversion_id"),
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "first_touch",
+            F.coalesce(F.col("_lp"), F.lit("direct")).alias("last_touch"),
+        )
+    )

@@ -805,6 +805,49 @@ WHERE (1000::HUGEINT * p.c_ab * n.n_bigrams)
 """
 
 
+# --- X127: session conversion attribution ------------------------------------
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127: first/last-touch attribution for every purchase event over
+    1-hour gap sessions (operators/pipeline.py::session_attribution) —
+    straight on the raw events log; session-opening purchases read
+    last_touch = 'direct'."""
+    from .operators.pipeline import session_attribution
+
+    return session_attribution(
+        _t(spark, sf_dir, "events"), gap_s=3600, conversion="purchase"
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH t AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), p AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM t
+), s AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 3600000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM p
+), a AS (
+  SELECT user_id, event_id, event_type, seq,
+         first_value(event_type)
+           OVER (PARTITION BY user_id, seq ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS first_touch,
+         lag(event_type)
+           OVER (PARTITION BY user_id, seq ORDER BY us, event_id) AS lp
+  FROM s
+)
+SELECT user_id, event_id AS conversion_id, seq::BIGINT AS session_seq,
+       first_touch, coalesce(lp, 'direct') AS last_touch
+FROM a WHERE event_type = 'purchase'
+"""
+
+
 # --- X124: join-blowup preflight ----------------------------------------------
 
 
@@ -1171,6 +1214,7 @@ def register(
             "q_vocab_ids": q_vocab_ids,
             "q_truncation_loss": q_truncation_loss,
             "q_join_preflight": q_join_preflight,
+            "q_attribution": q_attribution,
             "q_repetition_stats": q_repetition_stats,
             "q_tfidf_top_terms": q_tfidf_top_terms,
             "q_triangle_count": q_triangle_count,
@@ -1201,6 +1245,7 @@ def register(
             "q_vocab_ids": SQL_VOCAB_IDS,
             "q_truncation_loss": SQL_TRUNCATION_LOSS,
             "q_join_preflight": SQL_JOIN_PREFLIGHT,
+            "q_attribution": SQL_ATTRIBUTION,
             "q_repetition_stats": SQL_REPETITION_STATS,
             "q_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
             "q_triangle_count": SQL_TRIANGLE_COUNT,

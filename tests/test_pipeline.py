@@ -617,3 +617,35 @@ def test_join_preflight_exact(spark):
     assert (r.n_left, r.n_right, r.n_keys_both) == (5, 5, 2)
     assert (r.max_key_out, r.top_key) == (6, "a")
     assert r.amp_milli == 800
+
+
+def test_session_attribution_touches(spark):
+    """X127: first-touch = session opener; last-touch = prior event or
+    'direct' when the purchase opens its session."""
+    import datetime as dt
+
+    from oa_spider_spark.operators.pipeline import session_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def at(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        (1, at(0), "u", "view"), (2, at(5), "u", "click"),
+        (3, at(10), "u", "purchase"),          # session 1: view -> click -> buy
+        (4, at(200), "u", "purchase"),         # session 2 opens with a buy
+        (5, at(205), "u", "purchase"),         # same session: prior = purchase
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    got = {
+        r.conversion_id: (r.session_seq, r.first_touch, r.last_touch)
+        for r in session_attribution(ev, gap_s=3600).collect()
+    }
+    assert got == {
+        3: (1, "view", "click"),
+        4: (2, "purchase", "direct"),
+        5: (2, "purchase", "purchase"),
+    }
