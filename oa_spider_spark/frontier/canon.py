@@ -382,3 +382,56 @@ def canonical_resolution(
     return resolve_pointer_chains(
         rel_canonical_edges(pages, url_col, html_col), max_hops=max_hops
     )
+
+
+def hreflang_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Extract <link rel=alternate hreflang=..> declarations as
+    (src, hreflang, dst) edges — a page may declare MANY alternates, so
+    tags are regexp_extract_all'd whole and each tag re-parsed for its
+    hreflang and href (quoted or bare attribute forms). Self-referencing
+    declarations (recommended by the spec) carry no graph information
+    and are dropped."""
+    tag = F.explode(
+        F.regexp_extract_all(
+            F.col(html_col),
+            F.lit("(?i)<link[^>]*rel=[\"']?alternate[\"']?[^>]*>"),
+            F.lit(0),
+        )
+    ).alias("_tag")
+    base = pages.select(F.col(url_col).alias("src"), tag)
+    lang = F.regexp_extract(F.col("_tag"), "(?i)hreflang=[\"']?([A-Za-z-]+)", 1)
+    href = F.regexp_extract(F.col("_tag"), "(?i)href=[\"']?([^\"' >]+)", 1)
+    return (
+        base.select("src", lang.alias("hreflang"), href.alias("dst"))
+        .filter((F.col("hreflang") != "") & (F.col("dst") != ""))
+        .filter(F.col("dst") != F.col("src"))
+    )
+
+
+def hreflang_validation(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """hreflang reciprocity audit: per the i18n linking rules, an
+    alternate declaration a→b only COUNTS when b declares a back —
+    one-sided declarations are the classic misconfiguration that makes
+    search engines ignore the whole cluster, and a multilingual corpus
+    builder (X99 bitext) wants only confirmed clusters. One distinct
+    pair self-join (reversed equi-join on (src, dst)) marks each
+    declared edge reciprocal or not — no transitive machinery needed;
+    full-cluster collapse hands off to X117's pointer doubling."""
+    e = hreflang_edges(pages, url_col, html_col)
+    pairs = e.select("src", "dst").distinct()
+    rev = pairs.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("_r", F.lit(1))
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .select(
+            "src",
+            "hreflang",
+            "dst",
+            F.col("_r").isNotNull().alias("reciprocal"),
+        )
+    )

@@ -585,6 +585,67 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X128: hreflang reciprocity audit -----------------------------------------
+
+
+def q_hreflang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128: alternate-cluster validation (frontier/canon.py::
+    hreflang_validation). Pages /p/{k} (k = event_id mod 400): even
+    pages declare a quoted fr alternate at /p/{k+1} plus a SELF
+    declaration (must drop); odd pages declare the en back-link in
+    BARE-attribute form — except k%11==0 odds, which stay silent, so
+    their even partners' declarations are one-sided. The oracle derives
+    edges and reciprocity from the moduli, never the HTML."""
+    from .frontier.canon import hreflang_validation
+
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id") % 400
+    even_links = F.concat(
+        F.lit('<link rel="alternate" hreflang="fr" href="/p/'),
+        (k + 1).cast("string"),
+        F.lit('"><link rel="alternate" hreflang="en" href="/p/'),
+        k.cast("string"),
+        F.lit('">'),
+    )
+    odd_links = F.when(
+        k % 11 != 0,
+        F.concat(
+            F.lit("<link rel=alternate hreflang=en href=/p/"),
+            (k - 1).cast("string"),
+            F.lit(">"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(k % 2 == 0, even_links).otherwise(odd_links),
+        F.lit("</head></html>"),
+    )
+    pages = e.select(k.alias("k"), html.alias("_h")).distinct().select(
+        F.concat(F.lit("/p/"), F.col("k").cast("string")).alias("url"),
+        F.col("_h").alias("html"),
+    )
+    return hreflang_validation(pages)
+
+
+SQL_HREFLANG_AUDIT = """
+WITH ks AS (
+  SELECT DISTINCT event_id % 400 AS k FROM events
+), e AS (
+  SELECT '/p/' || k AS src, 'fr' AS hreflang, '/p/' || (k + 1) AS dst, k
+  FROM ks WHERE k % 2 = 0
+  UNION ALL
+  SELECT '/p/' || k, 'en', '/p/' || (k - 1), k
+  FROM ks WHERE k % 2 = 1 AND k % 11 <> 0
+), pairs AS (
+  SELECT DISTINCT src, dst FROM e
+)
+SELECT e.src, e.hreflang, e.dst,
+       EXISTS (SELECT 1 FROM pairs p
+               WHERE p.src = e.dst AND p.dst = e.src) AS reciprocal
+FROM e
+"""
+
+
 # --- X126: politeness compliance audit ----------------------------------------
 
 
@@ -1313,6 +1374,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_canonical_resolution": q_canonical_resolution,
             "q_host_dashboard": q_host_dashboard,
             "q_politeness_audit": q_politeness_audit,
+            "q_hreflang_audit": q_hreflang_audit,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -1346,6 +1408,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_canonical_resolution": SQL_CANONICAL_RESOLUTION,
             "q_host_dashboard": SQL_HOST_DASHBOARD,
             "q_politeness_audit": SQL_POLITENESS_AUDIT,
+            "q_hreflang_audit": SQL_HREFLANG_AUDIT,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

@@ -848,3 +848,27 @@ def test_politeness_audit_violations(spark):
         "b": (2, 2_000_000, 0, True),
         "c": (2, 400_000, 1, False),   # default 500ms
     }
+
+
+def test_hreflang_validation(spark):
+    """X128: multi-tag extraction (quoted + bare), self-declaration
+    dropped, reciprocity marked per edge."""
+    from oa_spider_spark.frontier.canon import hreflang_validation
+
+    rows = [
+        ("/a", '<link rel="alternate" hreflang="fr" href="/b">'
+               '<link rel="alternate" hreflang="en" href="/a">'),  # self drops
+        ("/b", "<link rel=alternate hreflang=en href=/a>"),
+        ("/c", '<link rel="alternate" hreflang="de" href="/d">'),  # one-sided
+        ("/d", "<head></head>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    got = {
+        (r.src, r.dst): (r.hreflang, r.reciprocal)
+        for r in hreflang_validation(pages).collect()
+    }
+    assert got == {
+        ("/a", "/b"): ("fr", True),
+        ("/b", "/a"): ("en", True),
+        ("/c", "/d"): ("de", False),
+    }
