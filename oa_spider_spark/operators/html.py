@@ -386,3 +386,53 @@ def extract_tables(
     return cells.select(
         id_col, "table_idx", "row_idx", "col_idx", txt.alias("cell_text")
     )
+
+
+SOFT404_PHRASES = [
+    "page not found", "404", "does not exist", "no longer available",
+]
+
+
+def soft404_detect(
+    pages: DataFrame,
+    html_col: str = "html",
+    status_col: str = "status",
+    min_tokens: int = 12,
+) -> DataFrame:
+    """Soft-404 detection — error pages served with HTTP 200, the
+    classic crawl-corpus poison (they dedup into giant boilerplate
+    clusters and waste recrawl budget on content that isn't there).
+    Signals, all row-local JVM expressions: error-phrase hits on the
+    tag-stripped lowercased text, visible token count, and outlink
+    count; a 200-status page is flagged when it carries an error phrase
+    OR is a near-empty dead end (< min_tokens tokens AND zero links).
+    Hard 404s are already handled by the retry taxonomy (T2) — only
+    status-200 rows can flag here."""
+    from pyspark.sql import functions as F
+
+    h = F.col(html_col)
+    visible = F.lower(
+        F.trim(F.regexp_replace(F.regexp_replace(h, r"(?s)<[^>]*>", " "), r"\s+", " "))
+    )
+    phrase_hit = None
+    for p in SOFT404_PHRASES:
+        c = visible.contains(p)
+        phrase_hit = c if phrase_hit is None else (phrase_hit | c)
+    n_tok = F.when(visible == "", 0).otherwise(
+        F.size(F.split(visible, " "))
+    ).cast("long")
+    n_links = (F.size(F.split(F.lower(h), "<a ")) - 1).cast("long")
+    base = pages.select(
+        *[c for c in pages.columns if c != html_col],
+        phrase_hit.alias("phrase_hit"),
+        n_tok.alias("n_tokens"),
+        n_links.alias("n_links"),
+    )
+    return base.withColumn(
+        "soft404",
+        (F.col(status_col) == 200)
+        & (
+            F.col("phrase_hit")
+            | ((F.col("n_tokens") < min_tokens) & (F.col("n_links") == 0))
+        ),
+    )

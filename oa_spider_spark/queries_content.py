@@ -321,6 +321,79 @@ FROM s2 WHERE len(cur) > 0
 """
 
 
+# --- X129: soft-404 detection -------------------------------------------------
+
+
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129: soft-404 screen (operators/html.py::soft404_detect). Pages
+    /u/{e}: every 7th serves 'Page Not Found' boilerplate with status
+    200 (the phrase path), every 5th a near-empty linkless stub (the
+    dead-end path), every 13th a HARD 404 with error text — which must
+    NOT flag (T2 owns it); everyone else gets real text plus an
+    outlink. The oracle re-derives the strip/token/link signals."""
+    from .operators.html import soft404_detect
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    body = (
+        F.when(eid % 13 == 0, F.lit("<p>404 page not found</p>"))
+        .when(eid % 7 == 0, F.lit("<h1>Page Not Found</h1><p>error 404</p>"))
+        .when(eid % 5 == 0, F.lit("<p>stub</p>"))
+        .otherwise(
+            F.concat(
+                F.lit("<p>real content words one two three four five six "
+                      "seven eight nine ten eleven</p><a href=\"/u/"),
+                (eid + 1).cast("string"),
+                F.lit('">next</a>'),
+            )
+        )
+    )
+    pages = e.select(
+        F.concat(F.lit("/u/"), eid.cast("string")).alias("url"),
+        F.when(eid % 13 == 0, 404).otherwise(200).cast("int").alias("status"),
+        F.concat(F.lit("<html><body>"), body, F.lit("</body></html>")).alias(
+            "html"
+        ),
+    )
+    return soft404_detect(pages, min_tokens=12)
+
+
+SQL_SOFT404 = """
+WITH pg AS (
+  SELECT '/u/' || event_id AS url,
+         CASE WHEN event_id % 13 = 0 THEN 404 ELSE 200 END AS status,
+         CASE WHEN event_id % 13 = 0 THEN '<p>404 page not found</p>'
+              WHEN event_id % 7 = 0
+                THEN '<h1>Page Not Found</h1><p>error 404</p>'
+              WHEN event_id % 5 = 0 THEN '<p>stub</p>'
+              ELSE '<p>real content words one two three four five six '
+                   || 'seven eight nine ten eleven</p><a href="/u/'
+                   || (event_id + 1) || '">next</a>' END AS body
+  FROM events
+), f AS (
+  SELECT url, status,
+    lower(trim(regexp_replace(regexp_replace(
+      '<html><body>' || body || '</body></html>',
+      '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))) AS vis,
+    '<html><body>' || body || '</body></html>' AS h
+  FROM pg
+), s AS (
+  SELECT url, status,
+    (contains(vis, 'page not found') OR contains(vis, '404')
+     OR contains(vis, 'does not exist')
+     OR contains(vis, 'no longer available')) AS phrase_hit,
+    (CASE WHEN vis = '' THEN 0
+          ELSE len(string_split(vis, ' ')) END)::BIGINT AS n_tokens,
+    (len(string_split(lower(h), '<a ')) - 1)::BIGINT AS n_links
+  FROM f
+)
+SELECT url, status, phrase_hit, n_tokens, n_links,
+       (status = 200 AND (phrase_hit OR (n_tokens < 12 AND n_links = 0)))
+         AS soft404
+FROM s
+"""
+
+
 # --- X121: HTML table -> relational cells -------------------------------------
 
 
@@ -553,6 +626,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_render_routing": q_render_routing,
             "q_charset_detect": q_charset_detect,
             "q_table_extract": q_table_extract,
+            "q_soft404": q_soft404,
         }
     )
     oracles.update(
@@ -566,5 +640,6 @@ def register(queries: dict, oracles: dict) -> None:
             "q_render_routing": SQL_RENDER_ROUTING,
             "q_charset_detect": SQL_CHARSET_DETECT,
             "q_table_extract": SQL_TABLE_EXTRACT,
+            "q_soft404": SQL_SOFT404,
         }
     )

@@ -118,3 +118,26 @@ def test_extract_tables_cells(spark):
         (0, 1, 0): "d",
         (1, 0, 0): "e",
     }
+
+
+def test_soft404_detect_paths(spark):
+    """X129: phrase path, dead-end path, hard-404 exclusion, healthy."""
+    from oa_spider_spark.operators.html import soft404_detect
+
+    long_p = "<p>" + " ".join(["w"] * 20) + "</p>"
+    rows = [
+        ("/ok", 200, f"{long_p}<a href='/x'>n</a>"),
+        ("/phrase", 200, "<h1>Page Not Found</h1>"),
+        ("/stub", 200, "<p>tiny stub</p>"),
+        ("/hard", 404, "<p>404 not found</p>"),
+        ("/short-linked", 200, "<p>tiny</p><a href='/y'>y</a>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, status int, html string")
+    got = {r.url: (r.phrase_hit, r.soft404) for r in soft404_detect(df, min_tokens=12).collect()}
+    assert got == {
+        "/ok": (False, False),
+        "/phrase": (True, True),
+        "/stub": (False, True),
+        "/hard": (True, False),          # hard 404: taxonomy's job
+        "/short-linked": (False, False), # short but links out
+    }
