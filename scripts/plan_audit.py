@@ -149,6 +149,14 @@ AUDITED = [
     "q_table_extract",
     "q_truncation_loss",
     "q_embedding_drift",
+    # X124-X129: join preflight, politeness audit, attribution, hreflang,
+    # soft-404 (X125 is streaming-only; its batch twin q_status_drift is
+    # audited above)
+    "q_join_preflight",
+    "q_politeness_audit",
+    "q_attribution",
+    "q_hreflang_audit",
+    "q_soft404",
 ]
 
 
