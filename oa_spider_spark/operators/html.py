@@ -436,3 +436,40 @@ def soft404_detect(
             | ((F.col("n_tokens") < min_tokens) & (F.col("n_links") == 0))
         ),
     )
+
+
+def jsonld_harvest(
+    pages: DataFrame, html_col: str = "html", id_col: str = "url"
+) -> DataFrame:
+    """schema.org JSON-LD harvest: extract every
+    <script type="application/ld+json"> block and pull the core entity
+    fields (@type, name, datePublished) with JVM JSON-path — the
+    structured-data mining pass that turns crawled pages into an entity
+    table without any HTML heuristics. Malformed JSON blocks yield a
+    NULL @type and are dropped (counted by the caller via block_idx
+    gaps). One regex explode + three get_json_object calls, all
+    row-local."""
+    from pyspark.sql import functions as F
+
+    block = F.posexplode(
+        F.regexp_extract_all(
+            F.col(html_col),
+            F.lit(
+                "(?is)<script[^>]*type=[\"']?application/ld\\+json[\"']?"
+                "[^>]*>(.*?)</script>"
+            ),
+            F.lit(1),
+        )
+    ).alias("block_idx", "_b")
+    base = pages.select(F.col(id_col), block)
+    j = F.trim(F.col("_b"))
+    return (
+        base.select(
+            id_col,
+            "block_idx",
+            F.get_json_object(j, "$['@type']").alias("jtype"),
+            F.get_json_object(j, "$.name").alias("name"),
+            F.get_json_object(j, "$.datePublished").alias("date_published"),
+        )
+        .filter(F.col("jtype").isNotNull())
+    )

@@ -321,6 +321,78 @@ FROM s2 WHERE len(cur) > 0
 """
 
 
+# --- X130: JSON-LD structured-data harvest ------------------------------------
+
+
+def q_jsonld_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130: schema.org entity mining (operators/html.py::
+    jsonld_harvest). Pages /u/{e}: every even page embeds an Article
+    block (name a{e}, a derived datePublished), every %3 page a second
+    Product block with NO date (NULL must survive), every %7 page a
+    MALFORMED block (dropped — its block_idx gap is the tell). The
+    oracle derives the entity rows relationally and applies DuckDB's
+    own JSON extraction to the same literals."""
+    from .operators.html import jsonld_harvest
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    art = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"Article","name":"a'),
+        eid.cast("string"),
+        F.lit('","datePublished":"2024-01-'),
+        F.lpad((eid % 28 + 1).cast("string"), 2, "0"),
+        F.lit('"}</script>'),
+    )
+    prod = F.concat(
+        F.lit("<script type='application/ld+json'>"),
+        F.lit('{"@type":"Product","name":"p'),
+        eid.cast("string"),
+        F.lit('"}</script>'),
+    )
+    bad = F.lit('<script type="application/ld+json">{oops</script>')
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(eid % 2 == 0, art).otherwise(F.lit("")),
+        F.when(eid % 7 == 0, bad).otherwise(F.lit("")),
+        F.when(eid % 3 == 0, prod).otherwise(F.lit("")),
+        F.lit("</head></html>"),
+    )
+    pages = e.select(
+        F.concat(F.lit("/u/"), eid.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return jsonld_harvest(pages)
+
+
+SQL_JSONLD_HARVEST = """
+WITH ev AS (
+  SELECT event_id AS e, '/u/' || event_id AS url FROM events
+), blocks AS (
+  SELECT url,
+         '{"@type":"Article","name":"a' || e || '","datePublished":"2024-01-'
+           || lpad((e % 28 + 1)::VARCHAR, 2, '0') || '"}' AS b,
+         0 AS ord
+  FROM ev WHERE e % 2 = 0
+  UNION ALL
+  SELECT url, '{oops', 1 FROM ev WHERE e % 7 = 0
+  UNION ALL
+  SELECT url, '{"@type":"Product","name":"p' || e || '"}', 2
+  FROM ev WHERE e % 3 = 0
+), idx AS (
+  SELECT url, b,
+         (row_number() OVER (PARTITION BY url ORDER BY ord) - 1)::INT
+           AS block_idx
+  FROM blocks
+)
+SELECT url, block_idx,
+       json_extract_string(b, '$."@type"') AS jtype,
+       json_extract_string(b, '$.name') AS name,
+       json_extract_string(b, '$.datePublished') AS date_published
+FROM idx
+WHERE json_valid(b) AND json_extract_string(b, '$."@type"') IS NOT NULL
+"""
+
+
 # --- X129: soft-404 detection -------------------------------------------------
 
 
@@ -627,6 +699,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_charset_detect": q_charset_detect,
             "q_table_extract": q_table_extract,
             "q_soft404": q_soft404,
+            "q_jsonld_harvest": q_jsonld_harvest,
         }
     )
     oracles.update(
@@ -641,5 +714,6 @@ def register(queries: dict, oracles: dict) -> None:
             "q_charset_detect": SQL_CHARSET_DETECT,
             "q_table_extract": SQL_TABLE_EXTRACT,
             "q_soft404": SQL_SOFT404,
+            "q_jsonld_harvest": SQL_JSONLD_HARVEST,
         }
     )

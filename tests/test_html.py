@@ -141,3 +141,26 @@ def test_soft404_detect_paths(spark):
         "/hard": (True, False),          # hard 404: taxonomy's job
         "/short-linked": (False, False), # short but links out
     }
+
+
+def test_jsonld_harvest_blocks(spark):
+    """X130: multi-block extraction, malformed blocks dropped with an
+    index gap, absent fields NULL."""
+    from oa_spider_spark.operators.html import jsonld_harvest
+
+    html = (
+        '<script type="application/ld+json">'
+        '{"@type":"Article","name":"A","datePublished":"2024-02-03"}</script>'
+        '<script type="application/ld+json">{nope</script>'
+        "<script type='application/ld+json'>"
+        '{"@type":"Product","name":"P"}</script>'
+    )
+    df = spark.createDataFrame([("/u/1", html)], "url string, html string")
+    got = {
+        r.block_idx: (r.jtype, r.name, r.date_published)
+        for r in jsonld_harvest(df).collect()
+    }
+    assert got == {
+        0: ("Article", "A", "2024-02-03"),
+        2: ("Product", "P", None),   # idx 1 was the malformed block
+    }
