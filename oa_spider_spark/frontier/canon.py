@@ -435,3 +435,51 @@ def hreflang_validation(
             F.col("_r").isNotNull().alias("reciprocal"),
         )
     )
+
+
+def rel_next_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Extract <link rel=next> pagination declarations as (src, dst)
+    edges (quoted or bare forms) — self-loops dropped like the
+    canonical extractor's."""
+    href = F.nullif(
+        F.regexp_extract(
+            F.col(html_col),
+            "(?i)<link[^>]*rel=[\"']?next[\"']?[^>]*href=[\"']?([^\"' >]+)",
+            1,
+        ),
+        F.lit(""),
+    )
+    return (
+        pages.select(F.col(url_col).alias("src"), href.alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+
+
+def pagination_series(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_hops: int = 8,
+) -> DataFrame:
+    """Multi-page article assembly from rel=next chains: every page
+    resolves to its series HEAD with its position in the sequence —
+    the stitching step that lets the corpus treat a 6-page article as
+    ONE document (and the dedup family stop flagging its shared
+    boilerplate). Mechanically: reverse the next-edges and run X85's
+    pointer doubling — the head is the reversed graph's terminal, the
+    position is the hop count, and over-long or cyclic declarations
+    report unresolved exactly as redirects do. Output: (url, series_id
+    = head url, position, resolved)."""
+    from ..operators.graph import resolve_pointer_chains
+
+    e = rel_next_edges(pages, url_col, html_col)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    r = resolve_pointer_chains(rev, max_hops=max_hops)
+    return r.select(
+        F.col("node").alias("url"),
+        F.col("final_node").alias("series_id"),
+        F.col("hops").alias("position"),
+        "resolved",
+    )

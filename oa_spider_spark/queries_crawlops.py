@@ -585,6 +585,65 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X131: pagination chain assembly ------------------------------------------
+
+
+def q_pagination_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131: rel=next series stitching (frontier/canon.py::
+    pagination_series). Pages /a/{k} (k = event_id mod 300) chain in
+    runs of six — every page whose k%6 != 5 declares /a/{k+1} as next
+    (quoted form on even k, bare on odd) — so each k resolves to head
+    /a/{k - k%6} at position k%6. The oracle derives the REVERSED edge
+    set from the moduli and replays the bounded recursive walk."""
+    from .frontier.canon import pagination_series
+
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id") % 300
+    link = F.when(
+        (k % 6 != 5) & (k % 2 == 0),
+        F.concat(
+            F.lit('<link rel="next" href="/a/'), (k + 1).cast("string"),
+            F.lit('">'),
+        ),
+    ).when(
+        k % 6 != 5,
+        F.concat(
+            F.lit("<link rel=next href=/a/"), (k + 1).cast("string"), F.lit(">")
+        ),
+    ).otherwise(F.lit(""))
+    pages = e.select(k.alias("k"), link.alias("_l")).distinct().select(
+        F.concat(F.lit("/a/"), F.col("k").cast("string")).alias("url"),
+        F.concat(F.lit("<head>"), F.col("_l"), F.lit("</head>")).alias("html"),
+    )
+    return pagination_series(pages, max_hops=8)
+
+
+SQL_PAGINATION_SERIES = """
+WITH RECURSIVE ks AS (
+  SELECT DISTINCT event_id % 300 AS k FROM events
+), e AS (
+  -- REVERSED next-edges: member m points at its predecessor
+  SELECT '/a/' || k AS src, '/a/' || (k - 1) AS dst
+  FROM ks WHERE k % 6 <> 0
+), allnodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), walk AS (
+  SELECT node AS src, node AS cur, 0 AS hops FROM allnodes
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.cur
+  WHERE w.hops < 8
+), fin AS (
+  SELECT src, max(hops) AS mh FROM walk GROUP BY src
+)
+SELECT w.src AS url, w.cur AS series_id, CAST(w.hops AS BIGINT) AS position,
+       CAST(CASE WHEN w.cur IN (SELECT src FROM e) THEN 0 ELSE 1 END
+            AS INTEGER) AS resolved
+FROM walk w JOIN fin f ON w.src = f.src AND w.hops = f.mh
+"""
+
+
 # --- X128: hreflang reciprocity audit -----------------------------------------
 
 
@@ -1375,6 +1434,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_host_dashboard": q_host_dashboard,
             "q_politeness_audit": q_politeness_audit,
             "q_hreflang_audit": q_hreflang_audit,
+            "q_pagination_series": q_pagination_series,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -1409,6 +1469,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_host_dashboard": SQL_HOST_DASHBOARD,
             "q_politeness_audit": SQL_POLITENESS_AUDIT,
             "q_hreflang_audit": SQL_HREFLANG_AUDIT,
+            "q_pagination_series": SQL_PAGINATION_SERIES,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

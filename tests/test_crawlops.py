@@ -872,3 +872,26 @@ def test_hreflang_validation(spark):
         ("/b", "/a"): ("en", True),
         ("/c", "/d"): ("de", False),
     }
+
+
+def test_pagination_series_positions(spark):
+    """X131: members resolve to the chain head with their position; a
+    declared next-loop reports unresolved."""
+    from oa_spider_spark.frontier.canon import pagination_series
+
+    rows = [
+        ("/p1", '<link rel="next" href="/p2">'),
+        ("/p2", "<link rel=next href=/p3>"),
+        ("/p3", "<head></head>"),
+        ("/x", '<link rel="next" href="/y">'),
+        ("/y", '<link rel="next" href="/x">'),   # loop
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    got = {
+        r.url: (r.series_id, r.position, r.resolved)
+        for r in pagination_series(pages, max_hops=8).collect()
+    }
+    assert got["/p1"] == ("/p1", 0, 1)
+    assert got["/p2"] == ("/p1", 1, 1)
+    assert got["/p3"] == ("/p1", 2, 1)
+    assert got["/x"][2] == 0 and got["/x"][1] == 8
