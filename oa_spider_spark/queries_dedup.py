@@ -692,6 +692,48 @@ FROM runs GROUP BY doc_a, doc_b
 """
 
 
+# --- X132: cross-source duplication matrix ------------------------------------
+
+
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132: WHO copies from WHOM — the provenance question a corpus
+    builder asks right after near-dup detection: MinHash-LSH pairs
+    (portable mode, X2's exact pipeline) joined to each side's source
+    and aggregated into an unordered source×source duplicate-pair
+    matrix. Mirrors/syndication show up as heavy off-diagonal cells;
+    boilerplate-within-a-source as the diagonal. Oracle chains the full
+    minhash oracle as a CTE (corpus_pipeline discipline)."""
+    from .operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, threshold=0.8, portable=True)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+
+
+def _sql_source_dup_matrix() -> str:
+    return f"""
+WITH pairs AS ({SQL_MINHASH_LSH}
+), j AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b
+  FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+               JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT src_a, src_b, count(*) AS n_dup_pairs FROM j GROUP BY src_a, src_b
+"""
+
+
 # --- X105: dedup clustering quality audit ------------------------------------
 
 
@@ -757,6 +799,7 @@ def register(queries: dict, oracles: dict) -> None:
         {
             "q_dedup_audit": q_dedup_audit,
             "q_cross_doc_spans": q_cross_doc_spans,
+            "q_source_dup_matrix": q_source_dup_matrix,
             "q_lang_id": q_lang_id,
             "q_ngram_jaccard": q_ngram_jaccard,
             "q_minhash_lsh": q_minhash_lsh,
@@ -774,6 +817,7 @@ def register(queries: dict, oracles: dict) -> None:
         {
             "q_dedup_audit": SQL_DEDUP_AUDIT,
             "q_cross_doc_spans": SQL_CROSS_DOC_SPANS,
+            "q_source_dup_matrix": _sql_source_dup_matrix(),
             "q_lang_id": SQL_LANG_ID,
             "q_ngram_jaccard": SQL_NGRAM_JACCARD,
             "q_minhash_lsh": SQL_MINHASH_LSH,
