@@ -81,6 +81,21 @@ HEADLINE = [
     # fan-out) and the eTLD+1 domain rollup (3 broadcast suffix joins)
     "q_snm_pairs",
     "q_domain_caps",
+    # X100-X131 session additions, the distinct plan shapes: zero-shuffle
+    # row-local rule banks, positional-ngram explode+agg, two-level
+    # cell-rank admissions, broadcast-rule matching, sketch-fed control
+    # loops, and the composed dashboard. NOT headlined: q_rendezvous_shards
+    # (portable-md5 oracle mode — same reason as q_minhash_lsh) and
+    # q_cross_doc_spans (anchor volume is corpus-vocabulary-dependent,
+    # 25 s at sf0.1 measuring the synthetic vocab, not the operator).
+    "q_gopher_rules",
+    "q_repeated_spans",
+    "q_fetch_timeline",
+    "q_robots_wildcard",
+    "q_byte_budget",
+    "q_retention_cohorts",
+    "q_host_dashboard",
+    "q_render_routing",
 ]
 
 
