@@ -157,6 +157,10 @@ AUDITED = [
     "q_attribution",
     "q_hreflang_audit",
     "q_soft404",
+    # X130-X132: JSON-LD harvest, pagination chains, source-dup matrix
+    "q_jsonld_harvest",
+    "q_pagination_series",
+    "q_source_dup_matrix",
 ]
 
 
