@@ -239,3 +239,50 @@ def resolve_pointer_chains(edges: DataFrame, max_hops: int = 8) -> DataFrame:
         F.col("steps").alias("hops"),
         F.when(F.col("_tsteps") == 0, 1).otherwise(0).cast("int").alias("resolved"),
     )
+
+
+def host_reciprocity(
+    links: DataFrame,
+    min_links: int = 10,
+    min_reciprocity_milli: int = 600,
+) -> DataFrame:
+    """Nepotistic-linking detector over host-level link edges — heavily
+    RECIPROCAL high-volume host pairs are the classic link-farm /
+    link-exchange signature (one-directional volume is just popularity;
+    balance is the tell). links: (src_host, dst_host) rows with
+    multiplicity, self-pairs ignored. Per unordered pair:
+    reciprocity_milli = 2000·min(a→b, b→a) div (a→b + b→a) — 0 for
+    one-sided, 1000 for perfectly balanced — flagged when volume and
+    balance both clear their floors.
+
+    Scale shape: one (src,dst) groupBy collapses the edge list to pair
+    counts, then the unordered fold is a conditional re-aggregation on
+    the sorted key — no self-join, no window."""
+    c = (
+        links.filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n"))
+    )
+    ha = F.least("src_host", "dst_host")
+    hb = F.greatest("src_host", "dst_host")
+    folded = c.select(
+        ha.alias("host_a"),
+        hb.alias("host_b"),
+        F.when(F.col("src_host") == ha, F.col("n")).otherwise(0).alias("_ab"),
+        F.when(F.col("src_host") == hb, F.col("n")).otherwise(0).alias("_ba"),
+    ).groupBy("host_a", "host_b").agg(
+        F.sum("_ab").alias("a_to_b"), F.sum("_ba").alias("b_to_a")
+    )
+    total = F.col("a_to_b") + F.col("b_to_a")
+    rec = F.expr("2000 * least(a_to_b, b_to_a) div (a_to_b + b_to_a)")
+    return folded.select(
+        "host_a",
+        "host_b",
+        "a_to_b",
+        "b_to_a",
+        total.alias("total_links"),
+        rec.alias("reciprocity_milli"),
+        (
+            (total >= min_links) & (rec >= min_reciprocity_milli)
+        ).alias("flagged"),
+    )

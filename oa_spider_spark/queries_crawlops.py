@@ -585,6 +585,53 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X133: nepotistic-link reciprocity ----------------------------------------
+
+
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133: link-exchange detection (operators/graph.py::
+    host_reciprocity). Edges h{e mod 40} → h{7e mod 40} (self-loops
+    dropped): the ×7 map is an involution exactly on multiples of 5
+    mod 40, so those pairs come out perfectly reciprocal (1000 milli,
+    flagged at volume) while everything else is one-sided (0) — both
+    branches live from pure number theory, no injected noise."""
+    from .operators.graph import host_reciprocity
+
+    e = _t(spark, sf_dir, "events")
+    links = e.select(
+        F.concat(F.lit("h"), (F.col("event_id") % 40).cast("string")).alias(
+            "src_host"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("event_id") * 7) % 40).cast("string")
+        ).alias("dst_host"),
+    )
+    return host_reciprocity(links, min_links=10, min_reciprocity_milli=600)
+
+
+SQL_LINK_RECIPROCITY = """
+WITH l AS (
+  SELECT 'h' || (event_id % 40) AS s, 'h' || ((event_id * 7) % 40) AS d
+  FROM events
+), c AS (
+  SELECT s, d, count(*) AS n FROM l WHERE s <> d GROUP BY s, d
+), f AS (
+  SELECT least(s, d) AS host_a, greatest(s, d) AS host_b,
+         sum(CASE WHEN s = least(s, d) THEN n ELSE 0 END)::BIGINT AS a_to_b,
+         sum(CASE WHEN s = greatest(s, d) THEN n ELSE 0 END)::BIGINT AS b_to_a
+  FROM c GROUP BY host_a, host_b
+)
+SELECT host_a, host_b, a_to_b, b_to_a,
+       (a_to_b + b_to_a) AS total_links,
+       ((2000 * least(a_to_b, b_to_a)) // (a_to_b + b_to_a))::BIGINT
+         AS reciprocity_milli,
+       (a_to_b + b_to_a >= 10
+        AND (2000 * least(a_to_b, b_to_a)) // (a_to_b + b_to_a) >= 600)
+         AS flagged
+FROM f
+"""
+
+
 # --- X131: pagination chain assembly ------------------------------------------
 
 
@@ -1435,6 +1482,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_politeness_audit": q_politeness_audit,
             "q_hreflang_audit": q_hreflang_audit,
             "q_pagination_series": q_pagination_series,
+            "q_link_reciprocity": q_link_reciprocity,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -1470,6 +1518,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_politeness_audit": SQL_POLITENESS_AUDIT,
             "q_hreflang_audit": SQL_HREFLANG_AUDIT,
             "q_pagination_series": SQL_PAGINATION_SERIES,
+            "q_link_reciprocity": SQL_LINK_RECIPROCITY,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

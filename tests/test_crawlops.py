@@ -895,3 +895,26 @@ def test_pagination_series_positions(spark):
     assert got["/p2"] == ("/p1", 1, 1)
     assert got["/p3"] == ("/p1", 2, 1)
     assert got["/x"][2] == 0 and got["/x"][1] == 8
+
+
+def test_host_reciprocity_fold(spark):
+    """X133: balanced pairs read 1000 milli, one-sided 0, skew in
+    between; self-loops never count."""
+    from oa_spider_spark.operators.graph import host_reciprocity
+
+    rows = (
+        [("a", "b")] * 6 + [("b", "a")] * 6          # balanced
+        + [("a", "c")] * 12                          # one-sided
+        + [("b", "c")] * 9 + [("c", "b")] * 3        # skewed 3:1
+        + [("a", "a")] * 5                           # self: dropped
+    )
+    links = spark.createDataFrame(rows, "src_host string, dst_host string")
+    got = {
+        (r.host_a, r.host_b): (r.a_to_b, r.b_to_a, r.reciprocity_milli, r.flagged)
+        for r in host_reciprocity(links, min_links=10, min_reciprocity_milli=600).collect()
+    }
+    assert got == {
+        ("a", "b"): (6, 6, 1000, True),
+        ("a", "c"): (12, 0, 0, False),
+        ("b", "c"): (9, 3, 500, False),
+    }
