@@ -1110,3 +1110,34 @@ def session_attribution(
             F.coalesce(F.col("_lp"), F.lit("direct")).alias("last_touch"),
         )
     )
+
+
+def fairness_index(
+    alloc: DataFrame,
+    group_cols: list[str] | None = None,
+    value_col: str = "n",
+) -> DataFrame:
+    """Jain's fairness index over an allocation, in exact milli:
+    1000·(Σx)² div (n·Σx²) — 1000 when every member got the same,
+    1000/n when one member got everything. The one-number answer to
+    "is the politeness scheduler starving anyone?" per round, or any
+    other allocation audit. Sums and squares ride DECIMAL(38,0) (ANSI
+    overflow discipline: x up to ~10⁹ over 10⁹ members stays inside
+    38 digits), one map-side-combined aggregate per group."""
+    g = list(group_cols or [])
+    x = F.col(value_col).cast("decimal(38,0)")
+    aggs = [
+        F.count("*").alias("n_members"),
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_ss"),
+    ]
+    agged = alloc.groupBy(*g).agg(*aggs) if g else alloc.agg(*aggs)
+    return agged.select(
+        *g,
+        "n_members",
+        F.expr("cast(_s as long)").alias("total"),
+        F.expr(
+            "CASE WHEN _ss = 0 THEN 0 "
+            "ELSE cast(1000 * _s * _s div (n_members * _ss) as long) END"
+        ).alias("fairness_milli"),
+    )

@@ -585,6 +585,55 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X134: allocation fairness index ------------------------------------------
+
+
+def q_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134: Jain fairness of the per-host fetch allocation, per round
+    (operators/pipeline.py::fairness_index). Fetch counts h{e mod 25}
+    per round (e div 25) mod 6; in round 0 host h0's tally is inflated
+    ×40 (the hot-host round the politeness budget exists to prevent) —
+    round 0 must read sharply less fair than rounds 1-5."""
+    from .operators.pipeline import fairness_index
+
+    e = _t(spark, sf_dir, "events")
+    h = (F.col("event_id") % 25).alias("h")
+    r = (F.expr("event_id div 25") % 6).alias("round")
+    alloc = (
+        e.select(h, r)
+        .groupBy("h", "round")
+        .agg(F.count("*").alias("n0"))
+        .select(
+            "round",
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+            F.when((F.col("h") == 0) & (F.col("round") == 0), F.col("n0") * 40)
+            .otherwise(F.col("n0"))
+            .alias("n"),
+        )
+    )
+    return fairness_index(alloc, group_cols=["round"], value_col="n")
+
+
+SQL_FAIRNESS = """
+WITH a AS (
+  SELECT (event_id // 25) % 6 AS round, event_id % 25 AS h,
+         count(*) AS n0
+  FROM events GROUP BY 1, 2
+), alloc AS (
+  SELECT round,
+         CASE WHEN h = 0 AND round = 0 THEN n0 * 40 ELSE n0 END AS n
+  FROM a
+)
+SELECT round, count(*) AS n_members,
+       sum(n)::BIGINT AS total,
+       CASE WHEN sum(n * n) = 0 THEN 0
+            ELSE ((1000 * sum(n)::HUGEINT * sum(n))
+                  // (count(*) * sum(n * n)::HUGEINT))::BIGINT END
+         AS fairness_milli
+FROM alloc GROUP BY round
+"""
+
+
 # --- X133: nepotistic-link reciprocity ----------------------------------------
 
 
@@ -1483,6 +1532,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_hreflang_audit": q_hreflang_audit,
             "q_pagination_series": q_pagination_series,
             "q_link_reciprocity": q_link_reciprocity,
+            "q_fairness": q_fairness,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -1519,6 +1569,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_hreflang_audit": SQL_HREFLANG_AUDIT,
             "q_pagination_series": SQL_PAGINATION_SERIES,
             "q_link_reciprocity": SQL_LINK_RECIPROCITY,
+            "q_fairness": SQL_FAIRNESS,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

@@ -918,3 +918,18 @@ def test_host_reciprocity_fold(spark):
         ("a", "c"): (12, 0, 0, False),
         ("b", "c"): (9, 3, 500, False),
     }
+
+
+def test_fairness_index_bounds(spark):
+    """X134: equal shares read 1000; total starvation reads 1000/n."""
+    from oa_spider_spark.operators.pipeline import fairness_index
+
+    eq = spark.createDataFrame([("a", 5), ("b", 5), ("c", 5), ("d", 5)], "host string, n long")
+    r = fairness_index(eq).collect()[0]
+    assert (r.n_members, r.total, r.fairness_milli) == (4, 20, 1000)
+    sk = spark.createDataFrame([("a", 20), ("b", 0), ("c", 0), ("d", 0)], "host string, n long")
+    r2 = fairness_index(sk).collect()[0]
+    assert r2.fairness_milli == 250   # 1000/n at full starvation
+    mid = spark.createDataFrame([("a", 3), ("b", 1)], "host string, n long")
+    r3 = fairness_index(mid).collect()[0]
+    assert r3.fairness_milli == 800   # 16*1000 // (2*10)
