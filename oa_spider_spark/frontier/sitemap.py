@@ -85,3 +85,43 @@ def parse_sitemaps(df: DataFrame) -> DataFrame:
         )
 
     return entries("url").unionByName(entries("sitemap"))
+
+
+def coverage_diff(declared: DataFrame, crawled: DataFrame) -> DataFrame:
+    """Declared-vs-crawled coverage census per host — the closing audit
+    of the discovery loop (X92 parse → X107 feed → rounds): how much of
+    what each host DECLARES has actually been crawled, and how much of
+    what was crawled the host never declared (orphans — the hidden
+    inventory sitemap-only crawls miss). Both inputs (host, url); one
+    full-outer url-keyed join tagged by side, one host-keyed
+    conditional aggregate. coverage_milli = 1000·both div declared
+    (1000 when the sitemap is exhausted), orphan_milli = 1000·orphans
+    div crawled."""
+    d = declared.select("host", "url").distinct().withColumn("_d", F.lit(1))
+    c = crawled.select("host", "url").distinct().withColumn("_c", F.lit(1))
+    j = d.join(c, ["host", "url"], "full_outer")
+    return (
+        j.groupBy("host")
+        .agg(
+            F.sum(F.coalesce(F.col("_d"), F.lit(0))).alias("n_declared"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("n_crawled"),
+            F.sum(
+                F.when(F.col("_d").isNotNull() & F.col("_c").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_both"),
+        )
+        .select(
+            "host",
+            "n_declared",
+            "n_crawled",
+            "n_both",
+            F.expr(
+                "CASE WHEN n_declared = 0 THEN 0 "
+                "ELSE 1000 * n_both div n_declared END"
+            ).alias("coverage_milli"),
+            F.expr(
+                "CASE WHEN n_crawled = 0 THEN 0 "
+                "ELSE 1000 * (n_crawled - n_both) div n_crawled END"
+            ).alias("orphan_milli"),
+        )
+    )

@@ -585,6 +585,60 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X135: sitemap-vs-crawl coverage diff -------------------------------------
+
+
+def q_coverage_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135: discovery-loop closing audit (frontier/sitemap.py::
+    coverage_diff). URL universe u = event_id mod 600 on hosts
+    h{u mod 20}: the sitemap declares u%3 != 0, the crawl reached
+    u%2 == 0 — all four quadrants (declared+crawled, declared-only,
+    orphan, absent) are populated per host by construction."""
+    from .frontier.sitemap import coverage_diff
+
+    e = _t(spark, sf_dir, "events")
+    u = (F.col("event_id") % 600).alias("u")
+    base = e.select(u).distinct()
+    host = F.concat(F.lit("h"), (F.col("u") % 20).cast("string"))
+    url = F.concat(F.lit("/u/"), F.col("u").cast("string"))
+    declared = base.filter(F.col("u") % 3 != 0).select(
+        host.alias("host"), url.alias("url")
+    )
+    crawled = base.filter(F.col("u") % 2 == 0).select(
+        host.alias("host"), url.alias("url")
+    )
+    return coverage_diff(declared, crawled)
+
+
+SQL_COVERAGE_DIFF = """
+WITH base AS (
+  SELECT DISTINCT event_id % 600 AS u FROM events
+), d AS (
+  SELECT DISTINCT 'h' || (u % 20) AS host, '/u/' || u AS url
+  FROM base WHERE u % 3 <> 0
+), c AS (
+  SELECT DISTINCT 'h' || (u % 20) AS host, '/u/' || u AS url
+  FROM base WHERE u % 2 = 0
+), j AS (
+  SELECT coalesce(d.host, c.host) AS host,
+         (d.url IS NOT NULL)::INT AS dd,
+         (c.url IS NOT NULL)::INT AS cc
+  FROM d FULL OUTER JOIN c ON d.host = c.host AND d.url = c.url
+)
+SELECT host,
+       sum(dd)::BIGINT AS n_declared,
+       sum(cc)::BIGINT AS n_crawled,
+       sum(dd * cc)::BIGINT AS n_both,
+       CASE WHEN sum(dd) = 0 THEN 0
+            ELSE (1000 * sum(dd * cc)) // sum(dd) END::BIGINT
+         AS coverage_milli,
+       CASE WHEN sum(cc) = 0 THEN 0
+            ELSE (1000 * (sum(cc) - sum(dd * cc))) // sum(cc) END::BIGINT
+         AS orphan_milli
+FROM j GROUP BY host
+"""
+
+
 # --- X134: allocation fairness index ------------------------------------------
 
 
@@ -1533,6 +1587,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_pagination_series": q_pagination_series,
             "q_link_reciprocity": q_link_reciprocity,
             "q_fairness": q_fairness,
+            "q_coverage_diff": q_coverage_diff,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -1570,6 +1625,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_pagination_series": SQL_PAGINATION_SERIES,
             "q_link_reciprocity": SQL_LINK_RECIPROCITY,
             "q_fairness": SQL_FAIRNESS,
+            "q_coverage_diff": SQL_COVERAGE_DIFF,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

@@ -933,3 +933,20 @@ def test_fairness_index_bounds(spark):
     mid = spark.createDataFrame([("a", 3), ("b", 1)], "host string, n long")
     r3 = fairness_index(mid).collect()[0]
     assert r3.fairness_milli == 800   # 16*1000 // (2*10)
+
+
+def test_coverage_diff_quadrants(spark):
+    """X135: coverage and orphan fractions over all four url quadrants."""
+    from oa_spider_spark.frontier.sitemap import coverage_diff
+
+    declared = spark.createDataFrame(
+        [("h", "/1"), ("h", "/2"), ("h", "/3"), ("h", "/4")],
+        "host string, url string",
+    )
+    crawled = spark.createDataFrame(
+        [("h", "/1"), ("h", "/2"), ("h", "/9")], "host string, url string"
+    )
+    r = coverage_diff(declared, crawled).collect()[0]
+    assert (r.n_declared, r.n_crawled, r.n_both) == (4, 3, 2)
+    assert r.coverage_milli == 500    # 2 of 4 declared reached
+    assert r.orphan_milli == 333      # 1 of 3 crawled undeclared
