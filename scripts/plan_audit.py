@@ -161,6 +161,10 @@ AUDITED = [
     "q_jsonld_harvest",
     "q_pagination_series",
     "q_source_dup_matrix",
+    # X133-X135: link reciprocity, fairness index, coverage diff
+    "q_link_reciprocity",
+    "q_fairness",
+    "q_coverage_diff",
 ]
 
 
