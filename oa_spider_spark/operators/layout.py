@@ -111,3 +111,46 @@ def zvalue_sql(table: str, cols: list[str], bits: int = 16) -> str:
         for i in range(bits):
             terms.append(f"((({q} >> {i}) & 1) << {i * d + j})")
     return " + ".join(terms)
+
+
+def gc_plan(
+    commits: DataFrame,
+    keep_rounds: int = 8,
+) -> DataFrame:
+    """Snapshot garbage-collection planner for the commit-log catalog
+    (tables.py semantics: compaction commits supersede the appends
+    before them, but superseded files stay on disk for time travel) —
+    the expire-snapshots decision, computed as data so the deletion job
+    is auditable BEFORE it runs. commits: (table, snap, round, kind in
+    'append'|'compact', bytes).
+
+    Per table: a compact commit is a live base forever; an append at or
+    before the last compaction is superseded — deletable once it also
+    falls behind the time-travel horizon (max_round − keep_rounds),
+    retained for travel until then; appends after the last compaction
+    are live. Two conditional per-table aggregates broadcast back; one
+    CASE lattice per snapshot row."""
+    per = commits.groupBy("table").agg(
+        F.max("round").alias("_maxr"),
+        F.max(F.when(F.col("kind") == "compact", F.col("round"))).alias("_lastc"),
+    )
+    j = commits.join(F.broadcast(per), "table")
+    horizon = F.col("_maxr") - keep_rounds
+    superseded = (F.col("kind") == "append") & (
+        F.col("round") <= F.coalesce(F.col("_lastc"), F.lit(-1))
+    )
+    reason = (
+        F.when(F.col("kind") == "compact", "live-base")
+        .when(superseded & (F.col("round") < horizon), "deletable")
+        .when(superseded, "time-travel-retained")
+        .otherwise("live")
+    )
+    return j.select(
+        "table",
+        "snap",
+        "round",
+        "kind",
+        "bytes",
+        reason.alias("reason"),
+        (reason == "deletable").alias("deletable"),
+    )

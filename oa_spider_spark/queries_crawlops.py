@@ -585,6 +585,73 @@ SELECT host, url, score, rank FROM ranked WHERE rank <= 2
 """
 
 
+# --- X136: snapshot GC planner ------------------------------------------------
+
+
+def q_gc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136: expire-snapshots as data (operators/layout.py::gc_plan).
+    Commit log from events: 4 tables × rounds (e div 4) mod 30, a
+    compaction every 10th round, keep_rounds=8 — every reason branch
+    (live-base, deletable, time-travel-retained, live) is populated:
+    rounds 0-19 appends are superseded by the round-20 compaction,
+    those below round 21 horizon are deletable, 21+ appends live."""
+    from .operators.layout import gc_plan
+
+    e = _t(spark, sf_dir, "events")
+    base = (
+        e.select(
+            (F.col("event_id") % 4).alias("t"),
+            (F.expr("event_id div 4") % 30).alias("round"),
+        )
+        .distinct()
+    )
+    commits = base.select(
+        F.concat(F.lit("tbl"), F.col("t").cast("string")).alias("table"),
+        F.concat(
+            F.lit("snap-"), F.col("t").cast("string"), F.lit("-"),
+            F.col("round").cast("string"),
+        ).alias("snap"),
+        "round",
+        F.when(F.col("round") % 10 == 0, "compact").otherwise("append").alias(
+            "kind"
+        ),
+        ((F.col("round") + 1) * 1000 + F.col("t")).alias("bytes"),
+    )
+    return gc_plan(commits, keep_rounds=8)
+
+
+SQL_GC_PLAN = """
+WITH base AS (
+  SELECT DISTINCT event_id % 4 AS t, (event_id // 4) % 30 AS round FROM events
+), commits AS (
+  SELECT 'tbl' || t AS "table",
+         'snap-' || t || '-' || round AS snap,
+         round,
+         CASE WHEN round % 10 = 0 THEN 'compact' ELSE 'append' END AS kind,
+         (round + 1) * 1000 + t AS bytes
+  FROM base
+), per AS (
+  SELECT "table", max(round) AS maxr,
+         max(CASE WHEN kind = 'compact' THEN round END) AS lastc
+  FROM commits GROUP BY "table"
+), j AS (
+  SELECT c.*, p.maxr, p.lastc FROM commits c JOIN per p USING ("table")
+), r AS (
+  SELECT "table", snap, round, kind, bytes,
+         CASE WHEN kind = 'compact' THEN 'live-base'
+              WHEN kind = 'append' AND round <= coalesce(lastc, -1)
+                   AND round < maxr - 8 THEN 'deletable'
+              WHEN kind = 'append' AND round <= coalesce(lastc, -1)
+                   THEN 'time-travel-retained'
+              ELSE 'live' END AS reason
+  FROM j
+)
+SELECT "table", snap, round, kind, bytes, reason,
+       reason = 'deletable' AS deletable
+FROM r
+"""
+
+
 # --- X135: sitemap-vs-crawl coverage diff -------------------------------------
 
 
@@ -1588,6 +1655,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_link_reciprocity": q_link_reciprocity,
             "q_fairness": q_fairness,
             "q_coverage_diff": q_coverage_diff,
+            "q_gc_plan": q_gc_plan,
             "q_bitext_pairs": q_bitext_pairs,
             "q_recrawl_schedule": q_recrawl_schedule,
             "q_merge_upsert": q_merge_upsert,
@@ -1626,6 +1694,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_link_reciprocity": SQL_LINK_RECIPROCITY,
             "q_fairness": SQL_FAIRNESS,
             "q_coverage_diff": SQL_COVERAGE_DIFF,
+            "q_gc_plan": SQL_GC_PLAN,
             "q_bitext_pairs": SQL_BITEXT_PAIRS,
             "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
             "q_merge_upsert": SQL_MERGE_UPSERT,

@@ -950,3 +950,28 @@ def test_coverage_diff_quadrants(spark):
     assert (r.n_declared, r.n_crawled, r.n_both) == (4, 3, 2)
     assert r.coverage_milli == 500    # 2 of 4 declared reached
     assert r.orphan_milli == 333      # 1 of 3 crawled undeclared
+
+
+def test_gc_plan_reasons(spark):
+    """X136: compaction bases live forever; superseded appends delete
+    only past the time-travel horizon; post-compaction appends live."""
+    from oa_spider_spark.operators.layout import gc_plan
+
+    rows = [
+        ("t", "s0", 0, "append", 10),
+        ("t", "s1", 1, "append", 10),
+        ("t", "s2", 2, "compact", 30),
+        ("t", "s3", 3, "append", 10),
+        ("t", "s4", 4, "append", 10),
+        ("u", "u0", 0, "append", 10),   # no compaction: all live
+    ]
+    df = spark.createDataFrame(rows, "table string, snap string, round long, kind string, bytes long")
+    got = {r.snap: r.reason for r in gc_plan(df, keep_rounds=3).collect()}
+    assert got == {
+        "s0": "deletable",              # <= compact(2), < horizon (4-3)
+        "s1": "time-travel-retained",   # superseded but inside horizon
+        "s2": "live-base",
+        "s3": "live",
+        "s4": "live",
+        "u0": "live",
+    }
