@@ -688,3 +688,57 @@ def truncation_loss(
             "lost_milli", F.expr("1000 * tokens_lost div total_tokens")
         )
     )
+
+
+def bitext_alignment_qa(
+    pairs: DataFrame,
+    id_cols: list[str],
+    text_a_col: str = "text_a",
+    text_b_col: str = "text_b",
+    min_ratio_milli: int = 600,
+) -> DataFrame:
+    """Paragraph-level alignment QA for candidate bitext pairs (the
+    verification stage after X99's URL pairing, before any pair enters
+    a parallel corpus): split both sides on blank lines and score each
+    POSITIONAL paragraph pair by the exact integer length ratio — the
+    relational approximation of Gale-Church (whose dynamic program is
+    inherently sequential; length-ratio screening is its standard cheap
+    filter). aligned <=> paragraph counts match AND every pair clears
+    the ratio floor.
+
+    Shape: both sides posexplode to (pair, pos, para), a FULL-OUTER
+    join on (pair, pos) exposes count mismatches as NULL partners
+    (ratio 0), and the per-pair fold is one keyed aggregate — ratios
+    are `div` on named columns per the repo's no-float discipline."""
+    def side(col, alias):
+        return pairs.select(
+            *id_cols,
+            F.posexplode(F.split(F.col(col), r"\n\n")).alias("pos", alias),
+        )
+
+    j = side(text_a_col, "_pa").join(
+        side(text_b_col, "_pb"), [*id_cols, "pos"], "full_outer"
+    )
+    scored = (
+        j.withColumn("_la", F.length("_pa").cast("long"))
+        .withColumn("_lb", F.length("_pb").cast("long"))
+        .withColumn(
+            "ratio",
+            F.expr(
+                "CASE WHEN _la IS NULL OR _lb IS NULL THEN 0 "
+                "ELSE 1000 * least(_la, _lb) div greatest(_la, _lb) END"
+            ),
+        )
+    )
+    thr = F.lit(min_ratio_milli)
+    agg = scored.groupBy(*id_cols).agg(
+        F.sum(F.col("_la").isNotNull().cast("long")).alias("n_paras_a"),
+        F.sum(F.col("_lb").isNotNull().cast("long")).alias("n_paras_b"),
+        F.sum((F.col("ratio") >= thr).cast("long")).alias("n_paras_ok"),
+        F.min("ratio").alias("min_ratio_milli"),
+    )
+    return agg.withColumn(
+        "aligned",
+        (F.col("n_paras_a") == F.col("n_paras_b"))
+        & (F.col("n_paras_ok") == F.col("n_paras_a")),
+    )

@@ -805,6 +805,72 @@ WHERE (1000::HUGEINT * p.c_ab * n.n_bigrams)
 """
 
 
+# --- X137: bitext paragraph-alignment QA --------------------------------------
+
+
+def q_bitext_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X137: alignment verification for candidate bitext pairs
+    (operators/text.py::bitext_alignment_qa). Even documents pair with
+    a synthetic 'translation': every 6-word paragraph suffixed 'xx'
+    (ratios clear the 600 floor — aligned), except doc_id%4==2 pairs,
+    whose translation DROPS the last paragraph — the count mismatch
+    surfaces as a ratio-0 position via the full-outer join and the
+    pair fails. The oracle recomputes paragraphs and positional ratios
+    with DuckDB list lambdas."""
+    from .operators.text import bitext_alignment_qa
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    a = F.regexp_replace(
+        F.trim(F.col("text")), r"((?:\S+ ){5}\S+) ", "$1\n\n"
+    )
+    paras = F.split(a, r"\n\n")
+    b = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.array_join(
+            F.transform(paras, lambda p: F.concat(p, F.lit("xx"))), "\n\n"
+        ),
+    ).otherwise(
+        F.array_join(
+            F.slice(paras, 1, F.greatest(F.size(paras) - 1, F.lit(1))), "\n\n"
+        )
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"), a.alias("text_a"), b.alias("text_b")
+    )
+    return bitext_alignment_qa(pairs, ["pair_id"], min_ratio_milli=600)
+
+
+SQL_BITEXT_QA = r"""
+WITH base AS (
+  SELECT doc_id AS pair_id,
+         string_split(
+           regexp_replace(trim(text), '((?:\S+ ){5}\S+) ',
+                          '\1' || chr(10) || chr(10), 'g'),
+           chr(10) || chr(10)) AS pa
+  FROM documents WHERE doc_id % 2 = 0
+), p AS (
+  SELECT pair_id, pa,
+         CASE WHEN pair_id % 4 = 0
+              THEN list_transform(pa, x -> x || 'xx')
+              ELSE list_slice(pa, 1, greatest(len(pa) - 1, 1)) END AS pb
+  FROM base
+), r AS (
+  SELECT pair_id, len(pa)::BIGINT AS n_paras_a, len(pb)::BIGINT AS n_paras_b,
+         list_transform(range(1, greatest(len(pa), len(pb)) + 1),
+           i -> CASE WHEN i > len(pa) OR i > len(pb) THEN 0
+                     ELSE (1000 * least(length(pa[i]), length(pb[i])))
+                          // greatest(length(pa[i]), length(pb[i])) END) AS rs
+  FROM p
+)
+SELECT pair_id, n_paras_a, n_paras_b,
+       len(list_filter(rs, x -> x >= 600))::BIGINT AS n_paras_ok,
+       list_min(rs)::BIGINT AS min_ratio_milli,
+       (n_paras_a = n_paras_b
+        AND len(list_filter(rs, x -> x >= 600)) = n_paras_a) AS aligned
+FROM r
+"""
+
+
 # --- X127: session conversion attribution ------------------------------------
 
 
@@ -1215,6 +1281,7 @@ def register(
             "q_truncation_loss": q_truncation_loss,
             "q_join_preflight": q_join_preflight,
             "q_attribution": q_attribution,
+            "q_bitext_qa": q_bitext_qa,
             "q_repetition_stats": q_repetition_stats,
             "q_tfidf_top_terms": q_tfidf_top_terms,
             "q_triangle_count": q_triangle_count,
@@ -1246,6 +1313,7 @@ def register(
             "q_truncation_loss": SQL_TRUNCATION_LOSS,
             "q_join_preflight": SQL_JOIN_PREFLIGHT,
             "q_attribution": SQL_ATTRIBUTION,
+            "q_bitext_qa": SQL_BITEXT_QA,
             "q_repetition_stats": SQL_REPETITION_STATS,
             "q_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
             "q_triangle_count": SQL_TRIANGLE_COUNT,

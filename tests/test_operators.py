@@ -1246,3 +1246,23 @@ def test_truncation_loss_curve(spark):
         for r in truncation_loss(docs, lengths=(8, 16)).collect()
     }
     assert got == {8: (3, 2, 35, 14, 400), 16: (3, 1, 35, 4, 114)}
+
+
+def test_bitext_alignment_qa(spark):
+    """X137: matched counts with good ratios align; a dropped paragraph
+    or a wildly divergent one fails with the right census."""
+    from oa_spider_spark.operators.text import bitext_alignment_qa
+
+    rows = [
+        (1, "hello world\n\ngood morning", "hallo weltx\n\nguten morgenx"),
+        (2, "one two\n\nthree four", "one two"),                # count drop
+        (3, "same length\n\nshort", "same length\n\n" + "y" * 50),  # bad ratio
+    ]
+    pairs = spark.createDataFrame(rows, "pair_id long, text_a string, text_b string")
+    got = {
+        r.pair_id: (r.n_paras_a, r.n_paras_b, r.n_paras_ok, r.aligned)
+        for r in bitext_alignment_qa(pairs, ["pair_id"], min_ratio_milli=600).collect()
+    }
+    assert got[1] == (2, 2, 2, True)
+    assert got[2] == (2, 1, 1, False)
+    assert got[3][3] is False and got[3][2] == 1
