@@ -161,10 +161,12 @@ AUDITED = [
     "q_jsonld_harvest",
     "q_pagination_series",
     "q_source_dup_matrix",
-    # X133-X135: link reciprocity, fairness index, coverage diff
+    # X133-X137: link reciprocity, fairness, coverage, GC plan, bitext QA
     "q_link_reciprocity",
     "q_fairness",
     "q_coverage_diff",
+    "q_gc_plan",
+    "q_bitext_qa",
 ]
 
 
