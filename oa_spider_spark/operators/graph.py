@@ -241,6 +241,63 @@ def resolve_pointer_chains(edges: DataFrame, max_hops: int = 8) -> DataFrame:
     )
 
 
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Crawl-depth labeling: minimum link distance from the seed set
+    for every reachable page, bounded by `max_hops` — the classic
+    frontier prioritization signal (breadth tiers: depth-0 seeds,
+    their direct links, two hops out, …) and the input to any
+    "crawl no deeper than k" policy. `edges` is a general multigraph
+    (src, dst — duplicates and cycles welcome), `seeds` a (node)
+    table; X85's pointer doubling does NOT apply here because these
+    edges are not a function (a page links many pages), and doubling
+    a relation squares its size.
+
+    Delta BFS, the scalable formulation: the per-hop join runs on the
+    NEWLY-discovered frontier only, never the full reached set —
+    hop h is frontier⋈edges (equi-join on src) → distinct dst →
+    anti-join against everything already labeled. Each shuffle moves
+    (node) keys only; the distinct collapses hub fan-out before the
+    anti-join; total work is O(edges-within-horizon), the same bound
+    sequential BFS gets. Each layer is persisted the moment the
+    early-exit probe (`isEmpty`) materializes it — it is reused three
+    times (next hop's join, the anti-join's known set, the final
+    union), and without the cache layer h's plan re-runs every layer
+    below it. Hops are bounded and small (a crawl cares about
+    single-digit depths), so the bounded cache footprint — node ids
+    only, never payloads — and the growing lineage both stay
+    harmless; for deep budgets stage rounds to parquet the way
+    dedup.connected_components does.
+
+    Output: (node, depth) for every node reachable within max_hops;
+    seeds report depth 0 whether or not they appear in the edge set.
+    Bit-identical to a bounded recursive walk taking min(depth) —
+    which is exactly what the DuckDB oracle runs."""
+    seed_nodes = seeds.select("node").distinct()
+    frontier = seed_nodes
+    known = seed_nodes
+    layers = [seed_nodes.withColumn("depth", F.lit(0).cast("long"))]
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(known, "node", "left_anti")
+        ).persist()  # materialized by the isEmpty probe; reused 3x
+        if nxt.isEmpty():
+            break
+        layers.append(nxt.withColumn("depth", F.lit(hop).cast("long")))
+        known = known.union(nxt)
+        frontier = nxt
+    result = layers[0]
+    for layer in layers[1:]:
+        result = result.union(layer)
+    return result
+
+
 def host_reciprocity(
     links: DataFrame,
     min_links: int = 10,

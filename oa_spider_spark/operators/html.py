@@ -473,3 +473,79 @@ def jsonld_harvest(
         )
         .filter(F.col("jtype").isNotNull())
     )
+
+
+def extract_assets(
+    pages: DataFrame,
+    html_col: str = "html",
+    key_cols: tuple = ("doc_id",),
+    per_page_budget: int = 4,
+) -> DataFrame:
+    """Subresource harvest for the media-fetch tier: every <img src>,
+    stylesheet <link href>, and <script src> on a page, classified,
+    deduplicated per page, and admitted against a per-page budget with
+    images first — the page-local admission step that feeds the image
+    pipeline (S8/K-family) without letting a gallery page monopolize a
+    fetch round the way the global byte budget (X118) guards rounds.
+
+    Whole pipeline is column expressions: three regexp_extract_all
+    (patterns kept to the Java∩RE2 subset so the DuckDB oracle replays
+    them verbatim) → one posexplode per kind unioned, per-(page, url)
+    dedup, then rank by (priority, first position) inside the page.
+    The per-page window is NOT a scale hazard: a page's tag count is
+    bounded by its HTML size (a 2 MB page holds at most ~10^5 tags),
+    so every window task is page-sized by construction — the same
+    argument extract_tables makes. Shuffles: one dedup aggregate + one
+    page-keyed window, both on (page, url) keys.
+
+    Output: key_cols + (asset_url, kind, priority, first_pos, rank,
+    admitted)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    kinds = [
+        ("img", r'<img[^>]*\ssrc="([^"]+)"', 1),
+        ("css", r'<link[^>]*\shref="([^"]+\.css)"', 2),
+        ("script", r'<script[^>]*\ssrc="([^"]+)"', 3),
+    ]
+    keys = [F.col(k) for k in key_cols]
+    parts = []
+    for kind, pat, prio in kinds:
+        parts.append(
+            pages.select(
+                *keys,
+                F.posexplode(
+                    F.regexp_extract_all(F.col(html_col), F.lit(pat), F.lit(1))
+                ).alias("pos", "asset_url"),
+            ).select(
+                *keys,
+                "asset_url",
+                F.lit(kind).alias("kind"),
+                F.lit(prio).alias("priority"),
+                F.col("pos").cast("long").alias("pos"),
+            )
+        )
+    tags = parts[0]
+    for p in parts[1:]:
+        tags = tags.unionByName(p)
+    # kind is a pure function of the winning priority (no min_by with a
+    # struct key — DuckDB's min_by has no struct overload, CLAUDE.md)
+    dedup = (
+        tags.groupBy(*key_cols, "asset_url")
+        .agg(
+            F.min("priority").alias("priority"),
+            F.min("pos").alias("first_pos"),
+        )
+        .withColumn(
+            "kind",
+            F.when(F.col("priority") == 1, "img")
+            .when(F.col("priority") == 2, "css")
+            .otherwise("script"),
+        )
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        "priority", "first_pos", "asset_url"
+    )
+    return dedup.withColumn("rank", F.row_number().over(w)).withColumn(
+        "admitted", F.col("rank") <= per_page_budget
+    )

@@ -1141,3 +1141,81 @@ def fairness_index(
             "ELSE cast(1000 * _s * _s div (n_members * _ss) as long) END"
         ).alias("fairness_milli"),
     )
+
+
+def entity_disjoint_split(
+    df: DataFrame,
+    entity_col: str = "host",
+    fingerprint_col: str = "fp",
+    bounds: tuple = (80, 90),
+    names: tuple = ("train", "val", "test"),
+    salt: str = "esplit",
+    portable: bool = False,
+) -> DataFrame:
+    """Entity-disjoint train/val/test split + leakage audit — the
+    eval-hygiene contract hash_split (X56) cannot give. Splitting by
+    doc hash puts two near-identical pages from the SAME site on both
+    sides of the train/eval fence (template boilerplate, mirrored
+    articles), silently inflating eval scores. Production pipelines
+    therefore split by the LEAKAGE UNIT — host, domain, or user — so
+    every document of an entity lands in one split; this operator
+    assigns split = bucket(hash(salt:entity)) and then AUDITS the
+    residual cross-entity leakage: content fingerprints that still
+    appear in more than one split (the duplicates living on unrelated
+    hosts, exactly what the fence cannot stop and dedup must).
+
+    Output: one row per split — n_entities, n_docs, n_fingerprints
+    (distinct), leaked_fps (fingerprints of this split also present in
+    ≥1 other split). Plan: one row-local hash for assignment (zero
+    shuffle, stable under corpus growth like X56), then the big table
+    is touched by exactly TWO map-side-combined aggregates — to
+    (split, fingerprint) pairs and to (split, entity) pairs — and
+    everything else (the cross-split span count, the rollup, the
+    final join) runs on those fingerprint-/entity-cardinality pair
+    tables, never on documents again. Fingerprints are near-unique so
+    neither aggregate has a hot key; no window anywhere.
+
+    portable=True swaps xxhash64 for md5h60 so the DuckDB oracle
+    reproduces every assignment bit-exactly."""
+    from .dedup import md5h60
+
+    hf = md5h60 if portable else F.xxhash64
+    b = F.pmod(
+        hf(F.concat(F.lit(f"{salt}:"), F.col(entity_col).cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(b < bounds[0], names[0])
+        .when(b < bounds[1], names[1])
+        .otherwise(names[2])
+    )
+    assigned = df.withColumn("split", split)
+    # big table -> (split, fingerprint) pairs: one map-side-combined agg
+    fp_pairs = assigned.groupBy("split", fingerprint_col).agg(
+        F.count("*").alias("_n_docs")
+    )
+    # span per fingerprint, computed on the pair table (fp-cardinality)
+    fp_span = fp_pairs.groupBy(fingerprint_col).agg(
+        F.count("*").alias("_n_splits")
+    )
+    # big table -> (split, entity) pairs: the only other full-table agg
+    ent = (
+        assigned.groupBy("split", entity_col)
+        .agg(F.count("*").alias("_ne"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_entities"))
+    )
+    per_split = (
+        fp_pairs.join(fp_span, fingerprint_col)
+        .groupBy("split")
+        .agg(
+            F.sum("_n_docs").alias("n_docs"),
+            F.count("*").alias("n_fingerprints"),
+            F.sum(F.when(F.col("_n_splits") > 1, 1).otherwise(0)).alias(
+                "leaked_fps"
+            ),
+        )
+    )
+    return per_split.join(ent, "split").select(
+        "split", "n_entities", "n_docs", "n_fingerprints", "leaked_fps"
+    )

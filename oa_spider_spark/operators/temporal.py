@@ -221,3 +221,75 @@ def merge_upsert(
         .filter(F.col("_rk") == 1)
         .select(*cols, (F.col("_src") == 1).alias("from_delta"))
     )
+
+
+def ewma_alarm(
+    series: DataFrame,
+    group_col: str = "host",
+    time_col: str = "round",
+    value_col: str = "latency_ms",
+    window: int = 8,
+    threshold_milli: int = 500,
+) -> DataFrame:
+    """Per-group EWMA residual alarm over a (group, time, value)
+    series — "did this host's latency/error-rate/fetch-time jump
+    relative to ITS OWN recent history?" — the per-entity control
+    chart that complements X106's distribution drift (L1 between
+    consecutive rounds) with a longer exponentially-weighted memory.
+
+    Exactness: per-step floored EWMA recursion is order-dependent and
+    never reproduces across engines, so this uses the CLOSED FORM with
+    power-of-two decay — prior rounds r in (R-window, R) weigh
+    2^(r-lo): ewma = Σ x_r·2^(r-lo) / Σ 2^(r-lo), both sums exact
+    BIGINTs (exponents are window-bounded ≤ 62 by construction, not by
+    data), and the deviation is one floor division:
+    dev_milli = 1000·|x_R·D − N| div N. No float enters anywhere.
+
+    Scale shape: the caller hands a per-(group, time) series (already
+    aggregated — entities × rounds, metadata-scale next to the event
+    log); this adds one (group) max-aggregate broadcast back onto the
+    series and one conditional sum — no window function, no self-join
+    at event scale. Groups with no prior history inside the window
+    report dev_milli NULL and never alarm.
+
+    Output: (group, time=R, value=x_R, ewma_num, ewma_den, dev_milli,
+    alarm)."""
+    g, t, v = group_col, time_col, value_col
+    latest = series.groupBy(g).agg(F.max(t).alias("_R"))
+    # SQL shiftleft takes column args (the F.shiftleft wrapper wants a
+    # Python int for numBits); exponent 0..window-2 for prior rounds
+    j = series.join(F.broadcast(latest), g).withColumn(
+        "_w",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST({t} - (_R - {window}) - 1 AS INT))"
+        ),
+    )
+    is_prior = (F.col(t) < F.col("_R")) & (F.col(t) > F.col("_R") - window)
+    w = F.col("_w")
+    agg = j.groupBy(g).agg(
+        F.max("_R").alias(t),
+        F.sum(F.when(F.col(t) == F.col("_R"), F.col(v)).otherwise(0)).alias(
+            "_xR"
+        ),
+        F.sum(F.when(is_prior, F.col(v) * w).otherwise(0)).alias("ewma_num"),
+        F.sum(F.when(is_prior, w).otherwise(0)).alias("ewma_den"),
+    )
+    # num = 0 (flat-zero history) would divide by zero under ANSI:
+    # a zero current value is a perfect match (dev 0), a nonzero one
+    # is an infinite relative jump — saturate at 10^6 milli.
+    dev = F.expr(
+        "CASE WHEN ewma_den = 0 THEN NULL "
+        "WHEN ewma_num = 0 AND _xR = 0 THEN 0 "
+        "WHEN ewma_num = 0 THEN 1000000 "
+        "ELSE 1000 * abs(_xR * ewma_den - ewma_num) div ewma_num END"
+    )
+    return agg.select(
+        g,
+        t,
+        F.col("_xR").alias("value"),
+        "ewma_num",
+        "ewma_den",
+        dev.alias("dev_milli"),
+        F.coalesce(dev > threshold_milli, F.lit(False)).alias("alarm"),
+    )

@@ -742,3 +742,109 @@ def bitext_alignment_qa(
         (F.col("n_paras_a") == F.col("n_paras_b"))
         & (F.col("n_paras_ok") == F.col("n_paras_a")),
     )
+
+
+def ngram_novelty(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    gram_words: int = 2,
+    stale_milli: int = 300,
+) -> DataFrame:
+    """Per-document novelty against the EXISTING corpus: the milli
+    fraction of a candidate's distinct word n-grams never seen in any
+    already-accepted document. The curation signal between dedup and
+    quality scoring — a page can be non-duplicate (no single doc
+    matches) yet contribute nothing new (every phrase already covered
+    across thousands of docs); data-mixing pipelines downweight or
+    drop such low-novelty additions.
+
+    X24 (contamination_check) broadcasts its reference because eval
+    benchmarks are tiny. Here the reference IS the corpus, so
+    broadcast is off the table: the corpus gram vocabulary is
+    distinct-collapsed (map-side-combined aggregate — the heavy
+    dedupe happens before any join) and the candidate grams LEFT-join
+    it on gram_hash. Both sides shuffle key+flag columns only, the
+    ref side is distinct so the join never fans out, and grams are
+    near-uniform hashes so there is no hot key. Returns (doc_id,
+    n_grams, n_novel, novelty_milli, stale) for every candidate doc
+    (docs shorter than one gram shingle to a single partial gram,
+    X24's convention, so no candidate ever drops out)."""
+    from .dedup import md5h60
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - gram_words + 1, F.lit(1))
+        )
+        g = F.transform(
+            idx,
+            lambda i: md5h60(F.array_join(F.slice(toks, i, gram_words), " ")),
+        )
+        return df.select(
+            "doc_id", F.explode(F.array_distinct(g)).alias("gram_hash")
+        )
+
+    vocab = (
+        grams(corpus).select("gram_hash").distinct().withColumn("_seen", F.lit(1))
+    )
+    joined = grams(candidates).join(vocab, "gram_hash", "left")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).alias("n_novel"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("1000 * n_novel div n_grams").alias("novelty_milli"),
+        F.expr(f"1000 * n_novel div n_grams < {int(stale_milli)}").alias(
+            "stale"
+        ),
+    )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade in exact milli-units
+    — the classic curation complexity signal next to the Gopher
+    structural rules (X88) and bigram fluency (X67): too-simple pages
+    are listicles/boilerplate, too-complex ones are often OCR garbage
+    or legalese, and mixing corpora by grade band needs a reproducible
+    score, which the float formulas don't give across engines.
+
+    Counts are defined relationally so both engines agree exactly:
+    words = whitespace-separated tokens; sentences = [.!?]+ runs
+    (floored at 1 so punctuation-free synthetic text still scores);
+    syllables = [aeiouy]+ vowel GROUPS over the lowercased text — the
+    standard cheap approximation, word-boundary-agnostic on purpose so
+    one regex count serves both sides. Each formula term scales to
+    milli BEFORE its single floor division, so nothing rounds twice:
+      fre_milli   = 206835 − (1015·W) div S − (84600·Y) div W
+      grade_milli = (390·W) div S + (11800·Y) div W − 15590
+    Row-local, zero shuffle, whole-stage codegen end to end."""
+    t = F.lower(F.col(text_col))
+    words = F.size(F.split(F.trim(t), r"\s+"))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    syll = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), F.lit(0))),
+        F.lit(1),
+    )
+    out = docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+    )
+    return out.select(
+        "*",
+        F.expr(
+            "206835 - (1015 * n_words) div n_sentences "
+            "- (84600 * n_syllables) div n_words"
+        ).alias("fre_milli"),
+        F.expr(
+            "(390 * n_words) div n_sentences "
+            "+ (11800 * n_syllables) div n_words - 15590"
+        ).alias("grade_milli"),
+    )

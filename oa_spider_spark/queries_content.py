@@ -700,6 +700,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_table_extract": q_table_extract,
             "q_soft404": q_soft404,
             "q_jsonld_harvest": q_jsonld_harvest,
+            "q_asset_extract": q_asset_extract,
         }
     )
     oracles.update(
@@ -715,5 +716,105 @@ def register(queries: dict, oracles: dict) -> None:
             "q_table_extract": SQL_TABLE_EXTRACT,
             "q_soft404": SQL_SOFT404,
             "q_jsonld_harvest": SQL_JSONLD_HARVEST,
+            "q_asset_extract": SQL_ASSET_EXTRACT,
         }
     )
+
+
+# --- X142: subresource asset extraction + per-page budget ---------------------
+
+
+def q_asset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142: media-tier asset harvest (operators/html.py::
+    extract_assets). Each doc renders a page with (doc_id mod 5)+1
+    images — the FIRST repeated verbatim to exercise per-page dedup —
+    a stylesheet on even docs and a script on every third doc; budget
+    4, images first, so gallery pages (4-5 images) push their css and
+    script past the admission line."""
+    from .operators.html import extract_assets
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    n_img = (did % 5) + 1
+    imgs = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_img - 1),
+            lambda k: F.concat(
+                F.lit('<img class="ph" src="/img/'),
+                ((did % 40) + k).cast("string"),
+                F.lit('.jpg">'),
+            ),
+        ),
+        "",
+    )
+    dup = F.concat(
+        F.lit('<img class="ph" src="/img/'),
+        (did % 40).cast("string"),
+        F.lit('.jpg">'),
+    )
+    css = F.when(
+        did % 2 == 0,
+        F.lit('<link rel="stylesheet" href="/s/main.css">'),
+    ).otherwise(F.lit(""))
+    js = F.when(
+        did % 3 == 0, F.lit('<script defer src="/js/app.js"></script>')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), css, js, F.lit("</head><body>"),
+        imgs, dup, F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return extract_assets(pages, html_col="html", per_page_budget=4)
+
+
+SQL_ASSET_EXTRACT = """
+WITH pg AS (
+  SELECT doc_id,
+    '<html><head>'
+    || CASE WHEN doc_id % 2 = 0
+            THEN '<link rel="stylesheet" href="/s/main.css">' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<script defer src="/js/app.js"></script>' ELSE '' END
+    || '</head><body>'
+    || array_to_string(list_transform(
+         generate_series(0, doc_id % 5),
+         k -> '<img class="ph" src="/img/' || ((doc_id % 40) + k)::VARCHAR
+              || '.jpg">'), '')
+    || '<img class="ph" src="/img/' || (doc_id % 40)::VARCHAR || '.jpg">'
+    || '</body></html>' AS html
+  FROM documents
+), tags AS (
+  SELECT doc_id, url, 1 AS priority, i - 1 AS pos FROM (
+    SELECT doc_id,
+           regexp_extract_all(html, '<img[^>]*\\ssrc="([^"]+)"', 1) AS l
+    FROM pg), LATERAL unnest(generate_series(1, len(l))) u(i),
+    LATERAL (SELECT l[i] AS url) v
+  UNION ALL
+  SELECT doc_id, url, 2 AS priority, i - 1 AS pos FROM (
+    SELECT doc_id,
+           regexp_extract_all(html, '<link[^>]*\\shref="([^"]+\\.css)"', 1) AS l
+    FROM pg), LATERAL unnest(generate_series(1, len(l))) u(i),
+    LATERAL (SELECT l[i] AS url) v
+  UNION ALL
+  SELECT doc_id, url, 3 AS priority, i - 1 AS pos FROM (
+    SELECT doc_id,
+           regexp_extract_all(html, '<script[^>]*\\ssrc="([^"]+)"', 1) AS l
+    FROM pg), LATERAL unnest(generate_series(1, len(l))) u(i),
+    LATERAL (SELECT l[i] AS url) v
+), dd AS (
+  SELECT doc_id, url AS asset_url,
+         min(priority)::INT AS priority,
+         min(pos)::BIGINT AS first_pos
+  FROM tags GROUP BY doc_id, url
+), k AS (
+  SELECT *,
+         CASE priority WHEN 1 THEN 'img' WHEN 2 THEN 'css'
+              ELSE 'script' END AS kind,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY priority, first_pos, asset_url) AS rank
+  FROM dd
+)
+SELECT doc_id, asset_url, priority, first_pos, kind,
+       rank::INT AS rank, (rank <= 4) AS admitted
+FROM k
+"""

@@ -1673,6 +1673,8 @@ def register(queries: dict, oracles: dict) -> None:
             "q_revalidation_plan": q_revalidation_plan,
             "q_domain_caps": q_domain_caps,
             "q_redirect_chains": q_redirect_chains,
+            "q_crawl_depths": q_crawl_depths,
+            "q_latency_alarm": q_latency_alarm,
         }
     )
     oracles.update(
@@ -1712,6 +1714,8 @@ def register(queries: dict, oracles: dict) -> None:
             "q_revalidation_plan": SQL_REVALIDATION_PLAN,
             "q_domain_caps": SQL_DOMAIN_CAPS,
             "q_redirect_chains": SQL_REDIRECT_CHAINS,
+            "q_crawl_depths": SQL_CRAWL_DEPTHS,
+            "q_latency_alarm": SQL_LATENCY_ALARM,
         }
     )
 
@@ -2579,4 +2583,136 @@ SELECT url, age AS age_ms, ttl AS ttl_ms,
        CASE WHEN NOT no_store AND NOT no_cache AND age <= ttl
             THEN 'none' ELSE v END AS validator
 FROM d
+"""
+
+
+# --- X140: crawl-depth BFS labeling -------------------------------------------
+
+
+def q_crawl_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X140: min link distance from the seed set, bounded at 6 hops
+    (operators/graph.py::bfs_depths — delta BFS, frontier-only joins).
+    Pages p0..p999 form a 10-layer DAG: p{n} (layer n div 100) links
+    forward to layer+1 at slot (7e + e div 1000) mod 100, and every
+    17th event contributes a BACK edge to layer-1 instead (the cycles
+    a bounded walk must not loop on). Seeds are p0..p9, so depth ==
+    layer for reachable pages and layers 7-9 fall outside the horizon.
+    The oracle replays the identical bounded walk as a recursive CTE
+    taking min(depth)."""
+    from .operators.graph import bfs_depths
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    src_n = eid % 1000
+    layer = F.expr("(event_id % 1000) div 100")
+    fwd = (layer + 1) * 100 + (eid * 7 + F.expr("event_id div 1000")) % 100
+    dst_n = F.when((eid % 17 == 0) & (layer >= 1), src_n - 100).otherwise(
+        F.when(layer < 9, fwd)
+    )
+    edges = e.select(
+        F.concat(F.lit("p"), src_n.cast("string")).alias("src"),
+        F.concat(F.lit("p"), dst_n.cast("string")).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    seeds = e.filter(src_n < 10).select(
+        F.concat(F.lit("p"), src_n.cast("string")).alias("node")
+    )
+    return bfs_depths(edges, seeds, max_hops=6)
+
+
+SQL_CRAWL_DEPTHS = """
+WITH RECURSIVE e AS (
+  SELECT 'p' || src_n::VARCHAR AS src, 'p' || dst_n::VARCHAR AS dst
+  FROM (
+    SELECT event_id % 1000 AS src_n,
+           CASE WHEN event_id % 17 = 0 AND (event_id % 1000) // 100 >= 1
+                THEN (event_id % 1000) - 100
+                WHEN (event_id % 1000) // 100 < 9
+                THEN ((event_id % 1000) // 100 + 1) * 100
+                     + (event_id * 7 + event_id // 1000) % 100
+                ELSE NULL END AS dst_n
+    FROM events
+  ) WHERE dst_n IS NOT NULL
+), seeds AS (
+  SELECT DISTINCT 'p' || (event_id % 1000)::VARCHAR AS node
+  FROM events WHERE event_id % 1000 < 10
+), walk(node, depth) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.depth < 6
+)
+SELECT node, min(depth)::BIGINT AS depth FROM walk GROUP BY node
+"""
+
+
+# --- X141: per-host EWMA latency alarm ----------------------------------------
+
+
+def q_latency_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141: EWMA residual control chart per host
+    (operators/temporal.py::ewma_alarm — closed-form power-of-two
+    decay, exact integers). The per-(host, round) latency series is
+    the cell count of events (hosts h{e mod 30}, rounds (e div 30)
+    mod 8 — cells land at 41-42 rows, a flat series), except host h0's
+    final round is inflated 10× — the jump the alarm must flag while
+    every other host's ±2% wobble stays far under the 500-milli
+    threshold."""
+    from .operators.temporal import ewma_alarm
+
+    e = _t(spark, sf_dir, "events")
+    h = (F.col("event_id") % 30).alias("h")
+    r = (F.expr("event_id div 30") % 8).alias("round")
+    series = (
+        e.select(h, r)
+        .groupBy("h", "round")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+            "round",
+            F.when((F.col("h") == 0) & (F.col("round") == 7), F.col("_n") * 10)
+            .otherwise(F.col("_n"))
+            .alias("latency_ms"),
+        )
+    )
+    return ewma_alarm(
+        series, group_col="host", time_col="round", value_col="latency_ms",
+        window=8, threshold_milli=500,
+    )
+
+
+SQL_LATENCY_ALARM = """
+WITH c AS (
+  SELECT event_id % 30 AS h, (event_id // 30) % 8 AS round,
+         count(*) AS n0
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT 'h' || h::VARCHAR AS host, round,
+         CASE WHEN h = 0 AND round = 7 THEN n0 * 10 ELSE n0 END AS x
+  FROM c
+), latest AS (
+  SELECT host, max(round) AS R FROM series GROUP BY host
+), agg AS (
+  SELECT s.host, max(l.R) AS round,
+         sum(CASE WHEN s.round = l.R THEN s.x ELSE 0 END)::BIGINT AS value,
+         sum(CASE WHEN s.round < l.R AND s.round > l.R - 8
+                  THEN s.x * (1::BIGINT << (s.round - (l.R - 8) - 1)::INT)
+                  ELSE 0 END)::BIGINT AS ewma_num,
+         sum(CASE WHEN s.round < l.R AND s.round > l.R - 8
+                  THEN (1::BIGINT << (s.round - (l.R - 8) - 1)::INT)
+                  ELSE 0 END)::BIGINT AS ewma_den
+  FROM series s JOIN latest l USING (host)
+  GROUP BY s.host
+), dev AS (
+  SELECT *,
+         CASE WHEN ewma_den = 0 THEN NULL
+              WHEN ewma_num = 0 AND value = 0 THEN 0
+              WHEN ewma_num = 0 THEN 1000000
+              ELSE (1000 * abs(value * ewma_den - ewma_num)) // ewma_num
+         END AS dev_milli
+  FROM agg
+)
+SELECT host, round, value, ewma_num, ewma_den, dev_milli::BIGINT AS dev_milli,
+       coalesce(dev_milli > 500, FALSE) AS alarm
+FROM dev
 """

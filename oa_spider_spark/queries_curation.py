@@ -1301,6 +1301,9 @@ def register(
             "q_paragraph_dedup": q_paragraph_dedup,
             "q_corpus_pipeline": q_corpus_pipeline,
             "q_pmi_collocations": q_pmi_collocations,
+            "q_entity_split": q_entity_split,
+            "q_ngram_novelty": q_ngram_novelty,
+            "q_readability": q_readability,
         }
     )
     oracles.update(
@@ -1333,6 +1336,9 @@ def register(
             "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
             "q_corpus_pipeline": SQL_CORPUS_PIPELINE,
             "q_pmi_collocations": SQL_PMI_COLLOCATIONS,
+            "q_entity_split": SQL_ENTITY_SPLIT,
+            "q_ngram_novelty": SQL_NGRAM_NOVELTY,
+            "q_readability": SQL_READABILITY,
         }
     )
 
@@ -1480,3 +1486,145 @@ FROM (
 GROUP BY lang
 """
 )
+
+
+# --- X138: entity-disjoint split + leakage audit ------------------------------
+
+
+def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X138: host-disjoint train/val/test split with the residual-
+    leakage audit (operators/pipeline.py::entity_disjoint_split).
+    Hosts are h{doc_id mod 50}; fingerprints are md5 of the text
+    except that every doc_id ≡ 3 (mod 20) collapses onto one of five
+    shared 'template' fingerprints — the cross-host duplicates a host
+    fence cannot stop, which must surface as leaked_fps wherever the
+    five template hosts straddle a split boundary."""
+    from .operators.pipeline import entity_disjoint_split
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 50).cast("string"))
+    basis = F.when(
+        did % 20 == 3,
+        F.concat(
+            F.lit("shared-template-"),
+            (F.expr("doc_id div 20") % 5).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    rows = d.select(host.alias("host"), F.md5(basis).alias("fp"))
+    return entity_disjoint_split(
+        rows, entity_col="host", fingerprint_col="fp", portable=True
+    )
+
+
+SQL_ENTITY_SPLIT = """
+WITH base AS (
+  SELECT 'h' || (doc_id % 50)::VARCHAR AS host,
+         md5(CASE WHEN doc_id % 20 = 3
+                  THEN 'shared-template-' || ((doc_id // 20) % 5)::VARCHAR
+                  ELSE text END) AS fp,
+         ('0x' || substr(md5('esplit:h' || (doc_id % 50)::VARCHAR), 1, 15))
+           ::BIGINT % 100 AS b
+  FROM documents
+), assigned AS (
+  SELECT host, fp,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM base
+), fp_pairs AS (
+  SELECT split, fp, count(*) AS n FROM assigned GROUP BY split, fp
+), span AS (
+  SELECT fp, count(*) AS n_splits FROM fp_pairs GROUP BY fp
+), ent AS (
+  SELECT split, count(DISTINCT host) AS n_entities
+  FROM assigned GROUP BY split
+)
+SELECT p.split, e.n_entities::BIGINT AS n_entities,
+       sum(p.n)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_fingerprints,
+       sum(CASE WHEN s.n_splits > 1 THEN 1 ELSE 0 END)::BIGINT AS leaked_fps
+FROM fp_pairs p JOIN span s USING (fp) JOIN ent e ON e.split = p.split
+GROUP BY p.split, e.n_entities
+"""
+
+
+# --- X139: n-gram novelty vs the existing corpus ------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X139: milli fraction of each candidate doc's distinct bigrams
+    unseen anywhere in the accepted corpus (operators/text.py::
+    ngram_novelty — distinct-collapsed vocabulary equi-join, the
+    corpus-scale reference X24's broadcast cannot hold). Docs with
+    doc_id % 3 == 0 play the incoming candidates; everything else is
+    the corpus they are scored against."""
+    from .operators.text import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    cand = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    return ngram_novelty(cand, corpus, gram_words=2, stale_milli=300)
+
+
+SQL_NGRAM_NOVELTY = """
+WITH grams AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram_hash
+  FROM (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         LATERAL unnest(generate_series(1, greatest(len(toks) - 1, 1))) u(i)
+  )
+), vocab AS (
+  SELECT DISTINCT gram_hash FROM grams WHERE doc_id % 3 <> 0
+), scored AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN v.gram_hash IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel
+  FROM grams g LEFT JOIN vocab v USING (gram_hash)
+  WHERE g.doc_id % 3 = 0
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams::BIGINT AS n_grams, n_novel,
+       ((1000 * n_novel) // n_grams)::BIGINT AS novelty_milli,
+       (1000 * n_novel) // n_grams < 300 AS stale
+FROM scored
+"""
+
+
+# --- X143: exact-integer readability scoring ----------------------------------
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143: Flesch reading-ease + Flesch-Kincaid grade in milli
+    (operators/text.py::readability). Sentence boundaries are planted
+    by rewriting every ' a ' to '. ' (the corpus text is unpunctuated
+    words, so occurrence counts — and therefore sentence lengths —
+    vary per doc); both engines apply the identical literal
+    replacement."""
+    from .operators.text import readability
+
+    d = _t(spark, sf_dir, "documents")
+    t2 = F.expr("replace(text, ' a ', '. ')")
+    return readability(d.withColumn("text", t2))
+
+
+SQL_READABILITY = """
+WITH t AS (
+  SELECT doc_id, lower(replace(text, ' a ', '. ')) AS tl FROM documents
+), c AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(tl), '\\s+'))::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(tl, '[.!?]+')), 1)::BIGINT
+           AS n_sentences,
+         greatest(len(regexp_extract_all(tl, '[aeiouy]+')), 1)::BIGINT
+           AS n_syllables
+  FROM t
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       (206835 - (1015 * n_words) // n_sentences
+        - (84600 * n_syllables) // n_words)::BIGINT AS fre_milli,
+       ((390 * n_words) // n_sentences
+        + (11800 * n_syllables) // n_words - 15590)::BIGINT AS grade_milli
+FROM c
+"""

@@ -975,3 +975,28 @@ def test_gc_plan_reasons(spark):
         "s4": "live",
         "u0": "live",
     }
+
+
+def test_bfs_depths_hand_graph(spark):
+    """Min-hop semantics on a hand graph: diamond (two routes, shortest
+    wins), a cycle back to the seed (must not relabel), a node beyond
+    the hop budget (must not appear), and an unreachable island."""
+    from oa_spider_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "a"), ("s", "b"),        # layer 1
+            ("a", "c"), ("b", "c"),        # diamond join: c at 2
+            ("c", "s"),                    # cycle back to seed
+            ("c", "d"), ("d", "e"),        # chain: d at 3, e at 4
+            ("a", "d"),                    # shortcut: d actually at 2
+            ("x", "y"),                    # unreachable island
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds, max_hops=3).collect()}
+    assert got == {"s": 0, "a": 1, "b": 1, "c": 2, "d": 2, "e": 3}
+    # hop budget: with max_hops=1 only the first layer labels
+    got1 = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds, max_hops=1).collect()}
+    assert got1 == {"s": 0, "a": 1, "b": 1}

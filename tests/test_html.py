@@ -164,3 +164,28 @@ def test_jsonld_harvest_blocks(spark):
         0: ("Article", "A", "2024-02-03"),
         2: ("Product", "P", None),   # idx 1 was the malformed block
     }
+
+
+def test_extract_assets_budget_and_dedup(spark):
+    """Dedup collapses the repeated img; images outrank css/script at
+    the admission line; per-page budget admits exactly 4."""
+    from oa_spider_spark.operators.html import extract_assets
+
+    html = (
+        '<html><head><link rel="stylesheet" href="/s/a.css">'
+        '<script async src="/j/b.js"></script></head><body>'
+        '<img src="/i/1.jpg"><img src="/i/2.jpg">'
+        '<img src="/i/1.jpg">'          # duplicate
+        '<img src="/i/3.jpg"><img src="/i/4.jpg">'
+        "</body></html>"
+    )
+    pages = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = extract_assets(pages, html_col="html", per_page_budget=4).collect()
+    by_url = {r["asset_url"]: r for r in out}
+    assert len(by_url) == 6  # 4 distinct imgs + css + js
+    assert by_url["/i/1.jpg"]["kind"] == "img"
+    admitted = {r["asset_url"] for r in out if r["admitted"]}
+    assert admitted == {"/i/1.jpg", "/i/2.jpg", "/i/3.jpg", "/i/4.jpg"}
+    assert not by_url["/s/a.css"]["admitted"]
+    assert by_url["/s/a.css"]["rank"] == 5  # css before script
+    assert by_url["/j/b.js"]["rank"] == 6

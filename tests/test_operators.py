@@ -1266,3 +1266,20 @@ def test_bitext_alignment_qa(spark):
     assert got[1] == (2, 2, 2, True)
     assert got[2] == (2, 1, 1, False)
     assert got[3][3] is False and got[3][2] == 1
+
+
+def test_readability_exact_counts(spark):
+    """Hand text with known word/sentence/vowel-group counts produces
+    the exact milli formula values."""
+    from oa_spider_spark.operators.text import readability
+
+    # "the cat sat. it ran! fast?" -> 6 words, 3 sentence runs,
+    # vowel groups: e,a,a,i,a,a -> 6
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it ran! fast?")], "doc_id long, text string"
+    )
+    r = readability(df).collect()[0]
+    assert r["n_words"] == 6 and r["n_sentences"] == 3
+    assert r["n_syllables"] == 6
+    assert r["fre_milli"] == 206835 - (1015 * 6) // 3 - (84600 * 6) // 6
+    assert r["grade_milli"] == (390 * 6) // 3 + (11800 * 6) // 6 - 15590

@@ -649,3 +649,70 @@ def test_session_attribution_touches(spark):
         4: (2, "purchase", "direct"),
         5: (2, "purchase", "purchase"),
     }
+
+
+def test_entity_disjoint_split_fence_and_leakage(spark):
+    """Every entity lands in exactly one split; a fingerprint planted
+    on two hosts that hash to different splits is counted as leaked in
+    BOTH splits; an entity-local duplicate is not leakage."""
+    from oa_spider_spark.operators.pipeline import entity_disjoint_split
+
+    # find two hosts that land in different splits under the portable hash
+    import hashlib
+
+    def bucket(h):
+        return int(hashlib.md5(f"esplit:{h}".encode()).hexdigest()[:15], 16) % 100
+
+    hosts = [f"h{i}" for i in range(40)]
+    train = [h for h in hosts if bucket(h) < 80]
+    other = [h for h in hosts if bucket(h) >= 80]
+    assert train and other
+    ha, hb = train[0], other[0]
+    rows = (
+        [(ha, "LEAKED"), (hb, "LEAKED")]          # cross-split dup
+        + [(ha, "local"), (ha, "local")]           # same-split dup: clean
+        + [(h, f"uniq-{h}") for h in hosts]
+    )
+    df = spark.createDataFrame(rows, "host string, fp string")
+    out = {
+        r["split"]: r
+        for r in entity_disjoint_split(df, portable=True).collect()
+    }
+    # fence: each host contributes to exactly one split
+    assert sum(r["n_entities"] for r in out.values()) == len(hosts)
+    assert sum(r["n_docs"] for r in out.values()) == len(rows)
+    # the planted pair leaks into both its splits (counted once per
+    # split it appears in); the same-split 'local' dup is NOT leakage
+    assert sum(r["leaked_fps"] for r in out.values()) == 2
+    assert out["train"]["leaked_fps"] == 1
+    # 'local' collapsed to one fingerprint inside train
+    train_fps = out["train"]["n_fingerprints"]
+    train_docs = out["train"]["n_docs"]
+    assert train_docs - train_fps == 1
+
+
+def test_ngram_novelty_extremes(spark):
+    """A candidate that is a verbatim copy of a corpus doc scores 0
+    novelty; one sharing no bigram scores 1000; a half-overlap doc
+    sits in between and the gram counts are exact."""
+    from oa_spider_spark.operators.text import ngram_novelty
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    cands = spark.createDataFrame(
+        [
+            (10, "a b c d e"),     # copy: novelty 0
+            (11, "x y z w v"),     # disjoint: novelty 1000
+            (12, "a b c x y"),     # grams: ab bc cx xy -> 2 novel of 4
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_novelty(cands, corpus, gram_words=2).collect()
+    }
+    assert out[10]["novelty_milli"] == 0 and out[10]["stale"]
+    assert out[11]["novelty_milli"] == 1000 and not out[11]["stale"]
+    assert out[12]["n_grams"] == 4 and out[12]["n_novel"] == 2
+    assert out[12]["novelty_milli"] == 500

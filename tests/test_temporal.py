@@ -380,3 +380,35 @@ def test_scd2_history_intervals(spark):
         if r["user_id"] == 10 and r["valid_from"] <= probe < r["valid_to"]
     ]
     assert len(hit) == 1 and hit[0]["event_type"] == "error"
+
+
+def test_ewma_alarm_jump_and_flat(spark):
+    """Flat history -> no alarm; 10x jump -> alarm with the exact
+    closed-form deviation; history outside the window is ignored;
+    single-round groups report NULL dev and never alarm."""
+    from oa_spider_spark.operators.temporal import ewma_alarm
+
+    rows = (
+        [("flat", r, 100) for r in range(5)]
+        + [("jump", r, 100) for r in range(4)] + [("jump", 4, 1000)]
+        # rounds 0-1 carry a huge value but sit outside window=3
+        + [("win", 0, 10**6), ("win", 1, 10**6)]
+        + [("win", 2, 50), ("win", 3, 50), ("win", 4, 50)]
+        + [("solo", 7, 42)]
+    )
+    df = spark.createDataFrame(rows, "host string, round long, x long")
+    out = {
+        r["host"]: r
+        for r in ewma_alarm(
+            df, group_col="host", time_col="round", value_col="x",
+            window=3, threshold_milli=500,
+        ).collect()
+    }
+    assert not out["flat"]["alarm"] and out["flat"]["dev_milli"] == 0
+    # jump: priors rounds 2,3 (window 3): num=100*1+100*2=300, den=3
+    assert out["jump"]["ewma_den"] == 3 and out["jump"]["ewma_num"] == 300
+    assert out["jump"]["dev_milli"] == (1000 * abs(1000 * 3 - 300)) // 300
+    assert out["jump"]["alarm"]
+    # win: the 10^6 rounds fall outside (R-3, R) -> flat at 50
+    assert out["win"]["dev_milli"] == 0 and not out["win"]["alarm"]
+    assert out["solo"]["dev_milli"] is None and not out["solo"]["alarm"]
