@@ -167,6 +167,14 @@ AUDITED = [
     "q_coverage_diff",
     "q_gc_plan",
     "q_bitext_qa",
+    # X138-X143: entity split, novelty, BFS depths, EWMA alarm, assets,
+    # readability
+    "q_entity_split",
+    "q_ngram_novelty",
+    "q_crawl_depths",
+    "q_latency_alarm",
+    "q_asset_extract",
+    "q_readability",
 ]
 
 
