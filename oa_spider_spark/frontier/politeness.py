@@ -713,3 +713,72 @@ def politeness_audit(
             ) == 0
         ).alias("compliant"),
     )
+
+
+def ip_cohost_caps(
+    hosts: DataFrame,
+    host_col: str = "host",
+    ip_col: str = "ip",
+    demand_col: str = "demand",
+    per_ip_cap: int = 300,
+    cohost_min: int = 3,
+) -> DataFrame:
+    """Infrastructure-level politeness: hostnames sharing one IP (or
+    /24, or CDN edge) share ONE origin server, so per-HOST budgets
+    (X14/X86's eTLD+1 caps) silently multiply load on shared hosting —
+    a crawler that is polite per-name can still hammer a box serving
+    10^4 vhosts. This rolls demand up to the IP, and where the summed
+    demand exceeds the per-IP cap, splits the cap among co-hosted
+    hosts proportionally with LARGEST-REMAINDER rounding (X89's
+    template) so the grants sum to the cap EXACTLY; under-cap IPs pass
+    demand through untouched.
+
+    All integer: base = cap·d div D, the `D − Σbase` leftover seats go
+    to the largest remainders (ties by host name). The in-IP windows
+    are fan-in-bounded (hosts per IP — shared hosting tops out around
+    10^5 names on one address, kilobytes per window task); flat-zero
+    demand guards the division per the ANSI discipline.
+
+    Output: host, ip, demand, n_cohosts, granted, co_hosted (cluster
+    ≥ cohost_min), throttle_milli (1000·granted div demand, 1000 when
+    demand is 0)."""
+    w_ip = Window.partitionBy(ip_col)
+    cap = int(per_ip_cap)
+    t = (
+        hosts.select(host_col, ip_col, F.col(demand_col).alias("demand"))
+        .withColumn("_D", F.sum("demand").over(w_ip))
+        .withColumn("n_cohosts", F.count("*").over(w_ip))
+        .withColumn(
+            "_base",
+            F.expr(f"CASE WHEN _D = 0 THEN 0 ELSE ({cap} * demand) div _D END"),
+        )
+        .withColumn(
+            "_rem",
+            F.expr(f"CASE WHEN _D = 0 THEN 0 ELSE ({cap} * demand) % _D END"),
+        )
+    )
+    t = t.withColumn("_deficit", F.lit(cap) - F.sum("_base").over(w_ip)).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(ip_col).orderBy(
+                F.col("_rem").desc(), F.col(host_col)
+            )
+        ),
+    )
+    granted = F.expr(
+        f"CASE WHEN _D <= {cap} THEN demand "
+        "ELSE _base + (CASE WHEN _rk <= _deficit THEN 1 ELSE 0 END) END"
+    )
+    out = t.withColumn("granted", granted.cast("long"))
+    return out.select(
+        host_col,
+        ip_col,
+        F.col("demand").cast("long").alias("demand"),
+        F.col("n_cohosts").cast("long").alias("n_cohosts"),
+        "granted",
+        (F.col("n_cohosts") >= cohost_min).alias("co_hosted"),
+        F.expr(
+            "CASE WHEN demand = 0 THEN 1000 "
+            "ELSE 1000 * granted div demand END"
+        ).cast("long").alias("throttle_milli"),
+    )

@@ -272,3 +272,98 @@ def knn_classify(
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def quantization_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall@k of the int8-quantized store against the full-precision
+    ranking — the acceptance gate for X47's compression: before a
+    100-TB embedding store switches to int8, measure per query how
+    many of the true top-k survive the quantized inner-product
+    ranking (MIPS recall, the standard ANN quality metric).
+
+    Reference ranking: double inner product rounded to `round_digits`
+    (the cosine-topk cross-engine discipline), ties by vec_id.
+    Quantized ranking: EXACT integers end to end — the int8 dot
+    (≤ dim·127², exact) dequantized by both sides' floor-micro scales,
+    qdot·sm_a·sm_q as DECIMAL(38,0); per query the query's own scale
+    is constant so the ranking is the faithful int8-runtime order.
+
+    Per-query top-k windows are partitioned by query id (the
+    knn_classify justification: tasks = queries, each scanning its
+    candidate slice; at corpus scale IVF cells pre-prune candidates).
+    Output: (query_id, k, overlap, recall_milli) — one row per query.
+    """
+    qz = quantize_embeddings(emb)
+    cand = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .join(qz.select("vec_id", "scale_micro", "q"), "vec_id")
+    )
+    qs = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qe"),
+        )
+        .join(
+            qz.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("scale_micro").alias("q_sm"),
+                F.col("q").alias("qq"),
+            ),
+            "query_id",
+        )
+    )
+    j = cand.crossJoin(F.broadcast(qs))
+    ref = F.round(
+        F.aggregate(
+            F.zip_with("e", "qe", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        round_digits,
+    )
+    qdot = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qscore = (
+        qdot.cast("decimal(38,0)")
+        * F.col("scale_micro").cast("decimal(38,0)")
+        * F.col("q_sm").cast("decimal(38,0)")
+    )
+    scored = j.select(
+        "query_id",
+        "vec_id",
+        ref.alias("_ref"),
+        qscore.alias("_qs"),
+    )
+    w_ref = Window.partitionBy("query_id").orderBy(
+        F.col("_ref").desc(), F.col("vec_id").asc()
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("_qs").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("_rr", F.row_number().over(w_ref)).withColumn(
+        "_rq", F.row_number().over(w_q)
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                ((F.col("_rr") <= k) & (F.col("_rq") <= k)).cast("long")
+            ).alias("overlap")
+        )
+        .select(
+            "query_id",
+            F.lit(k).cast("long").alias("k"),
+            "overlap",
+            F.expr(f"1000 * overlap div {k}").alias("recall_milli"),
+        )
+    )

@@ -1675,6 +1675,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_redirect_chains": q_redirect_chains,
             "q_crawl_depths": q_crawl_depths,
             "q_latency_alarm": q_latency_alarm,
+            "q_ip_caps": q_ip_caps,
         }
     )
     oracles.update(
@@ -1716,6 +1717,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_redirect_chains": SQL_REDIRECT_CHAINS,
             "q_crawl_depths": SQL_CRAWL_DEPTHS,
             "q_latency_alarm": SQL_LATENCY_ALARM,
+            "q_ip_caps": SQL_IP_CAPS,
         }
     )
 
@@ -2715,4 +2717,80 @@ WITH c AS (
 SELECT host, round, value, ewma_num, ewma_den, dev_milli::BIGINT AS dev_milli,
        coalesce(dev_milli > 500, FALSE) AS alarm
 FROM dev
+"""
+
+
+# --- X144: IP co-hosting politeness caps --------------------------------------
+
+
+def q_ip_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144: shared-infrastructure rate limiting (frontier/
+    politeness.py::ip_cohost_caps). Hosts h0-h59 (demand = event count,
+    ~167 each); h0-h35 co-host in triples on ip0-ip11 (cluster demand
+    ~500 > the 300 cap — largest-remainder split, grants sum to the cap
+    exactly) while h36-h59 sit on their own IPs under cap and pass
+    through untouched."""
+    from .frontier.politeness import ip_cohost_caps
+
+    e = _t(spark, sf_dir, "events")
+    h = (F.col("event_id") % 60).alias("h")
+    demand = (
+        e.select(h)
+        .groupBy("h")
+        .agg(F.count("*").alias("demand"))
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+            F.when(
+                F.col("h") < 36,
+                F.concat(F.lit("ip"), F.expr("h div 3").cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("ip"), (F.col("h") + 100).cast("string"))
+            )
+            .alias("ip"),
+            "demand",
+        )
+    )
+    return ip_cohost_caps(
+        demand, per_ip_cap=300, cohost_min=3
+    )
+
+
+SQL_IP_CAPS = """
+WITH d AS (
+  SELECT event_id % 60 AS h, count(*) AS demand
+  FROM events GROUP BY 1
+), hosts AS (
+  SELECT 'h' || h::VARCHAR AS host,
+         CASE WHEN h < 36 THEN 'ip' || (h // 3)::VARCHAR
+              ELSE 'ip' || (h + 100)::VARCHAR END AS ip,
+         demand
+  FROM d
+), t AS (
+  SELECT host, ip, demand,
+         sum(demand) OVER (PARTITION BY ip) AS D,
+         count(*) OVER (PARTITION BY ip) AS n_cohosts,
+         CASE WHEN sum(demand) OVER (PARTITION BY ip) = 0 THEN 0
+              ELSE (300 * demand) // sum(demand) OVER (PARTITION BY ip)
+         END AS base,
+         CASE WHEN sum(demand) OVER (PARTITION BY ip) = 0 THEN 0
+              ELSE (300 * demand) % sum(demand) OVER (PARTITION BY ip)
+         END AS rem
+  FROM hosts
+), r AS (
+  SELECT *,
+         300 - sum(base) OVER (PARTITION BY ip) AS deficit,
+         row_number() OVER (PARTITION BY ip ORDER BY rem DESC, host) AS rk
+  FROM t
+)
+SELECT host, ip, demand::BIGINT AS demand, n_cohosts::BIGINT AS n_cohosts,
+       (CASE WHEN D <= 300 THEN demand
+             ELSE base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END)
+        END)::BIGINT AS granted,
+       (n_cohosts >= 3) AS co_hosted,
+       (CASE WHEN demand = 0 THEN 1000
+             ELSE (1000 * (CASE WHEN D <= 300 THEN demand
+                   ELSE base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END)
+                   END)) // demand END)::BIGINT AS throttle_milli
+FROM r
 """

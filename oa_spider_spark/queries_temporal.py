@@ -775,6 +775,7 @@ def register(
             "q_embedding_quantize": q_embedding_quantize,
             "q_kmv_set_overlap": q_kmv_set_overlap,
             "q_weighted_sample": q_weighted_sample,
+            "q_quant_recall": q_quant_recall,
         }
     )
     oracles.update(
@@ -793,5 +794,67 @@ def register(
             "q_embedding_quantize": SQL_EMBEDDING_QUANTIZE,
             "q_kmv_set_overlap": SQL_KMV_SET_OVERLAP,
             "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
+            "q_quant_recall": SQL_QUANT_RECALL,
         }
     )
+
+
+# --- X145: int8 quantization recall audit ----------------------------------
+
+
+def q_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145: recall@10 of the int8-quantized inner-product ranking vs
+    the full-precision reference, per query (operators/similarity.py::
+    quantization_recall — the acceptance gate before an embedding
+    store ships compressed). Queries are every 25th vector (20 probes
+    over the 500-vector store)."""
+    from .operators.similarity import quantization_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return quantization_recall(emb, queries, k=10)
+
+
+SQL_QUANT_RECALL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS maxabs
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, embedding,
+         CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs / 127 END AS scale
+  FROM s
+), cand AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         CAST(floor(scale * 1000000.0) AS BIGINT) AS sm,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / scale)
+                                  AS BIGINT)) AS qv
+  FROM sc
+), qrs AS (
+  SELECT vec_id AS query_id, e AS qe, sm AS q_sm, qv AS qqv
+  FROM cand WHERE vec_id % 25 = 0
+), j AS (
+  SELECT c.vec_id, r.query_id,
+         round(list_dot_product(c.e, r.qe), 6) AS ref,
+         CAST(list_dot_product(list_transform(c.qv, y -> CAST(y AS DOUBLE)),
+                               list_transform(r.qqv, y -> CAST(y AS DOUBLE)))
+              AS BIGINT)::HUGEINT * c.sm * r.q_sm AS qs
+  FROM cand c, qrs r
+), rk AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ref DESC, vec_id) AS rr,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qs DESC, vec_id) AS rq
+  FROM j
+)
+SELECT query_id, 10::BIGINT AS k,
+       sum(CASE WHEN rr <= 10 AND rq <= 10 THEN 1 ELSE 0 END)::BIGINT
+         AS overlap,
+       ((1000 * sum(CASE WHEN rr <= 10 AND rq <= 10 THEN 1 ELSE 0 END)) // 10)
+         ::BIGINT AS recall_milli
+FROM rk GROUP BY query_id
+"""

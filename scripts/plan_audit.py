@@ -175,6 +175,9 @@ AUDITED = [
     "q_latency_alarm",
     "q_asset_extract",
     "q_readability",
+    # X144/X145: IP co-hosting caps, quantization recall
+    "q_ip_caps",
+    "q_quant_recall",
 ]
 
 

@@ -1000,3 +1000,27 @@ def test_bfs_depths_hand_graph(spark):
     # hop budget: with max_hops=1 only the first layer labels
     got1 = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds, max_hops=1).collect()}
     assert got1 == {"s": 0, "a": 1, "b": 1}
+
+
+def test_ip_cohost_caps_exact_split(spark):
+    """Over-cap cluster: grants sum to the cap exactly with largest-
+    remainder seats; under-cap singleton passes demand through; zero-
+    demand host grants 0 without dividing."""
+    from oa_spider_spark.frontier.politeness import ip_cohost_caps
+
+    rows = [
+        ("a1", "ipA", 70), ("a2", "ipA", 50), ("a3", "ipA", 30),  # D=150
+        ("b1", "ipB", 80),                                        # D=80
+        ("c1", "ipC", 0),
+    ]
+    df = spark.createDataFrame(rows, "host string, ip string, demand long")
+    out = {r["host"]: r for r in ip_cohost_caps(df, per_ip_cap=100).collect()}
+    # cap 100 split over 70/50/30: base 46/33/20 (sum 99), remainders
+    # 100*70%150=100, 100*50%150=50, 100*30%150=0 -> seat to a1
+    assert (out["a1"]["granted"], out["a2"]["granted"], out["a3"]["granted"]) == (
+        47, 33, 20,
+    )
+    assert sum(out[h]["granted"] for h in ("a1", "a2", "a3")) == 100
+    assert out["a1"]["co_hosted"] and not out["b1"]["co_hosted"]
+    assert out["b1"]["granted"] == 80 and out["b1"]["throttle_milli"] == 1000
+    assert out["c1"]["granted"] == 0 and out["c1"]["throttle_milli"] == 1000

@@ -1283,3 +1283,28 @@ def test_readability_exact_counts(spark):
     assert r["n_syllables"] == 6
     assert r["fre_milli"] == 206835 - (1015 * 6) // 3 - (84600 * 6) // 6
     assert r["grade_milli"] == (390 * 6) // 3 + (11800 * 6) // 6 - 15590
+
+
+def test_quantization_recall_bounds(spark):
+    """Recall is 1000 when quantization cannot reorder (well-separated
+    scores) and the overlap count is exact; output is one row per
+    query with k echoed."""
+    from oa_spider_spark.operators.similarity import quantization_recall
+
+    # 6 vectors along distinct directions with well-separated dots
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.5, 0.5, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = quantization_recall(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["query_id"] == 0 and r["k"] == 3
+    # ref top-3 for query 0: vecs 0, 1, 2 — separations are far beyond
+    # int8 resolution, so the quantized ranking agrees exactly
+    assert r["overlap"] == 3 and r["recall_milli"] == 1000
