@@ -782,3 +782,58 @@ def ip_cohost_caps(
             "ELSE 1000 * granted div demand END"
         ).cast("long").alias("throttle_milli"),
     )
+
+
+def hrw_movement_audit(
+    hosts: DataFrame,
+    n_shards: int,
+    n_shards_after: int,
+    host_col: str = "host",
+    portable: bool = False,
+) -> DataFrame:
+    """Fleet-growth stability audit for X100's rendezvous sharding:
+    compute every host's HRW primary at K and at K' > K fleet sizes in
+    ONE row-local pass and report, per old shard, exactly how many
+    hosts move — the measured form of the ~ (K'-K)/K' movement bound
+    that justifies consistent placement (scaling a fetcher fleet must
+    not re-shuffle the politeness state of every host).
+
+    HRW scores for shards k < K are IDENTICAL at both fleet sizes, so
+    a host moves iff one of the K'-K new shards beats its old argmax —
+    the audit needs no joins at all: two array argmaxes per row
+    (first-occurrence position = lowest-k tie-break, matching
+    rendezvous_shards), then one shard-keyed aggregate.
+
+    Output: (shard_old, n_hosts, moved_out, moved_milli); every moved
+    host lands on a NEW shard by the prefix-identity property, which
+    the unit test pins. portable=True uses md5h60 for oracle parity."""
+    from ..operators.dedup import md5h60
+
+    hf = md5h60 if portable else F.xxhash64
+    h = F.col(host_col)
+
+    def argmax(n: int):
+        scores = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda k: hf(F.concat(h, F.lit(":"), k.cast("string"))),
+        )
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast(
+            "long"
+        )
+
+    assigned = hosts.select(
+        argmax(n_shards).alias("shard_old"),
+        argmax(n_shards_after).alias("shard_new"),
+    )
+    return (
+        assigned.groupBy("shard_old")
+        .agg(
+            F.count("*").alias("n_hosts"),
+            F.sum(
+                (F.col("shard_new") != F.col("shard_old")).cast("long")
+            ).alias("moved_out"),
+        )
+        .withColumn(
+            "moved_milli", F.expr("1000 * moved_out div n_hosts")
+        )
+    )

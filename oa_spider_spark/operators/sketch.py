@@ -435,3 +435,50 @@ def hll_sliding_distinct(
     )
     merged = wins.groupBy("win_end", "register").agg(F.max("rho").alias("rho"))
     return hll_estimate(merged, group_cols=["win_end"])
+
+
+def stats_ledger(
+    df: DataFrame,
+    group_cols: list,
+    partial_cols: list,
+    value_col: str = "cents",
+) -> DataFrame:
+    """Mergeable exact-moments ledger: (n, sum, sumsq, min, max) over
+    an integer measure, computed as PARTIALS per (group ∪ partial)
+    key and then MERGED down to the group — the commutative-monoid
+    bookkeeping that lets a 100-TB pipeline keep per-round statistics
+    and answer corpus-lifetime questions by folding the ledger instead
+    of rescanning history (the same incremental discipline as the
+    Bloom seen-index and the HLL register tables). All five moments
+    are exact-integer mergeable (counts/sums add, min/max fold);
+    variance and mean derive exactly from (n, sum, sumsq) downstream.
+
+    Exactness: float M2/Welford accumulation is order-dependent and
+    never reproduces across engines or partitionings — sumsq over
+    pre-quantized integer units (cents/milli) is associative and
+    exact; sums ride BIGINT with the caller responsible for unit
+    scaling (ANSI overflow discipline: cents² × rows must fit 63
+    bits, or quantize coarser).
+
+    The oracle twin computes the SAME moments in one whole-table pass
+    — value equality across the partial→merge path and the one-pass
+    path is precisely the mergeability proof, engine-independent."""
+    sq = (
+        F.col(value_col).cast("decimal(38,0)")
+        * F.col(value_col).cast("decimal(38,0)")
+    )
+    partials = df.groupBy(*group_cols, *partial_cols).agg(
+        F.count("*").alias("_n"),
+        F.sum(value_col).alias("_s"),
+        # decimal BEFORE summing: ANSI makes a 64-bit sum overflow throw
+        F.sum(sq).alias("_ss"),
+        F.min(value_col).alias("_mn"),
+        F.max(value_col).alias("_mx"),
+    )
+    return partials.groupBy(*group_cols).agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_s").cast("long").alias("sum_units"),
+        F.sum("_ss").cast("long").alias("sumsq_units"),
+        F.min("_mn").cast("long").alias("min_units"),
+        F.max("_mx").cast("long").alias("max_units"),
+    )

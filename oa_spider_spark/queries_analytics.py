@@ -514,6 +514,7 @@ def register(
             "q_salted_lang_join": q_salted_lang_join,
             "q_nation_revenue": q_nation_revenue,
             "q_mad_outliers": q_mad_outliers,
+            "q_stats_ledger": q_stats_ledger,
         }
     )
     oracles.update(
@@ -526,5 +527,45 @@ def register(
             "q_salted_lang_join": SQL_SALTED_LANG_JOIN,
             "q_nation_revenue": SQL_NATION_REVENUE,
             "q_mad_outliers": SQL_MAD_OUTLIERS,
+            "q_stats_ledger": SQL_STATS_LEDGER,
         }
     )
+
+
+# --- X148: mergeable exact-moments ledger ----------------------------------
+
+
+def q_stats_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X148: per-event-type lifetime statistics folded from per-round
+    partials (operators/sketch.py::stats_ledger — the incremental
+    bookkeeping that answers corpus-lifetime questions without
+    rescanning history). Rounds are event_id div 2000; the oracle
+    computes the same exact moments in ONE whole-table pass, so value
+    equality IS the merge ≡ recompute proof, cross-engine."""
+    from .operators.sketch import stats_ledger
+
+    e = _t(spark, sf_dir, "events")
+    rows = e.select(
+        "event_type",
+        F.expr("event_id div 2000").alias("round"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    return stats_ledger(
+        rows, group_cols=["event_type"], partial_cols=["round"],
+        value_col="cents",
+    )
+
+
+SQL_STATS_LEDGER = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(c)::BIGINT AS sum_units,
+       sum(c::HUGEINT * c)::BIGINT AS sumsq_units,
+       min(c)::BIGINT AS min_units,
+       max(c)::BIGINT AS max_units
+FROM (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+)
+GROUP BY event_type
+"""

@@ -1676,6 +1676,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_crawl_depths": q_crawl_depths,
             "q_latency_alarm": q_latency_alarm,
             "q_ip_caps": q_ip_caps,
+            "q_hrw_movement": q_hrw_movement,
         }
     )
     oracles.update(
@@ -1718,6 +1719,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_crawl_depths": SQL_CRAWL_DEPTHS,
             "q_latency_alarm": SQL_LATENCY_ALARM,
             "q_ip_caps": SQL_IP_CAPS,
+            "q_hrw_movement": SQL_HRW_MOVEMENT,
         }
     )
 
@@ -2793,4 +2795,54 @@ SELECT host, ip, demand::BIGINT AS demand, n_cohosts::BIGINT AS n_cohosts,
                    ELSE base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END)
                    END)) // demand END)::BIGINT AS throttle_milli
 FROM r
+"""
+
+
+# --- X147: HRW fleet-growth movement audit ------------------------------------
+
+
+def q_hrw_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X147: consistent-placement stability measured as data
+    (frontier/politeness.py::hrw_movement_audit). 400 hosts, fleet
+    grows 10 → 12 fetchers: per old shard, the exact moved-out count —
+    expected ≈ 2/12 ≈ 167 milli overall, and every move lands on a NEW
+    shard (HRW prefix identity). Portable hash so the oracle replays
+    every score."""
+    from .frontier.politeness import hrw_movement_audit
+
+    e = _t(spark, sf_dir, "events")
+    hosts = e.select(
+        F.concat(F.lit("h"), (F.col("event_id") % 400).cast("string")).alias(
+            "host"
+        )
+    ).distinct()
+    return hrw_movement_audit(
+        hosts, n_shards=10, n_shards_after=12, portable=True
+    )
+
+
+SQL_HRW_MOVEMENT = """
+WITH hosts AS (
+  SELECT DISTINCT 'h' || (event_id % 400)::VARCHAR AS host FROM events
+), sc AS (
+  SELECT host,
+         list_transform(generate_series(0, 9),
+           k -> ('0x' || substr(md5(host || ':' || k::VARCHAR), 1, 15))::BIGINT)
+           AS s10,
+         list_transform(generate_series(0, 11),
+           k -> ('0x' || substr(md5(host || ':' || k::VARCHAR), 1, 15))::BIGINT)
+           AS s12
+  FROM hosts
+), a AS (
+  SELECT host,
+         (list_position(s10, list_max(s10)) - 1)::BIGINT AS shard_old,
+         (list_position(s12, list_max(s12)) - 1)::BIGINT AS shard_new
+  FROM sc
+)
+SELECT shard_old, count(*)::BIGINT AS n_hosts,
+       sum(CASE WHEN shard_new <> shard_old THEN 1 ELSE 0 END)::BIGINT
+         AS moved_out,
+       ((1000 * sum(CASE WHEN shard_new <> shard_old THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS moved_milli
+FROM a GROUP BY shard_old
 """

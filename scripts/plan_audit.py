@@ -178,6 +178,9 @@ AUDITED = [
     # X144/X145: IP co-hosting caps, quantization recall
     "q_ip_caps",
     "q_quant_recall",
+    # X147/X148: HRW movement audit, mergeable moments ledger
+    "q_hrw_movement",
+    "q_stats_ledger",
 ]
 
 

@@ -305,3 +305,26 @@ def test_temperature_targets_exact_allocation(spark):
     ordered = sorted(counts, key=counts.get)
     tg = [rows[k]["target_docs"] for k in ordered]
     assert tg == sorted(tg)
+
+
+def test_stats_ledger_merge_equals_recompute(spark):
+    """Folding per-partial moments equals one-pass moments exactly —
+    any grouping into partials gives identical (n, sum, sumsq, min,
+    max)."""
+    from oa_spider_spark.operators.sketch import stats_ledger
+
+    vals = [(i % 3, i % 7, (i * 37) % 101 - 50) for i in range(500)]
+    df = spark.createDataFrame(vals, "g int, part int, cents long")
+    out = {
+        r["g"]: r
+        for r in stats_ledger(
+            df, group_cols=["g"], partial_cols=["part"], value_col="cents"
+        ).collect()
+    }
+    for g in range(3):
+        xs = [c for gg, _p, c in vals if gg == g]
+        r = out[g]
+        assert r["n"] == len(xs)
+        assert r["sum_units"] == sum(xs)
+        assert r["sumsq_units"] == sum(x * x for x in xs)
+        assert r["min_units"] == min(xs) and r["max_units"] == max(xs)

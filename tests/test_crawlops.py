@@ -1024,3 +1024,33 @@ def test_ip_cohost_caps_exact_split(spark):
     assert out["a1"]["co_hosted"] and not out["b1"]["co_hosted"]
     assert out["b1"]["granted"] == 80 and out["b1"]["throttle_milli"] == 1000
     assert out["c1"]["granted"] == 0 and out["c1"]["throttle_milli"] == 1000
+
+
+def test_hrw_movement_matches_python_argmax(spark):
+    """The audit's per-shard moved counts equal a direct Python replay
+    of the portable scores, and every moved host lands on a NEW shard
+    (HRW prefix identity)."""
+    import hashlib
+
+    from oa_spider_spark.frontier.politeness import hrw_movement_audit
+
+    def score(h, k):
+        return int(hashlib.md5(f"{h}:{k}".encode()).hexdigest()[:15], 16)
+
+    hosts = [f"s{i}" for i in range(50)]
+
+    def argmax(h, n):
+        sc = [score(h, k) for k in range(n)]
+        return sc.index(max(sc))
+
+    moved = {h for h in hosts if argmax(h, 5) != argmax(h, 4)}
+    # prefix identity: every move targets the new shard (index 4)
+    assert all(argmax(h, 5) == 4 for h in moved)
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = hrw_movement_audit(df, 4, 5, portable=True).collect()
+    assert sum(r["moved_out"] for r in out) == len(moved)
+    assert sum(r["n_hosts"] for r in out) == len(hosts)
+    by_shard = {r["shard_old"]: r for r in out}
+    for h in moved:
+        s = argmax(h, 4)
+        assert by_shard[s]["moved_out"] >= 1

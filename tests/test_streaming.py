@@ -476,3 +476,69 @@ def test_streaming_status_drift_matches_batch_twin(spark, tmp_path):
     assert ("h1", 2, 3, 1000, True) in got
     # h2's 1 -> 3 gap produced no pair
     assert not any(r[0] == "h2" and r[2] == 3 for r in got)
+
+
+def test_streaming_topk_space_saving_bounds(spark, tmp_path):
+    """X146: bounded-state streaming heavy hitters. The summary never
+    exceeds m rows per shard across checkpointed multi-batch drains;
+    the planted heavy item is always tracked with the classic
+    space-saving bracket (count >= true, count - err <= true); and a
+    single-batch drain equals the batch twin exactly."""
+    import os
+
+    import pandas as pd
+
+    from oa_spider_spark.streaming.topk import batch_topk, streaming_topk
+
+    # shard 0: 'hot' x30 + 12 light items x2 — m=4 forces evictions
+    rows = [(0, "hot")] * 30 + [
+        (0, f"l{i:02d}") for i in range(12) for _ in range(2)
+    ]
+    # shard 1: tiny, under m — exact counts must come back verbatim
+    rows += [(1, "x")] * 3 + [(1, "y")]
+    df = spark.createDataFrame(rows, "shard long, item string")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # two INTERLEAVED slices so batch 2 merges into an already-full
+    # summary (floor > 0 entry path) rather than an under-full one
+    half = spark.createDataFrame(rows[::2], "shard long, item string")
+    rest = spark.createDataFrame(rows[1::2], "shard long, item string")
+    for k, part in enumerate([half, rest]):
+        path = f"{in_dir}/slice{k}"
+        part.coalesce(1).write.parquet(path)
+        t = 1_700_000_000 + k * 10
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema("shard long, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        streaming_topk(stream, item_col="item", shard_col="shard", m=4)
+        .writeStream.format("memory")
+        .queryName("topk_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = spark.sql(
+        "SELECT * FROM topk_sink WHERE (shard, n_processed) IN "
+        "(SELECT shard, max(n_processed) FROM topk_sink GROUP BY shard)"
+    ).collect()
+    s0 = {r["item"]: (r["count"], r["err"]) for r in snap if r["shard"] == 0}
+    s1 = {r["item"]: (r["count"], r["err"]) for r in snap if r["shard"] == 1}
+    assert len(s0) <= 4 and len(s1) <= 4
+    # heavy item guaranteed tracked (true 30 > n/m = 54/4)
+    cnt, err = s0["hot"]
+    assert cnt >= 30 and cnt - err <= 30
+    # under-m shard is exact
+    assert s1 == {"x": (3, 0), "y": (1, 0)}
+    # single-batch drain == batch twin (order-free merge of exact counts)
+    pdf = pd.DataFrame(rows, columns=["shard", "item"])
+    tw = batch_topk(pdf[pdf["shard"] == 0], "item", 4)
+    assert set(tw) >= {"hot"} and tw["hot"][0] == 30
