@@ -1219,3 +1219,43 @@ def entity_disjoint_split(
     return per_split.join(ent, "split").select(
         "split", "n_entities", "n_docs", "n_fingerprints", "leaked_fps"
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list,
+    k: int = 5,
+    other: str = "*",
+) -> DataFrame:
+    """k-anonymity suppression for publishable aggregates: any
+    quasi-identifier combination backed by fewer than k rows is
+    collapsed into one `other` bucket before release — the privacy
+    floor for sharing per-host/per-cohort crawl statistics (a count of
+    3 for (host, country, day) identifies real users; the rolled-up
+    bucket identifies no one). Standard generalization-by-suppression,
+    exact: published counts sum to the input count.
+
+    Plan: one combo-keyed map-side-combined aggregate (combos are
+    metadata-scale next to rows), then a row-local CASE rewrite of the
+    sub-k combos and one re-aggregate of the (tiny) suppressed set —
+    the big table is touched once.
+
+    Output: quasi_cols + (n, suppressed) — suppressed marks the rolled
+    bucket; row order-free."""
+    combos = df.groupBy(*quasi_cols).agg(F.count("*").alias("n"))
+    small = F.col("n") < k
+    rewritten = combos.select(
+        *[
+            F.when(small, F.lit(other)).otherwise(
+                F.col(c).cast("string")
+            ).alias(c)
+            for c in quasi_cols
+        ],
+        "n",
+        small.alias("suppressed"),
+    )
+    return (
+        rewritten.groupBy(*quasi_cols, "suppressed")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(*quasi_cols, "n", "suppressed")
+    )

@@ -515,6 +515,7 @@ def register(
             "q_nation_revenue": q_nation_revenue,
             "q_mad_outliers": q_mad_outliers,
             "q_stats_ledger": q_stats_ledger,
+            "q_k_anonymity": q_k_anonymity,
         }
     )
     oracles.update(
@@ -528,6 +529,7 @@ def register(
             "q_nation_revenue": SQL_NATION_REVENUE,
             "q_mad_outliers": SQL_MAD_OUTLIERS,
             "q_stats_ledger": SQL_STATS_LEDGER,
+            "q_k_anonymity": SQL_K_ANONYMITY,
         }
     )
 
@@ -568,4 +570,41 @@ FROM (
   FROM events
 )
 GROUP BY event_type
+"""
+
+
+# --- X149: k-anonymity suppression -----------------------------------------
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X149: publishable per-(event_type, cohort) activity counts with
+    k=5 suppression (operators/pipeline.py::k_anonymize) — 613 user
+    cohorts per type leave many combos under k, so the rolled-up
+    bucket is exercised heavily; published counts sum to the input
+    row count by construction."""
+    from .operators.pipeline import k_anonymize
+
+    e = _t(spark, sf_dir, "events")
+    rows = e.select(
+        "event_type",
+        F.concat(F.lit("u"), (F.col("user_id") % 613).cast("string")).alias(
+            "cohort"
+        ),
+    )
+    return k_anonymize(rows, quasi_cols=["event_type", "cohort"], k=5)
+
+
+SQL_K_ANONYMITY = """
+WITH combos AS (
+  SELECT event_type, 'u' || (user_id % 613)::VARCHAR AS cohort,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), rw AS (
+  SELECT CASE WHEN n < 5 THEN '*' ELSE event_type END AS event_type,
+         CASE WHEN n < 5 THEN '*' ELSE cohort END AS cohort,
+         n, (n < 5) AS suppressed
+  FROM combos
+)
+SELECT event_type, cohort, sum(n)::BIGINT AS n, suppressed
+FROM rw GROUP BY event_type, cohort, suppressed
 """

@@ -181,6 +181,8 @@ AUDITED = [
     # X147/X148: HRW movement audit, mergeable moments ledger
     "q_hrw_movement",
     "q_stats_ledger",
+    # X149: k-anonymity suppression
+    "q_k_anonymity",
 ]
 
 

@@ -716,3 +716,24 @@ def test_ngram_novelty_extremes(spark):
     assert out[11]["novelty_milli"] == 1000 and not out[11]["stale"]
     assert out[12]["n_grams"] == 4 and out[12]["n_novel"] == 2
     assert out[12]["novelty_milli"] == 500
+
+
+def test_k_anonymize_suppression_and_sum(spark):
+    """Sub-k combos collapse into one '*' bucket; published counts sum
+    to the input row count; a legit combo named '*' stays distinct
+    from the suppressed bucket via the flag."""
+    from oa_spider_spark.operators.pipeline import k_anonymize
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 2      # y is sub-k
+        + [("b", "x")] * 7 + [("c", "z")] * 1     # z is sub-k
+        + [("*", "*")] * 6                        # legit literal combo
+    )
+    df = spark.createDataFrame(rows, "g string, h string")
+    out = k_anonymize(df, quasi_cols=["g", "h"], k=5).collect()
+    assert sum(r["n"] for r in out) == len(rows)
+    supp = [r for r in out if r["suppressed"]]
+    assert len(supp) == 1 and supp[0]["n"] == 3
+    assert supp[0]["g"] == "*" and supp[0]["h"] == "*"
+    legit = [r for r in out if not r["suppressed"] and r["g"] == "*"]
+    assert len(legit) == 1 and legit[0]["n"] == 6

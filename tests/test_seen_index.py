@@ -334,3 +334,61 @@ def test_full_scale_stack_crawl_equivalence(spark, tmp_path):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cuckoo_filter_insert_probe_delete(spark):
+    """X150: the deletable seen-index twin. Zero false negatives for
+    inserted keys; low false-positive rate on fresh keys; revoked keys
+    become absent again (modulo fingerprint collisions, the safe
+    direction) while every still-inserted key stays present; shard
+    blobs are byte-deterministic."""
+    import hashlib
+
+    from oa_spider_spark.frontier.cuckoo import (
+        build_cuckoo_shards,
+        cuckoo_params,
+        delete_cuckoo,
+        probe_cuckoo,
+    )
+
+    def h64(s):
+        v = int(hashlib.md5(str(s).encode()).hexdigest()[:16], 16)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    n_shards = 8
+    inserted = [h64(f"in{i}") for i in range(2000)]
+    fresh = [h64(f"out{i}") for i in range(2000)]
+    nb = cuckoo_params(2000 // n_shards + 64)
+    keys = spark.createDataFrame([(x,) for x in inserted], "url_hash long")
+    shards = build_cuckoo_shards(keys, n_shards, nb)
+    # determinism: identical key set -> identical blobs
+    b1 = {r["shard"]: (r["table"], r["stash"]) for r in shards.collect()}
+    b2 = {
+        r["shard"]: (r["table"], r["stash"])
+        for r in build_cuckoo_shards(keys, n_shards, nb).collect()
+    }
+    assert b1 == b2
+    rows = spark.createDataFrame(
+        [(x,) for x in inserted + fresh], "url_hash long"
+    )
+    got = {
+        r["url_hash"]: r["maybe_seen"]
+        for r in probe_cuckoo(rows, shards, n_shards, nb).collect()
+    }
+    assert all(got[x] for x in inserted)  # no false negatives
+    fp_rate = sum(got[x] for x in fresh) / len(fresh)
+    assert fp_rate < 0.05
+    # revoke 500
+    revoked = inserted[:500]
+    kept = inserted[500:]
+    shards2 = delete_cuckoo(
+        shards, spark.createDataFrame([(x,) for x in revoked], "url_hash long"),
+        n_shards, nb,
+    )
+    got2 = {
+        r["url_hash"]: r["maybe_seen"]
+        for r in probe_cuckoo(rows, shards2, n_shards, nb).collect()
+    }
+    assert all(got2[x] for x in kept)  # deletions never harm others
+    still = sum(got2[x] for x in revoked)
+    assert still <= 5  # only fp-collision survivors may linger
