@@ -837,3 +837,48 @@ def hrw_movement_audit(
             "moved_milli", F.expr("1000 * moved_out div n_hosts")
         )
     )
+
+
+def priority_aging(
+    frontier: DataFrame,
+    current_round: int,
+    priority_col: str = "priority",
+    created_round_col: str = "created_round",
+    boost_every: int = 2,
+    starve_rounds: int = 3,
+) -> DataFrame:
+    """Anti-starvation priority aging + the starvation census. A pure
+    priority queue starves the tail forever: a low-priority URL behind
+    a fat high-priority backlog never ages out of the frontier (the
+    classic scheduler problem; the fix is the classic aging answer —
+    effective priority grows with wait time, so everything eventually
+    drains). effective = base + waited div boost_every, all integers,
+    row-local, and the result feeds the existing two-level
+    global_order_and_limit unchanged (aging only changes the VALUE
+    being bucketed, not the ordering machinery).
+
+    Output: one row per base priority class — n_urls, max_wait,
+    n_starved (waited >= starve_rounds), n_boosted (effective > base),
+    the census a crawl operator reads to tune boost_every. The per-URL
+    effective priority is a trivial projection of the same expression;
+    this returns the decision artifact."""
+    waited = F.lit(int(current_round)) - F.col(created_round_col)
+    eff = F.col(priority_col) + F.expr(
+        f"({int(current_round)} - {created_round_col}) div {int(boost_every)}"
+    )
+    rows = frontier.select(
+        F.col(priority_col).alias("base_priority"),
+        waited.alias("_w"),
+        (eff > F.col(priority_col)).alias("_b"),
+    )
+    return (
+        rows.groupBy("base_priority")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.max("_w").cast("long").alias("max_wait"),
+            F.sum((F.col("_w") >= starve_rounds).cast("long")).alias(
+                "n_starved"
+            ),
+            F.sum(F.col("_b").cast("long")).alias("n_boosted"),
+        )
+    )

@@ -1134,3 +1134,75 @@ def cross_doc_spans(
         F.max("run_tokens").alias("max_run_tokens"),
         F.count("*").alias("n_runs"),
     )
+
+
+def clustering_churn(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Round-over-round dedup-cluster stability: the exact Rand index
+    between two clusterings of the same documents, plus split/merge
+    counts — the drift alarm for the dedup family itself (a threshold
+    or hash change that silently reshuffles cluster membership shows
+    up here before it poisons keep-policy decisions downstream).
+
+    Exact integers end to end: contingency counts n_ij from one
+    (c_old, c_new) aggregate; pair counts C(n,2) = n·(n−1) div 2 ride
+    DECIMAL(38,0) (n(n-1) of a 10^10-doc corpus overflows 63 bits);
+    Rand = (C(N,2) + 2·Σij C(n_ij,2) − Σi C(n_i·,2) − Σj C(n_·j,2))
+    / C(N,2), reported in milli. splits = old clusters spanning >1 new
+    cluster; merges = new clusters drawing from >1 old.
+
+    Scale shape: one doc-keyed equi-join (both sides carry id+cluster
+    only), one contingency aggregate (cells ≤ min(|C_old|,|C_new|)
+    per row — metadata next to docs), then everything folds on the
+    cell table. Output: ONE row (n_docs, clusters_old, clusters_new,
+    rand_milli, splits, merges)."""
+    a = old.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_co"))
+    b = new.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cn"))
+    cells = (
+        a.join(b, "_id")
+        .groupBy("_co", "_cn")
+        .agg(F.count("*").alias("n"))
+    )
+
+    rows_o = cells.groupBy("_co").agg(
+        F.sum("n").alias("n_i"), F.count("*").alias("span")
+    )
+    rows_n = cells.groupBy("_cn").agg(
+        F.sum("n").alias("n_j"), F.count("*").alias("span")
+    )
+    s_ij = cells.agg(
+        F.sum(F.expr("cast(n as decimal(38,0)) * (n - 1) div 2")).alias("s"),
+        F.sum("n").alias("n_docs"),
+    )
+    s_i = rows_o.agg(
+        F.sum(F.expr("cast(n_i as decimal(38,0)) * (n_i - 1) div 2")).alias("s"),
+        F.count("*").alias("k"),
+        F.sum((F.col("span") > 1).cast("long")).alias("splits"),
+    )
+    s_j = rows_n.agg(
+        F.sum(F.expr("cast(n_j as decimal(38,0)) * (n_j - 1) div 2")).alias("s"),
+        F.count("*").alias("k"),
+        F.sum((F.col("span") > 1).cast("long")).alias("merges"),
+    )
+    j = (
+        s_ij.crossJoin(s_i.withColumnRenamed("s", "s_i").withColumnRenamed("k", "k_o"))
+        .crossJoin(s_j.withColumnRenamed("s", "s_j").withColumnRenamed("k", "k_n"))
+    )
+    return j.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("k_o").cast("long").alias("clusters_old"),
+        F.col("k_n").cast("long").alias("clusters_new"),
+        F.expr(
+            "CASE WHEN n_docs < 2 THEN 1000 ELSE cast("
+            "1000 * (cast(n_docs as decimal(38,0)) * (n_docs - 1) div 2"
+            " + 2 * s + (- s_i) + (- s_j))"
+            " div (cast(n_docs as decimal(38,0)) * (n_docs - 1) div 2)"
+            " as long) END"
+        ).alias("rand_milli"),
+        F.col("splits").cast("long").alias("splits"),
+        F.col("merges").cast("long").alias("merges"),
+    )

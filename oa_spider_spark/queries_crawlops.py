@@ -1677,6 +1677,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_latency_alarm": q_latency_alarm,
             "q_ip_caps": q_ip_caps,
             "q_hrw_movement": q_hrw_movement,
+            "q_priority_aging": q_priority_aging,
         }
     )
     oracles.update(
@@ -1720,6 +1721,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_latency_alarm": SQL_LATENCY_ALARM,
             "q_ip_caps": SQL_IP_CAPS,
             "q_hrw_movement": SQL_HRW_MOVEMENT,
+            "q_priority_aging": SQL_PRIORITY_AGING,
         }
     )
 
@@ -2845,4 +2847,39 @@ SELECT shard_old, count(*)::BIGINT AS n_hosts,
        ((1000 * sum(CASE WHEN shard_new <> shard_old THEN 1 ELSE 0 END))
         // count(*))::BIGINT AS moved_milli
 FROM a GROUP BY shard_old
+"""
+
+
+# --- X151: anti-starvation priority aging -------------------------------------
+
+
+def q_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151: the starvation census under aging (frontier/politeness.py::
+    priority_aging). Frontier URLs carry base priority event_id mod 5
+    and creation round event_id div 2500 (0-3); at current round 4 with
+    a boost every 2 rounds waited, the oldest quartile has aged +2 —
+    per class: max wait, starved count (>=3 rounds), boosted count."""
+    from .frontier.politeness import priority_aging
+
+    e = _t(spark, sf_dir, "events")
+    frontier = e.select(
+        (F.col("event_id") % 5).alias("priority"),
+        F.expr("event_id div 2500").alias("created_round"),
+    )
+    return priority_aging(
+        frontier, current_round=4, boost_every=2, starve_rounds=3
+    )
+
+
+SQL_PRIORITY_AGING = """
+WITH f AS (
+  SELECT event_id % 5 AS base_priority,
+         4 - (event_id // 2500) AS w
+  FROM events
+)
+SELECT base_priority, count(*)::BIGINT AS n_urls,
+       max(w)::BIGINT AS max_wait,
+       sum(CASE WHEN w >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_starved,
+       sum(CASE WHEN w // 2 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_boosted
+FROM f GROUP BY base_priority
 """

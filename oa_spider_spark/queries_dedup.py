@@ -811,6 +811,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_prefix_jaccard": q_prefix_jaccard,
             "q_snm_pairs": q_snm_pairs,
             "q_containment_pairs": q_containment_pairs,
+            "q_cluster_churn": q_cluster_churn,
         }
     )
     oracles.update(
@@ -829,5 +830,67 @@ def register(queries: dict, oracles: dict) -> None:
             "q_prefix_jaccard": SQL_PREFIX_JACCARD,
             "q_snm_pairs": SQL_SNM_PAIRS,
             "q_containment_pairs": SQL_CONTAINMENT_PAIRS,
+            "q_cluster_churn": SQL_CLUSTER_CHURN,
         }
     )
+
+
+# --- X152: dedup-cluster churn (exact Rand index) -----------------------------
+
+
+def q_cluster_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152: round-over-round clustering stability (operators/dedup.py
+    ::clustering_churn). Old clusters are doc_id div 10; the new round
+    moves every doc_id ≡ 0,1,2 (mod 30) into one big cluster 999 — a
+    planted merge-heavy churn whose exact Rand index, split count, and
+    merge count the oracle recomputes from the same contingency."""
+    from .operators.dedup import clustering_churn
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", F.expr("doc_id div 10").alias("cluster_id"))
+    new = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 30 < 3, F.lit(999))
+        .otherwise(F.expr("doc_id div 10"))
+        .alias("cluster_id"),
+    )
+    return clustering_churn(old, new)
+
+
+SQL_CLUSTER_CHURN = """
+WITH o AS (
+  SELECT doc_id, doc_id // 10 AS co FROM documents
+), n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 30 < 3 THEN 999 ELSE doc_id // 10 END AS cn
+  FROM documents
+), cells AS (
+  SELECT co, cn, count(*) AS m
+  FROM o JOIN n USING (doc_id) GROUP BY co, cn
+), si AS (
+  SELECT sum(x.s)::HUGEINT AS s, count(*)::BIGINT AS k,
+         sum(CASE WHEN x.span > 1 THEN 1 ELSE 0 END)::BIGINT AS splits
+  FROM (SELECT co, sum(m) AS ni, count(*) AS span,
+               (sum(m)::HUGEINT * (sum(m) - 1)) // 2 AS s
+        FROM cells GROUP BY co) x
+), sj AS (
+  SELECT sum(x.s)::HUGEINT AS s, count(*)::BIGINT AS k,
+         sum(CASE WHEN x.span > 1 THEN 1 ELSE 0 END)::BIGINT AS merges
+  FROM (SELECT cn, sum(m) AS nj, count(*) AS span,
+               (sum(m)::HUGEINT * (sum(m) - 1)) // 2 AS s
+        FROM cells GROUP BY cn) x
+), sij AS (
+  SELECT sum((m::HUGEINT * (m - 1)) // 2)::HUGEINT AS s,
+         sum(m)::BIGINT AS n_docs
+  FROM cells
+)
+SELECT sij.n_docs,
+       si.k AS clusters_old, sj.k AS clusters_new,
+       CASE WHEN sij.n_docs < 2 THEN 1000 ELSE (
+         1000 * ((sij.n_docs::HUGEINT * (sij.n_docs - 1)) // 2
+                 + 2 * sij.s - si.s - sj.s)
+         // ((sij.n_docs::HUGEINT * (sij.n_docs - 1)) // 2)
+       )::BIGINT END AS rand_milli,
+       si.splits, sj.merges
+FROM sij, si, sj
+"""

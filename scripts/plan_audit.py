@@ -183,6 +183,9 @@ AUDITED = [
     "q_stats_ledger",
     # X149: k-anonymity suppression
     "q_k_anonymity",
+    # X151/X152: priority aging, cluster churn
+    "q_priority_aging",
+    "q_cluster_churn",
 ]
 
 

@@ -1308,3 +1308,28 @@ def test_quantization_recall_bounds(spark):
     # ref top-3 for query 0: vecs 0, 1, 2 — separations are far beyond
     # int8 resolution, so the quantized ranking agrees exactly
     assert r["overlap"] == 3 and r["recall_milli"] == 1000
+
+
+def test_clustering_churn_exact_rand(spark):
+    """Identical clusterings give rand 1000 / 0 splits / 0 merges; a
+    hand-planted merge produces the hand-computed Rand exactly."""
+    from oa_spider_spark.operators.dedup import clustering_churn
+
+    old = spark.createDataFrame(
+        [(i, i // 3) for i in range(9)], "doc_id long, cluster_id long"
+    )
+    same = clustering_churn(old, old).collect()[0]
+    assert same["rand_milli"] == 1000
+    assert same["splits"] == 0 and same["merges"] == 0
+    # merge clusters 0 and 1 into 100: docs 0-5 together, 6-8 unchanged
+    new = spark.createDataFrame(
+        [(i, 100 if i < 6 else 2) for i in range(9)],
+        "doc_id long, cluster_id long",
+    )
+    r = clustering_churn(old, new).collect()[0]
+    # contingency: (0,100)=3 (1,100)=3 (2,2)=3; N=9
+    # sij = 3+3+3 = 9; si = 3*C(3,2)=9; sj = C(6,2)+C(3,2)=15+3=18
+    # rand = (36 + 18 - 9 - 18)/36 = 27/36 -> 750
+    assert r["rand_milli"] == 750
+    assert r["splits"] == 0 and r["merges"] == 1
+    assert r["clusters_old"] == 3 and r["clusters_new"] == 2
