@@ -483,3 +483,49 @@ def pagination_series(
         F.col("hops").alias("position"),
         "resolved",
     )
+
+
+def path_section_rollup(
+    pages: DataFrame,
+    path_col: str = "path",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Site-section treemap input: every directory prefix of every
+    page path with its SUBTREE page count and its DIRECT page count —
+    "which sections of this site are biggest" is the first question a
+    crawl operator asks before budgeting sections differently (and the
+    input X73's trap detector and X105's saturation rule refine).
+
+    A page /a/b/c.html contributes one row to each ancestor prefix
+    (/a, /a/b) — explode of a transform over the split path, bounded
+    by max_depth so a pathological 10^4-segment URL cannot fan out
+    (depth beyond the cap rolls into its max_depth ancestor, the safe
+    direction for a section census). One prefix-keyed aggregate; no
+    joins, no windows.
+
+    Output: (prefix, depth, n_subtree, n_direct), where n_direct
+    counts pages whose immediate directory IS the prefix."""
+    parts = F.filter(
+        F.split(F.col(path_col), "/"), lambda s: s != F.lit("")
+    )
+    ndirs = F.least(F.size(parts) - 1, F.lit(max_depth))
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.greatest(ndirs, F.lit(0))),
+        lambda i: F.struct(
+            F.concat(
+                F.lit("/"), F.array_join(F.slice(parts, 1, i), "/")
+            ).alias("prefix"),
+            i.cast("long").alias("depth"),
+        ),
+    )
+    rows = pages.select(
+        ndirs.alias("_nd"), F.explode(prefixes).alias("_p")
+    ).select(
+        F.col("_p.prefix").alias("prefix"),
+        F.col("_p.depth").alias("depth"),
+        (F.col("_p.depth") == F.col("_nd")).alias("_direct"),
+    )
+    return rows.groupBy("prefix", "depth").agg(
+        F.count("*").alias("n_subtree"),
+        F.sum(F.col("_direct").cast("long")).alias("n_direct"),
+    )

@@ -327,3 +327,68 @@ def status_drift(
         )
         .withColumn("flagged", F.col("drift_milli") > drift_threshold_milli)
     )
+
+
+def robots_revocation_feed(
+    robots_log: DataFrame,
+    frontier: DataFrame,
+    host_col: str = "host",
+    round_col: str = "round",
+    rules_col: str = "rules_text",
+) -> DataFrame:
+    """The missing link between robots monitoring and the DELETABLE
+    seen index (frontier/cuckoo.py): when a host's robots.txt rule set
+    CHANGES between consecutive fetches, previously-disallowed URLs
+    may have become fetchable — the crawl must revoke those hosts'
+    entries from the seen filter so they re-enter selection. This
+    operator detects the changes and sizes the revocation batch.
+
+    Change detection is fingerprint-on-normalized-rules (md5 of the
+    whitespace-collapsed rule text — byte noise like comment edits
+    still fingerprints equal after collapsing), paired across
+    consecutive rounds exactly like X106's status drift (self-join on
+    round+1 — gaps emit nothing); the affected-URL count comes from
+    one host-keyed join against the frontier's per-host URL counts
+    (aggregated BEFORE the join, so the pair table never touches
+    URL-level rows).
+
+    Output: (host, round_from, round_to, n_urls_to_revoke) — one row
+    per detected change."""
+    fp = F.md5(
+        F.regexp_replace(F.trim(F.col(rules_col)), r"\s+", " ")
+    )
+    log = robots_log.select(
+        F.col(host_col).alias("host"),
+        F.col(round_col).alias("round"),
+        fp.alias("_fp"),
+    )
+    a = log.select(
+        F.col("host").alias("_ha"),
+        F.col("round").alias("round_from"),
+        F.col("_fp").alias("_fa"),
+    )
+    b = log.select(
+        F.col("host").alias("_hb"),
+        F.col("round").alias("round_to"),
+        F.col("_fp").alias("_fb"),
+    )
+    changed = (
+        a.join(
+            b,
+            (F.col("_ha") == F.col("_hb"))
+            & (F.col("round_to") == F.col("round_from") + 1),
+        )
+        .filter(F.col("_fa") != F.col("_fb"))
+        .select(F.col("_ha").alias("host"), "round_from", "round_to")
+    )
+    counts = frontier.groupBy(host_col).agg(
+        F.count("*").alias("n_urls_to_revoke")
+    ).withColumnRenamed(host_col, "host")
+    return changed.join(counts, "host", "left").select(
+        "host",
+        "round_from",
+        "round_to",
+        F.coalesce("n_urls_to_revoke", F.lit(0)).cast("long").alias(
+            "n_urls_to_revoke"
+        ),
+    )

@@ -549,3 +549,79 @@ def extract_assets(
     return dedup.withColumn("rank", F.row_number().over(w)).withColumn(
         "admitted", F.col("rank") <= per_page_budget
     )
+
+
+def heading_outline(
+    pages: DataFrame,
+    html_col: str = "html",
+    key_cols: tuple = ("doc_id",),
+) -> DataFrame:
+    """Document outline (TOC) extraction: every h1-h6 heading with its
+    PARENT heading — the nearest preceding heading of a strictly lower
+    level — and its section end, turning flat HTML into the section
+    tree that chunking-by-section and TOC-aware dedup consume.
+
+    Relational parent-finding without recursion: for each of the five
+    possible "lower than me" thresholds, one running-max-position
+    window column over the page's heading sequence (max pos among
+    preceding headings with level < l); each heading then PICKS its
+    threshold column by its own level — a constant 5 window columns,
+    never a self-join. section_end is the symmetric forward-min with
+    level <= l. Regexes avoid backreferences (Java-only; RE2/DuckDB
+    has none): blocks match <h[1-6]...>...</h[1-6]> non-greedily and
+    the level is read off the block's third character. Per-page
+    windows are heading-count-bounded (extract_tables' argument).
+
+    Output: key_cols + (pos, level, title, parent_pos, section_end) —
+    parent_pos NULL for top-level headings, section_end NULL when the
+    section runs to the page end."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = [F.col(k) for k in key_cols]
+    blocks = pages.select(
+        *keys,
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(html_col),
+                F.lit(r"(?s)<h[1-6][^>]*>.*?</h[1-6]>"),
+                F.lit(0),
+            )
+        ).alias("pos", "_blk"),
+    )
+    level = F.substring("_blk", 3, 1).cast("int")
+    title = F.trim(
+        F.regexp_replace(F.col("_blk"), r"(?s)<[^>]*>", " ")
+    )
+    h = blocks.select(
+        *keys,
+        F.col("pos").cast("long").alias("pos"),
+        level.alias("level"),
+        F.regexp_replace(title, r"\s+", " ").alias("title"),
+    )
+    back = Window.partitionBy(*key_cols).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fwd = Window.partitionBy(*key_cols).orderBy("pos").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    for l in range(2, 7):
+        h = h.withColumn(
+            f"_p{l}",
+            F.max(F.when(F.col("level") < l, F.col("pos"))).over(back),
+        )
+    for l in range(1, 7):
+        h = h.withColumn(
+            f"_e{l}",
+            F.min(F.when(F.col("level") <= l, F.col("pos"))).over(fwd),
+        )
+    parent = F.when(F.col("level") == 1, F.lit(None).cast("long"))
+    for l in range(2, 7):
+        parent = parent.when(F.col("level") == l, F.col(f"_p{l}"))
+    end = F.when(F.col("level") == 1, F.col("_e1"))
+    for l in range(2, 7):
+        end = end.when(F.col("level") == l, F.col(f"_e{l}"))
+    return h.select(
+        *key_cols, "pos", "level", "title",
+        parent.alias("parent_pos"), end.alias("section_end"),
+    )

@@ -701,6 +701,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_soft404": q_soft404,
             "q_jsonld_harvest": q_jsonld_harvest,
             "q_asset_extract": q_asset_extract,
+            "q_heading_outline": q_heading_outline,
         }
     )
     oracles.update(
@@ -717,6 +718,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_soft404": SQL_SOFT404,
             "q_jsonld_harvest": SQL_JSONLD_HARVEST,
             "q_asset_extract": SQL_ASSET_EXTRACT,
+            "q_heading_outline": SQL_HEADING_OUTLINE,
         }
     )
 
@@ -817,4 +819,93 @@ WITH pg AS (
 SELECT doc_id, asset_url, priority, first_pos, kind,
        rank::INT AS rank, (rank <= 4) AS admitted
 FROM k
+"""
+
+
+# --- X153: heading-outline (TOC) extraction -----------------------------------
+
+
+def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153: section-tree extraction (operators/html.py::
+    heading_outline). Each doc renders an h1 plus (doc_id mod 3)+1 h2
+    sections, even-numbered sections carrying an h3 — so every parent
+    arity (null for h1, the h1 for h2s, the owning h2 for h3s) and
+    both section_end cases (next sibling / page end) occur."""
+    from .operators.html import heading_outline
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    n = (did % 3) + 1
+    secs = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: F.concat(
+                F.lit("<h2>S"), k.cast("string"), F.lit("</h2>"),
+                F.when(
+                    k % 2 == 0,
+                    F.concat(F.lit("<h3>D"), k.cast("string"), F.lit("</h3>")),
+                ).otherwise(F.lit("")),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>T"), did.cast("string"), F.lit("</h1>"),
+        secs, F.lit("</body></html>"),
+    )
+    return heading_outline(d.select("doc_id", html.alias("html")))
+
+
+SQL_HEADING_OUTLINE = """
+WITH pg AS (
+  SELECT doc_id,
+    '<html><body><h1>T' || doc_id::VARCHAR || '</h1>'
+    || array_to_string(list_transform(
+         generate_series(0, doc_id % 3),
+         k -> '<h2>S' || k::VARCHAR || '</h2>'
+              || CASE WHEN k % 2 = 0
+                      THEN '<h3>D' || k::VARCHAR || '</h3>' ELSE '' END),
+       '')
+    || '</body></html>' AS html
+  FROM documents
+), blk AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, l[i] AS b
+  FROM (SELECT doc_id,
+               regexp_extract_all(html, '(?s)<h[1-6][^>]*>.*?</h[1-6]>')
+                 AS l
+        FROM pg),
+       LATERAL unnest(generate_series(1, len(l))) u(i)
+), h AS (
+  SELECT doc_id, pos,
+         substr(b, 3, 1)::INT AS level,
+         trim(regexp_replace(regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS title
+  FROM blk
+), w AS (
+  SELECT *,
+    max(CASE WHEN level < 2 THEN pos END) OVER back AS p2,
+    max(CASE WHEN level < 3 THEN pos END) OVER back AS p3,
+    max(CASE WHEN level < 4 THEN pos END) OVER back AS p4,
+    max(CASE WHEN level < 5 THEN pos END) OVER back AS p5,
+    max(CASE WHEN level < 6 THEN pos END) OVER back AS p6,
+    min(CASE WHEN level <= 1 THEN pos END) OVER fwd AS e1,
+    min(CASE WHEN level <= 2 THEN pos END) OVER fwd AS e2,
+    min(CASE WHEN level <= 3 THEN pos END) OVER fwd AS e3,
+    min(CASE WHEN level <= 4 THEN pos END) OVER fwd AS e4,
+    min(CASE WHEN level <= 5 THEN pos END) OVER fwd AS e5,
+    min(CASE WHEN level <= 6 THEN pos END) OVER fwd AS e6
+  FROM h
+  WINDOW back AS (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         fwd AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT doc_id, pos, level, title,
+       (CASE level WHEN 1 THEN NULL WHEN 2 THEN p2 WHEN 3 THEN p3
+             WHEN 4 THEN p4 WHEN 5 THEN p5 ELSE p6 END)::BIGINT
+         AS parent_pos,
+       (CASE level WHEN 1 THEN e1 WHEN 2 THEN e2 WHEN 3 THEN e3
+             WHEN 4 THEN e4 WHEN 5 THEN e5 ELSE e6 END)::BIGINT
+         AS section_end
+FROM w
 """

@@ -1678,6 +1678,8 @@ def register(queries: dict, oracles: dict) -> None:
             "q_ip_caps": q_ip_caps,
             "q_hrw_movement": q_hrw_movement,
             "q_priority_aging": q_priority_aging,
+            "q_path_rollup": q_path_rollup,
+            "q_robots_drift": q_robots_drift,
         }
     )
     oracles.update(
@@ -1722,6 +1724,8 @@ def register(queries: dict, oracles: dict) -> None:
             "q_ip_caps": SQL_IP_CAPS,
             "q_hrw_movement": SQL_HRW_MOVEMENT,
             "q_priority_aging": SQL_PRIORITY_AGING,
+            "q_path_rollup": SQL_PATH_ROLLUP,
+            "q_robots_drift": SQL_ROBOTS_DRIFT,
         }
     )
 
@@ -2882,4 +2886,112 @@ SELECT base_priority, count(*)::BIGINT AS n_urls,
        sum(CASE WHEN w >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_starved,
        sum(CASE WHEN w // 2 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_boosted
 FROM f GROUP BY base_priority
+"""
+
+
+# --- X154: site-section treemap rollup ----------------------------------------
+
+
+def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X154: directory-prefix census (frontier/canon.py::
+    path_section_rollup). Pages live at /s{e mod 4}/c{e mod 12}/p{e}
+    .html — four top sections, three subdirs each (c ≡ s mod 4), so
+    /sX rows carry subtree counts with zero directs and /sX/cY rows
+    are all-direct."""
+    from .frontier.canon import path_section_rollup
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    path = F.concat(
+        F.lit("/s"), (eid % 4).cast("string"),
+        F.lit("/c"), (eid % 12).cast("string"),
+        F.lit("/p"), eid.cast("string"), F.lit(".html"),
+    )
+    return path_section_rollup(e.select(path.alias("path")))
+
+
+SQL_PATH_ROLLUP = """
+WITH p AS (
+  SELECT '/s' || (event_id % 4)::VARCHAR AS s1,
+         '/s' || (event_id % 4)::VARCHAR || '/c' || (event_id % 12)::VARCHAR
+           AS s2
+  FROM events
+), rows_ AS (
+  SELECT s1 AS prefix, 1::BIGINT AS depth, FALSE AS direct FROM p
+  UNION ALL
+  SELECT s2 AS prefix, 2::BIGINT AS depth, TRUE AS direct FROM p
+)
+SELECT prefix, depth, count(*)::BIGINT AS n_subtree,
+       sum(CASE WHEN direct THEN 1 ELSE 0 END)::BIGINT AS n_direct
+FROM rows_ GROUP BY prefix, depth
+"""
+
+
+# --- X155: robots-change seen-revocation feed ---------------------------------
+
+
+def q_robots_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155: the revocation feed linking robots monitoring to the
+    deletable cuckoo seen index (frontier/recrawl.py::
+    robots_revocation_feed). Hosts h0-h19 carry a per-host rule line;
+    h3's rules genuinely change at round 3 (one detected pair, 2 -> 3,
+    sized at its frontier URL count) while h5 only gains whitespace
+    noise at round 2 — the normalized fingerprint must NOT fire."""
+    from .frontier.recrawl import robots_revocation_feed
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    h = eid % 20
+    r = F.expr("event_id div 20") % 5
+    log = (
+        e.select(h.alias("h"), r.alias("round"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+            "round",
+            F.concat(
+                F.lit("User-agent: * Disallow: /private"),
+                F.when(
+                    (F.col("h") == 3) & (F.col("round") >= 3),
+                    F.lit(" Disallow: /new-section"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    (F.col("h") == 5) & (F.col("round") >= 2),
+                    F.lit("   "),
+                ).otherwise(F.lit("")),
+            ).alias("rules_text"),
+        )
+    )
+    frontier = e.select(
+        F.concat(F.lit("h"), (eid % 20).cast("string")).alias("host")
+    )
+    return robots_revocation_feed(log, frontier)
+
+
+SQL_ROBOTS_DRIFT = """
+WITH log AS (
+  SELECT DISTINCT 'h' || (event_id % 20)::VARCHAR AS host,
+         (event_id // 20) % 5 AS round,
+         event_id % 20 AS h
+  FROM events
+), fp AS (
+  SELECT host, round,
+         md5(trim(regexp_replace(
+           'User-agent: * Disallow: /private'
+           || CASE WHEN h = 3 AND round >= 3
+                   THEN ' Disallow: /new-section' ELSE '' END
+           || CASE WHEN h = 5 AND round >= 2 THEN '   ' ELSE '' END,
+           '\\s+', ' ', 'g'))) AS f
+  FROM log
+), changed AS (
+  SELECT a.host, a.round AS round_from, b.round AS round_to
+  FROM fp a JOIN fp b ON a.host = b.host AND b.round = a.round + 1
+  WHERE a.f <> b.f
+), cnt AS (
+  SELECT 'h' || (event_id % 20)::VARCHAR AS host, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT c.host, c.round_from, c.round_to,
+       coalesce(n, 0)::BIGINT AS n_urls_to_revoke
+FROM changed c LEFT JOIN cnt USING (host)
 """

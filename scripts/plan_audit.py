@@ -186,6 +186,10 @@ AUDITED = [
     # X151/X152: priority aging, cluster churn
     "q_priority_aging",
     "q_cluster_churn",
+    # X153-X155: heading outline, path rollup, robots revocation feed
+    "q_heading_outline",
+    "q_path_rollup",
+    "q_robots_drift",
 ]
 
 

@@ -1054,3 +1054,25 @@ def test_hrw_movement_matches_python_argmax(spark):
     for h in moved:
         s = argmax(h, 4)
         assert by_shard[s]["moved_out"] >= 1
+
+
+def test_path_rollup_depth_cap_and_directs(spark):
+    """Prefix counts are exact; a pathological deep path rolls into its
+    max_depth ancestor instead of fanning out."""
+    from oa_spider_spark.frontier.canon import path_section_rollup
+
+    deep = "/" + "/".join(f"d{i}" for i in range(50)) + "/x.html"
+    rows = [("/a/b/p1.html",), ("/a/b/p2.html",), ("/a/q.html",), (deep,)]
+    df = spark.createDataFrame(rows, "path string")
+    out = {
+        (r["prefix"], r["depth"]): r
+        for r in path_section_rollup(df, max_depth=3).collect()
+    }
+    assert out[("/a", 1)]["n_subtree"] == 3
+    assert out[("/a", 1)]["n_direct"] == 1            # /a/q.html
+    assert out[("/a/b", 2)]["n_subtree"] == 2
+    assert out[("/a/b", 2)]["n_direct"] == 2
+    # deep path contributes exactly max_depth prefixes, deepest = direct
+    deep_rows = [k for k in out if k[0].startswith("/d0")]
+    assert len(deep_rows) == 3
+    assert out[("/d0/d1/d2", 3)]["n_direct"] == 1

@@ -189,3 +189,26 @@ def test_extract_assets_budget_and_dedup(spark):
     assert not by_url["/s/a.css"]["admitted"]
     assert by_url["/s/a.css"]["rank"] == 5  # css before script
     assert by_url["/j/b.js"]["rank"] == 6
+
+
+def test_heading_outline_parent_and_span(spark):
+    """Hand page: h1 > h2 > h3, then a second h2 — parents point at the
+    nearest lower level, section_end at the next same-or-higher."""
+    from oa_spider_spark.operators.html import heading_outline
+
+    html = (
+        "<h1>Top</h1>"
+        '<h2 class="a">Alpha</h2>'
+        "<h3>Deep <b>bold</b></h3>"
+        "<h2>Beta</h2>"
+    )
+    pages = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = {r["pos"]: r for r in heading_outline(pages).collect()}
+    assert [out[p]["level"] for p in range(4)] == [1, 2, 3, 2]
+    assert out[0]["parent_pos"] is None
+    assert out[1]["parent_pos"] == 0 and out[3]["parent_pos"] == 0
+    assert out[2]["parent_pos"] == 1
+    assert out[2]["title"] == "Deep bold"      # tags stripped, collapsed
+    assert out[1]["section_end"] == 3          # Alpha ends at Beta
+    assert out[3]["section_end"] is None       # Beta runs to page end
+    assert out[2]["section_end"] == 3          # h3 ends at next h2
