@@ -625,3 +625,87 @@ def heading_outline(
         *key_cols, "pos", "level", "title",
         parent.alias("parent_pos"), end.alias("section_end"),
     )
+
+
+def main_content_extract(
+    pages: DataFrame,
+    html_col: str = "html",
+    key_cols: tuple = ("doc_id",),
+    max_link_density_milli: int = 500,
+    min_block_chars: int = 20,
+) -> DataFrame:
+    """Boilerpipe-style main-content extraction by LINK DENSITY
+    (Kohlschütter et al., WSDM'10's strongest single feature):
+    navigation, related-links and footer blocks are mostly anchor
+    text, article prose is mostly not — keep <p> blocks whose anchor-
+    text share stays under the threshold AND that carry enough text,
+    reassemble in document order. The extraction stage between the
+    raw fetch and every text-quality operator (X53/X88 score the MAIN
+    text, not the nav).
+
+    Entirely column expressions: one block explode (backreference-free
+    '<p...>...</p>' — RE2-safe), per-block tag-strip + anchor-strip
+    lengths (link chars = stripped-len minus stripped-len-after-
+    removing-anchors, so nested markup inside anchors counts once),
+    integer milli density, ordered reassembly via the paragraph_dedup
+    discipline (sort by block pos inside a per-page collect — page-
+    bounded). Output: key_cols + (n_blocks, n_kept, main_chars,
+    main_md5) — the md5 stands in for the text so oracle rows stay
+    small."""
+    from pyspark.sql import functions as F
+
+    keys = [F.col(k) for k in key_cols]
+    blocks = pages.select(
+        *keys,
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(r"(?s)<p[^>]*>.*?</p>"), F.lit(0)
+            )
+        ).alias("pos", "_blk"),
+    )
+    strip = lambda c: F.trim(F.regexp_replace(c, r"(?s)<[^>]*>", ""))
+    text_all = strip(F.col("_blk"))
+    no_anchor = strip(
+        F.regexp_replace(F.col("_blk"), r"(?s)<a[^>]*>.*?</a>", "")
+    )
+    scored = blocks.select(
+        *keys,
+        "pos",
+        text_all.alias("_t"),
+        (F.length(text_all) - F.length(no_anchor)).alias("_lk"),
+    ).withColumn(
+        "_keep",
+        (
+            F.expr(
+                f"1000 * _lk div greatest(length(_t), 1)"
+                f" < {int(max_link_density_milli)}"
+            )
+        )
+        & (F.length("_t") >= min_block_chars),
+    )
+    return (
+        scored.groupBy(*key_cols)
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("_keep"), F.length("_t")).otherwise(0)
+            ).cast("long").alias("main_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_keep"),
+                                    F.struct("pos", F.col("_t").alias("t")),
+                                )
+                            )
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    "\n",
+                )
+            ).alias("main_md5"),
+        )
+    )

@@ -848,3 +848,55 @@ def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "+ (11800 * n_syllables) div n_words - 15590"
         ).alias("grade_milli"),
     )
+
+
+def code_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-vs-prose routing: source code mixed into a web corpus needs
+    its own pipeline (different dedup granularity, different quality
+    rules, its own mixing weight), and the router must be cheap enough
+    to run on every document. Four row-local signals, exact integer
+    milli-rates (div on NAMED columns per the no-float discipline —
+    double division truncated by a cast is not floor division
+    cross-engine):
+
+      brace_milli    {}();= characters per 1000 chars
+      indent_milli   lines starting with 2+ spaces or a tab, per 1000
+                     lines
+      keyword_hits   word-bounded def/function/return/import/const/
+                     class occurrences (the cross-language core)
+      symbol_milli   non-alphanumeric-non-space chars per 1000 chars
+
+    is_code fires on (braces OR indentation) AND (keywords OR
+    symbol-heavy) — each branch pinned by planted fixtures. Zero
+    shuffle, whole-stage codegen."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.length(t), F.lit(1)).alias("_n"),
+        F.greatest(F.size(lines), F.lit(1)).alias("_nl"),
+        F.length(F.regexp_replace(t, r"[^{}();=]", "")).alias("_br"),
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"^(  |\t)"))).alias(
+            "_ind"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                t,
+                F.lit(r"\b(def|function|return|import|const|class)\b"),
+                F.lit(0),
+            )
+        ).cast("long").alias("keyword_hits"),
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).alias("_sym"),
+    )
+    scored = base.select(
+        "doc_id",
+        F.expr("1000 * _br div _n").alias("brace_milli"),
+        F.expr("1000 * _ind div _nl").alias("indent_milli"),
+        "keyword_hits",
+        F.expr("1000 * _sym div _n").alias("symbol_milli"),
+    )
+    return scored.withColumn(
+        "is_code",
+        ((F.col("brace_milli") >= 40) | (F.col("indent_milli") >= 300))
+        & ((F.col("keyword_hits") >= 2) | (F.col("symbol_milli") >= 150)),
+    )

@@ -702,6 +702,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_jsonld_harvest": q_jsonld_harvest,
             "q_asset_extract": q_asset_extract,
             "q_heading_outline": q_heading_outline,
+            "q_main_content": q_main_content,
         }
     )
     oracles.update(
@@ -719,6 +720,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_jsonld_harvest": SQL_JSONLD_HARVEST,
             "q_asset_extract": SQL_ASSET_EXTRACT,
             "q_heading_outline": SQL_HEADING_OUTLINE,
+            "q_main_content": SQL_MAIN_CONTENT,
         }
     )
 
@@ -908,4 +910,65 @@ SELECT doc_id, pos, level, title,
              WHEN 4 THEN e4 WHEN 5 THEN e5 ELSE e6 END)::BIGINT
          AS section_end
 FROM w
+"""
+
+
+# --- X156: main-content extraction by link density ----------------------------
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156: Boilerpipe-style content scrub (operators/html.py::
+    main_content_extract). Each page carries a nav block (pure anchor
+    text — density 1000, dropped), two prose blocks cut from the doc
+    text (kept when they clear 20 chars), and a pager block (anchors
+    only, dropped); the oracle recomputes block pos/length/density
+    from the same synthesis and md5s the identical reassembly."""
+    from .operators.html import main_content_extract
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<p class="nav"><a href="/">Home</a> <a href="/a">About</a>'
+              '</p>'),
+        F.lit("<p>"), F.substring("text", 1, 40), F.lit("</p>"),
+        F.lit("<p>"), F.substring("text", 41, 40), F.lit("</p>"),
+        F.lit('<p><a href="/p">Prev</a><a href="/n">Next</a></p>'),
+    )
+    return main_content_extract(d.select("doc_id", html.alias("html")))
+
+
+SQL_MAIN_CONTENT = """
+WITH pg AS (
+  SELECT doc_id,
+    '<p class="nav"><a href="/">Home</a> <a href="/a">About</a></p>'
+    || '<p>' || substring(text, 1, 40) || '</p>'
+    || '<p>' || substring(text, 41, 40) || '</p>'
+    || '<p><a href="/p">Prev</a><a href="/n">Next</a></p>' AS html
+  FROM documents
+), blk AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, l[i] AS b
+  FROM (SELECT doc_id,
+               regexp_extract_all(html, '(?s)<p[^>]*>.*?</p>') AS l
+        FROM pg),
+       LATERAL unnest(generate_series(1, len(l))) u(i)
+), sc AS (
+  SELECT doc_id, pos,
+         trim(regexp_replace(b, '(?s)<[^>]*>', '', 'g')) AS t,
+         length(trim(regexp_replace(b, '(?s)<[^>]*>', '', 'g')))
+         - length(trim(regexp_replace(
+             regexp_replace(b, '(?s)<a[^>]*>.*?</a>', '', 'g'),
+             '(?s)<[^>]*>', '', 'g'))) AS lk
+  FROM blk
+), kp AS (
+  SELECT doc_id, pos, t,
+         ((1000 * lk) // greatest(length(t), 1) < 500
+          AND length(t) >= 20) AS keep
+  FROM sc
+)
+SELECT doc_id, count(*)::BIGINT AS n_blocks,
+       count(*) FILTER (WHERE keep)::BIGINT AS n_kept,
+       coalesce(sum(length(t)) FILTER (WHERE keep), 0)::BIGINT
+         AS main_chars,
+       md5(coalesce(string_agg(t, chr(10) ORDER BY pos)
+                    FILTER (WHERE keep), '')) AS main_md5
+FROM kp GROUP BY doc_id
 """

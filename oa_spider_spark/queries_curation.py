@@ -1304,6 +1304,7 @@ def register(
             "q_entity_split": q_entity_split,
             "q_ngram_novelty": q_ngram_novelty,
             "q_readability": q_readability,
+            "q_code_detect": q_code_detect,
         }
     )
     oracles.update(
@@ -1339,6 +1340,7 @@ def register(
             "q_entity_split": SQL_ENTITY_SPLIT,
             "q_ngram_novelty": SQL_NGRAM_NOVELTY,
             "q_readability": SQL_READABILITY,
+            "q_code_detect": SQL_CODE_DETECT,
         }
     )
 
@@ -1627,4 +1629,69 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
        ((390 * n_words) // n_sentences
         + (11800 * n_syllables) // n_words - 15590)::BIGINT AS grade_milli
 FROM c
+"""
+
+
+# --- X157: code-vs-prose routing ----------------------------------------------
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157: cheap code routing (operators/text.py::code_detect). Docs
+    with doc_id ≡ 0 (mod 7) gain a brace-dense snippet scaled to the
+    doc length plus two keywords (the brace∧keyword branch); docs with
+    doc_id ≡ 1 (mod 11) gain indented keyword lines (the
+    indent∧keyword branch); everything else is plain prose and must
+    not fire."""
+    from .operators.text import code_detect
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    braces = F.repeat(F.lit("{};()= "), F.greatest(
+        F.expr("cast(n_chars div 20 as int)"), F.lit(5)
+    ))
+    aug = F.when(
+        did % 7 == 0,
+        F.concat(F.col("text"), F.lit(" def import "), braces),
+    ).when(
+        did % 11 == 1,
+        F.concat(
+            F.col("text"),
+            F.lit("\n  import os\n  return x\n  const y"),
+        ),
+    ).otherwise(F.col("text"))
+    return code_detect(d.withColumn("text", aug))
+
+
+SQL_CODE_DETECT = """
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN text || ' def import '
+              || repeat('{};()= ', greatest(n_chars // 20, 5))
+         WHEN doc_id % 11 = 1
+         THEN text || chr(10) || '  import os' || chr(10)
+              || '  return x' || chr(10) || '  const y'
+         ELSE text END AS t
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         greatest(length(t), 1) AS n,
+         greatest(len(string_split(t, chr(10))), 1) AS nl,
+         length(regexp_replace(t, '[^{}();=]', '', 'g')) AS br,
+         len(list_filter(string_split(t, chr(10)),
+                         ln -> regexp_matches(ln, '^(  |\\t)'))) AS ind,
+         len(regexp_extract_all(
+               t, '\\b(def|function|return|import|const|class)\\b'))::BIGINT
+           AS keyword_hits,
+         length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) AS sym
+  FROM aug
+)
+SELECT doc_id,
+       ((1000 * br) // n)::BIGINT AS brace_milli,
+       ((1000 * ind) // nl)::BIGINT AS indent_milli,
+       keyword_hits,
+       ((1000 * sym) // n)::BIGINT AS symbol_milli,
+       (((1000 * br) // n >= 40 OR (1000 * ind) // nl >= 300)
+        AND (keyword_hits >= 2 OR (1000 * sym) // n >= 150)) AS is_code
+FROM sig
 """

@@ -190,6 +190,9 @@ AUDITED = [
     "q_heading_outline",
     "q_path_rollup",
     "q_robots_drift",
+    # X156/X157: main-content extraction, code routing
+    "q_main_content",
+    "q_code_detect",
 ]
 
 

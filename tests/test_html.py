@@ -212,3 +212,27 @@ def test_heading_outline_parent_and_span(spark):
     assert out[1]["section_end"] == 3          # Alpha ends at Beta
     assert out[3]["section_end"] is None       # Beta runs to page end
     assert out[2]["section_end"] == 3          # h3 ends at next h2
+
+
+def test_main_content_extract_density(spark):
+    """Nav/pager blocks (pure anchors) drop, prose keeps, short blocks
+    drop, and the md5 matches the hand reassembly."""
+    import hashlib
+
+    from oa_spider_spark.operators.html import main_content_extract
+
+    prose = "This is a long enough paragraph of plain prose text."
+    html = (
+        '<p><a href="/">Home</a> <a href="/x">Links</a></p>'
+        f"<p>{prose}</p>"
+        "<p>tiny</p>"
+        f'<p>{prose} With <a href="/y">one link</a> inside.</p>'
+    )
+    pages = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = main_content_extract(pages).collect()[0]
+    assert r["n_blocks"] == 4 and r["n_kept"] == 2
+    kept1 = prose
+    kept2 = f"{prose} With one link inside."
+    want = hashlib.md5(f"{kept1}\n{kept2}".encode()).hexdigest()
+    assert r["main_md5"] == want
+    assert r["main_chars"] == len(kept1) + len(kept2)

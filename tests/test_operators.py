@@ -1333,3 +1333,21 @@ def test_clustering_churn_exact_rand(spark):
     assert r["rand_milli"] == 750
     assert r["splits"] == 0 and r["merges"] == 1
     assert r["clusters_old"] == 3 and r["clusters_new"] == 2
+
+
+def test_code_detect_branches(spark):
+    """Brace-heavy code, indented keyword code, and plain prose each
+    land on their intended side of the router."""
+    from oa_spider_spark.operators.text import code_detect
+
+    rows = [
+        (1, "def f(x): return {x: 1}; y = (2); z = (3); import os"),
+        (2, "line one\n  import os\n  return x\n  const y = 1"),
+        (3, "this is a perfectly ordinary sentence about nothing much"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in code_detect(df).collect()}
+    assert out[1]["is_code"] and out[1]["brace_milli"] >= 40
+    assert out[2]["is_code"] and out[2]["indent_milli"] >= 300
+    assert out[2]["keyword_hits"] >= 2
+    assert not out[3]["is_code"]
