@@ -529,3 +529,50 @@ def path_section_rollup(
         F.count("*").alias("n_subtree"),
         F.sum(F.col("_direct").cast("long")).alias("n_direct"),
     )
+
+
+CONFUSABLE_FROM = "013457"
+CONFUSABLE_TO = "oleast"
+
+
+def homograph_skeletons(
+    hosts: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """Lookalike-domain detection by confusable skeleton (the Unicode
+    TR39 skeleton idea restricted to the digit-for-letter substitutions
+    that survive DNS: 0→o 1→l 3→e 4→a 5→s 7→t): hosts that collapse
+    onto the SAME skeleton as a different host are typosquat/phishing
+    candidates the crawler should quarantine rather than treat as
+    fresh discovery (complementing X93's content-level mirror
+    detection with a zero-fetch, name-level screen — F9's confusables
+    normalize CONTENT digits, this one normalizes NAMES).
+
+    One row-local translate + one skeleton-keyed aggregate joined
+    back on the same key (co-partitioned — the aggregate is host-
+    cardinality, so it is NOT broadcast; AQE may still choose to at
+    small scale); canonical member = lexicographically smallest
+    variant (a real deployment ranks by traffic/age — same join,
+    different order key). Output: (host, skeleton, n_variants,
+    canonical_host, is_suspect) where is_suspect marks every
+    non-canonical member of a colliding skeleton."""
+    sk = F.translate(
+        F.lower(F.col(host_col)), CONFUSABLE_FROM, CONFUSABLE_TO
+    )
+    base = hosts.select(F.col(host_col).alias("host")).distinct().withColumn(
+        "skeleton", sk
+    )
+    groups = base.groupBy("skeleton").agg(
+        F.count("*").alias("n_variants"),
+        F.min("host").alias("canonical_host"),
+    )
+    return base.join(groups, "skeleton").select(
+        "host",
+        "skeleton",
+        F.col("n_variants").cast("long").alias("n_variants"),
+        "canonical_host",
+        (
+            (F.col("n_variants") > 1)
+            & (F.col("host") != F.col("canonical_host"))
+        ).alias("is_suspect"),
+    )

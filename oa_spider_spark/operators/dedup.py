@@ -1206,3 +1206,60 @@ def clustering_churn(
         F.col("splits").cast("long").alias("splits"),
         F.col("merges").cast("long").alias("merges"),
     )
+
+
+def threshold_sweep(
+    pairs: DataFrame,
+    truth: DataFrame,
+    score_col: str = "score_milli",
+    key_cols: tuple = ("doc_a", "doc_b"),
+    thresholds: tuple = (500, 600, 700, 800, 900),
+) -> DataFrame:
+    """Dedup-threshold tuning in ONE pass: precision/recall at every
+    candidate threshold from a single scored-pair table and a truth
+    pair set — the curve an operator reads before picking the
+    similarity cutoff (measured, not guessed; complements X104's
+    single-clustering audit). Exact integer milli P/R.
+
+    Plan: one full-outer join of scored pairs to truth on the pair key
+    (both sides pair-cardinality, tiny next to the corpus), then ONE
+    aggregate per threshold via conditional sums over the literal
+    threshold list — the scored table is scanned once, never once per
+    threshold. Output: (threshold, n_predicted, n_truth, tp,
+    precision_milli, recall_milli) rows."""
+    t = truth.select(*key_cols).withColumn("_is_true", F.lit(1))
+    j = pairs.select(*key_cols, score_col).join(t, list(key_cols), "full_outer")
+    rows = []
+    for thr in thresholds:
+        pred = F.col(score_col) >= thr
+        rows.append(
+            j.agg(
+                F.lit(int(thr)).alias("threshold"),
+                F.sum(F.coalesce(pred.cast("long"), F.lit(0))).alias(
+                    "n_predicted"
+                ),
+                F.sum(F.coalesce(F.col("_is_true"), F.lit(0))).alias("n_truth"),
+                F.sum(
+                    F.coalesce(
+                        (pred & F.col("_is_true").isNotNull()).cast("long"),
+                        F.lit(0),
+                    )
+                ).alias("tp"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "threshold",
+        F.col("n_predicted").cast("long").alias("n_predicted"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("tp").cast("long").alias("tp"),
+        F.expr(
+            "CASE WHEN n_predicted = 0 THEN 1000 "
+            "ELSE 1000 * tp div n_predicted END"
+        ).alias("precision_milli"),
+        F.expr(
+            "CASE WHEN n_truth = 0 THEN 1000 ELSE 1000 * tp div n_truth END"
+        ).alias("recall_milli"),
+    )

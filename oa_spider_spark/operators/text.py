@@ -900,3 +900,67 @@ def code_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ((F.col("brace_milli") >= 40) | (F.col("indent_milli") >= 300))
         & ((F.col("keyword_hits") >= 2) | (F.col("symbol_milli") >= 150)),
     )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    threshold_micro: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Hashing-trick linear classifier INFERENCE — the fastText-style
+    quality filter every modern curation pipeline runs (CCNet's
+    Wikipedia-reference classifier, LLaMA's quality screens), expressed
+    the way a 100-TB deployment actually ships it: the MODEL IS A
+    TABLE (bucket -> weight_micro), broadcast onto hashed token
+    features, summed per document in exact integer micro-units. No
+    vector UDF, no Python — training happens elsewhere; this is the
+    scoring path.
+
+    Features: whitespace tokens hashed to `n_buckets` buckets
+    (xxhash64 scale default; md5h60 when `portable` so the oracle
+    reproduces bucket ids). Duplicate tokens count with multiplicity
+    (term frequency), the standard linear-model semantics. Per doc:
+    logit_micro = Σ tf_b · w_b + bias (bucket -1 in the weight table),
+    accept = logit >= threshold.
+
+    Plan: one token explode -> (doc, bucket, tf) aggregate (map-side
+    combined), one BROADCAST join against the ≤n_buckets-row model,
+    one doc-keyed sum. The corpus shuffles (doc_id, bucket) pairs
+    only."""
+    from .dedup import md5h60
+
+    hf = md5h60 if portable else (lambda c: F.pmod(F.xxhash64(c), F.lit(1 << 60)))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("_tok"),
+    )
+    feats = toks.select(
+        "doc_id", F.pmod(hf(F.col("_tok")), F.lit(n_buckets)).alias("bucket")
+    ).groupBy("doc_id", "bucket").agg(F.count("*").alias("tf"))
+    w = F.broadcast(weights.select("bucket", "weight_micro"))
+    scored = (
+        feats.join(w, "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.coalesce(F.col("weight_micro"), F.lit(0))
+            ).cast("long").alias("_dot")
+        )
+    )
+    bias = weights.filter(F.col("bucket") == -1).select(
+        F.col("weight_micro").alias("_bias")
+    )
+    out = scored.crossJoin(F.broadcast(bias))
+    return out.select(
+        "doc_id",
+        F.expr("_dot + _bias").cast("long").alias("logit_micro"),
+        (F.expr("_dot + _bias") >= threshold_micro).alias("accept"),
+    )

@@ -1680,6 +1680,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_priority_aging": q_priority_aging,
             "q_path_rollup": q_path_rollup,
             "q_robots_drift": q_robots_drift,
+            "q_homograph": q_homograph,
         }
     )
     oracles.update(
@@ -1726,6 +1727,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_priority_aging": SQL_PRIORITY_AGING,
             "q_path_rollup": SQL_PATH_ROLLUP,
             "q_robots_drift": SQL_ROBOTS_DRIFT,
+            "q_homograph": SQL_HOMOGRAPH,
         }
     )
 
@@ -2994,4 +2996,48 @@ WITH log AS (
 SELECT c.host, c.round_from, c.round_to,
        coalesce(n, 0)::BIGINT AS n_urls_to_revoke
 FROM changed c LEFT JOIN cnt USING (host)
+"""
+
+
+# --- X160: homograph / typosquat skeleton collisions --------------------------
+
+
+def q_homograph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X160: lookalike-domain screen (frontier/canon.py::
+    homograph_skeletons). Legit hosts mail{k}.example (k = e mod 50);
+    every 97th event contributes the digit-for-letter typosquat
+    mai1{k}.example, which collapses onto the same confusable skeleton
+    — both members of each colliding skeleton surface, non-canonical
+    ones flagged."""
+    from .frontier.canon import homograph_skeletons
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    host = F.when(
+        eid % 97 == 0,
+        F.concat(F.lit("mai1"), (eid % 50).cast("string"), F.lit(".example")),
+    ).otherwise(
+        F.concat(F.lit("mail"), (eid % 50).cast("string"), F.lit(".example"))
+    )
+    return homograph_skeletons(e.select(host.alias("host")))
+
+
+SQL_HOMOGRAPH = """
+WITH hosts AS (
+  SELECT DISTINCT CASE WHEN event_id % 97 = 0
+              THEN 'mai1' || (event_id % 50)::VARCHAR || '.example'
+              ELSE 'mail' || (event_id % 50)::VARCHAR || '.example' END
+           AS host
+  FROM events
+), sk AS (
+  SELECT host, translate(lower(host), '013457', 'oleast') AS skeleton
+  FROM hosts
+), g AS (
+  SELECT skeleton, count(*) AS n_variants, min(host) AS canonical_host
+  FROM sk GROUP BY skeleton
+)
+SELECT s.host, s.skeleton, g.n_variants::BIGINT AS n_variants,
+       g.canonical_host,
+       (g.n_variants > 1 AND s.host <> g.canonical_host) AS is_suspect
+FROM sk s JOIN g USING (skeleton)
 """

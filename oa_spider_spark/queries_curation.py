@@ -1305,6 +1305,7 @@ def register(
             "q_ngram_novelty": q_ngram_novelty,
             "q_readability": q_readability,
             "q_code_detect": q_code_detect,
+            "q_quality_classifier": q_quality_classifier,
         }
     )
     oracles.update(
@@ -1341,6 +1342,7 @@ def register(
             "q_ngram_novelty": SQL_NGRAM_NOVELTY,
             "q_readability": SQL_READABILITY,
             "q_code_detect": SQL_CODE_DETECT,
+            "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
         }
     )
 
@@ -1694,4 +1696,56 @@ SELECT doc_id,
        (((1000 * br) // n >= 40 OR (1000 * ind) // nl >= 300)
         AND (keyword_hits >= 2 OR (1000 * sym) // n >= 150)) AS is_code
 FROM sig
+"""
+
+
+# --- X158: hashing-trick quality classifier (inference) -----------------------
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158: fastText-style linear quality filter, scoring path only
+    (operators/text.py::hashed_linear_score) — the model is a 4096-
+    bucket weight TABLE (deterministic synthetic weights standing in
+    for a trained model: w_b = (b·2654435761 mod 2001) − 1000 micro,
+    bias +500000) broadcast onto hashed token features; exact integer
+    logits, portable bucket hash so the oracle reproduces every
+    feature id."""
+    from .operators.text import hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents")
+    w = spark.range(4096).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") * 2654435761) % 2001 - 1000).cast("long").alias(
+            "weight_micro"
+        ),
+    )
+    bias = spark.range(1).select(
+        F.lit(-1).cast("int").alias("bucket"),
+        F.lit(500000).cast("long").alias("weight_micro"),
+    )
+    return hashed_linear_score(
+        d, w.unionByName(bias), n_buckets=4096, threshold_micro=0,
+        portable=True,
+    )
+
+
+SQL_QUALITY_CLASSIFIER = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS bucket,
+         count(*) AS tf
+  FROM toks WHERE tok <> '' GROUP BY 1, 2
+), w AS (
+  SELECT i::INT AS bucket, (i * 2654435761) % 2001 - 1000 AS weight_micro
+  FROM generate_series(0, 4095) g(i)
+), dots AS (
+  SELECT f.doc_id, sum(f.tf * coalesce(w.weight_micro, 0))::BIGINT AS dot
+  FROM feats f LEFT JOIN w USING (bucket) GROUP BY f.doc_id
+)
+SELECT doc_id, (dot + 500000)::BIGINT AS logit_micro,
+       (dot + 500000 >= 0) AS accept
+FROM dots
 """

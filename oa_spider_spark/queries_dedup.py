@@ -812,6 +812,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_snm_pairs": q_snm_pairs,
             "q_containment_pairs": q_containment_pairs,
             "q_cluster_churn": q_cluster_churn,
+            "q_threshold_sweep": q_threshold_sweep,
         }
     )
     oracles.update(
@@ -831,6 +832,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q_snm_pairs": SQL_SNM_PAIRS,
             "q_containment_pairs": SQL_CONTAINMENT_PAIRS,
             "q_cluster_churn": SQL_CLUSTER_CHURN,
+            "q_threshold_sweep": SQL_THRESHOLD_SWEEP,
         }
     )
 
@@ -893,4 +895,62 @@ SELECT sij.n_docs,
        )::BIGINT END AS rand_milli,
        si.splits, sj.merges
 FROM sij, si, sj
+"""
+
+
+# --- X159: dedup-threshold PR sweep -------------------------------------------
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159: one-pass precision/recall across candidate thresholds
+    (operators/dedup.py::threshold_sweep). Scored pairs (d, d+250)
+    carry synthetic milli scores (37d mod 1001); truth is every third
+    pair — so each threshold's exact confusion counts are pure number
+    theory the oracle replays."""
+    from .operators.dedup import threshold_sweep
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 250).alias("doc_b"),
+        ((F.col("doc_id") * 37) % 1001).alias("score_milli"),
+    )
+    truth = d.filter((F.col("doc_id") < 250) & (F.col("doc_id") % 3 == 0)).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 250).alias("doc_b"),
+    )
+    return threshold_sweep(pairs, truth)
+
+
+SQL_THRESHOLD_SWEEP = """
+WITH pairs AS (
+  SELECT doc_id AS doc_a, doc_id + 250 AS doc_b,
+         (doc_id * 37) % 1001 AS score
+  FROM documents WHERE doc_id < 250
+), truth AS (
+  SELECT doc_id AS doc_a, doc_id + 250 AS doc_b
+  FROM documents WHERE doc_id < 250 AND doc_id % 3 = 0
+), j AS (
+  SELECT p.score, (t.doc_a IS NOT NULL) AS is_true
+  FROM pairs p LEFT JOIN truth t USING (doc_a, doc_b)
+), thr AS (SELECT unnest([500, 600, 700, 800, 900]) AS threshold)
+SELECT thr.threshold::BIGINT AS threshold,
+       sum(CASE WHEN j.score >= thr.threshold THEN 1 ELSE 0 END)::BIGINT
+         AS n_predicted,
+       sum(CASE WHEN j.is_true THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+       sum(CASE WHEN j.score >= thr.threshold AND j.is_true
+                THEN 1 ELSE 0 END)::BIGINT AS tp,
+       CASE WHEN sum(CASE WHEN j.score >= thr.threshold THEN 1 ELSE 0 END) = 0
+            THEN 1000
+            ELSE (1000 * sum(CASE WHEN j.score >= thr.threshold AND j.is_true
+                                  THEN 1 ELSE 0 END))
+                 // sum(CASE WHEN j.score >= thr.threshold THEN 1 ELSE 0 END)
+       END::BIGINT AS precision_milli,
+       CASE WHEN sum(CASE WHEN j.is_true THEN 1 ELSE 0 END) = 0 THEN 1000
+            ELSE (1000 * sum(CASE WHEN j.score >= thr.threshold AND j.is_true
+                                  THEN 1 ELSE 0 END))
+                 // sum(CASE WHEN j.is_true THEN 1 ELSE 0 END)
+       END::BIGINT AS recall_milli
+FROM j CROSS JOIN thr
+GROUP BY thr.threshold
 """

@@ -193,6 +193,10 @@ AUDITED = [
     # X156/X157: main-content extraction, code routing
     "q_main_content",
     "q_code_detect",
+    # X158-X160: quality classifier, threshold sweep, homograph screen
+    "q_quality_classifier",
+    "q_threshold_sweep",
+    "q_homograph",
 ]
 
 

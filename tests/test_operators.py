@@ -1351,3 +1351,66 @@ def test_code_detect_branches(spark):
     assert out[2]["is_code"] and out[2]["indent_milli"] >= 300
     assert out[2]["keyword_hits"] >= 2
     assert not out[3]["is_code"]
+
+
+def test_hashed_linear_score_exact_dot(spark):
+    """The logit is the exact tf-weighted sum over hashed buckets plus
+    bias, with unknown-bucket weights contributing zero."""
+    import hashlib
+
+    from oa_spider_spark.operators.text import hashed_linear_score
+
+    def bucket(tok, n=64):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "unknown words only")],
+        "doc_id long, text string",
+    )
+    wrows = [(bucket("good"), 250), (bucket("bad"), -400), (-1, 100)]
+    w = spark.createDataFrame(wrows, "bucket int, weight_micro long")
+    out = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(
+            docs, w, n_buckets=64, portable=True
+        ).collect()
+    }
+    # collisions possible in 64 buckets; recompute expectations honestly
+    def logit(text):
+        wmap = {}
+        for b, v in wrows[:-1]:
+            wmap[b] = wmap.get(b, 0) + v
+        s = 0
+        for tok in text.lower().split():
+            s += wmap.get(bucket(tok), 0)
+        return s + 100
+    assert out[1]["logit_micro"] == logit("good good bad")
+    assert out[2]["logit_micro"] == logit("unknown words only")
+    assert out[1]["accept"] == (out[1]["logit_micro"] >= 0)
+
+
+def test_threshold_sweep_exact_counts(spark):
+    """Hand pairs/truth: confusion counts per threshold are exact,
+    including truth pairs missing from the scored set (score NULL —
+    never predicted, still counted in recall's denominator)."""
+    from oa_spider_spark.operators.dedup import threshold_sweep
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 900), (3, 4, 700), (5, 6, 400)],
+        "doc_a long, doc_b long, score_milli long",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (5, 6), (7, 8)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["threshold"]: r
+        for r in threshold_sweep(
+            pairs, truth, thresholds=(500, 800)
+        ).collect()
+    }
+    r5 = out[500]
+    assert (r5["n_predicted"], r5["n_truth"], r5["tp"]) == (2, 3, 1)
+    assert r5["precision_milli"] == 500 and r5["recall_milli"] == 333
+    r8 = out[800]
+    assert (r8["n_predicted"], r8["tp"]) == (1, 1)
+    assert r8["precision_milli"] == 1000 and r8["recall_milli"] == 333
