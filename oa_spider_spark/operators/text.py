@@ -5,7 +5,7 @@ in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny stopword list for quality scoring (deterministic, language-neutral
@@ -963,4 +963,58 @@ def hashed_linear_score(
         "doc_id",
         F.expr("_dot + _bias").cast("long").alias("logit_micro"),
         (F.expr("_dot + _bias") >= threshold_micro).alias("accept"),
+    )
+
+
+def fluency_buckets(
+    scored: DataFrame,
+    score_col: str = "score_micro",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's signature mixing move: bucket documents into
+    head / middle / tail thirds by language-model score (best third =
+    head), so downstream sampling can favor fluent text without
+    hard-dropping the rest. Works on any per-doc integer score —
+    X67's bigram fluency is the in-repo model.
+
+    The global rank is the repo's two-level cell decomposition
+    (dense_vocab_ids' template): cells keyed by the EXACT negated
+    score × an id-prefix (monotone coarsening of the tie-break, so a
+    mass of equal scores spreads across prefix cells instead of one
+    giant window task); offsets from a metadata-sized window over cell
+    counts; in-cell row_number by id. Buckets by integer thirds:
+    rank·3 ≤ n → head, ≤ 2n → middle, else tail — exact on both
+    engines, no percentile estimation anywhere.
+
+    Output: (id_col, score_col, rank, bucket)."""
+    keyed = scored.select(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("long").alias("_s"),
+        (-F.col(score_col).cast("long")).alias("_d"),
+        F.expr(f"{id_col} div 256").alias("_pre"),
+    )
+    w_off = Window.orderBy("_d", "_pre").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        keyed.groupBy("_d", "_pre")
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
+        .select("_d", "_pre", "_off")
+    )
+    w_in = Window.partitionBy("_d", "_pre").orderBy("_id")
+    n = scored.agg(F.count("*").cast("long").alias("_n"))
+    ranked = (
+        keyed.join(F.broadcast(offsets), ["_d", "_pre"])
+        .withColumn("rank", F.col("_off") + F.row_number().over(w_in))
+        .crossJoin(F.broadcast(n))
+    )
+    return ranked.select(
+        F.col("_id").alias(id_col),
+        F.col("_s").alias(score_col),
+        F.col("rank").cast("long").alias("rank"),
+        F.when(F.col("rank") * 3 <= F.col("_n"), "head")
+        .when(F.col("rank") * 3 <= F.col("_n") * 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )

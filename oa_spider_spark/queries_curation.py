@@ -1306,6 +1306,8 @@ def register(
             "q_readability": q_readability,
             "q_code_detect": q_code_detect,
             "q_quality_classifier": q_quality_classifier,
+            "q_perplexity_buckets": q_perplexity_buckets,
+            "q_corpus_datasheet": q_corpus_datasheet,
         }
     )
     oracles.update(
@@ -1343,6 +1345,8 @@ def register(
             "q_readability": SQL_READABILITY,
             "q_code_detect": SQL_CODE_DETECT,
             "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
+            "q_perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+            "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
         }
     )
 
@@ -1749,3 +1753,103 @@ SELECT doc_id, (dot + 500000)::BIGINT AS logit_micro,
        (dot + 500000 >= 0) AS accept
 FROM dots
 """
+
+
+# --- X161: CCNet head/middle/tail fluency buckets -----------------------------
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X161: LM-score mixing buckets (operators/text.py::
+    fluency_buckets over X67's bigram fluency) — every doc labeled
+    head/middle/tail by exact integer thirds of the global score rank,
+    built on the two-level cell decomposition (never a partition-less
+    window over docs). Oracle chains the fluency oracle as a CTE and
+    replays the identical rank arithmetic."""
+    from .operators.text import bigram_fluency, fluency_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return fluency_buckets(bigram_fluency(d))
+
+
+SQL_PERPLEXITY_BUCKETS = (
+    "WITH fl AS (" + SQL_BIGRAM_FLUENCY + """)
+SELECT doc_id, score_micro,
+       row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank,
+       CASE WHEN row_number() OVER (ORDER BY score_micro DESC, doc_id) * 3
+                 <= (SELECT count(*) FROM fl) THEN 'head'
+            WHEN row_number() OVER (ORDER BY score_micro DESC, doc_id) * 3
+                 <= (SELECT count(*) FROM fl) * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM fl
+"""
+)
+
+
+# --- X162: per-language corpus datasheet --------------------------------------
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162: the dataset-card numbers a corpus release publishes, per
+    language — docs, whitespace tokens, code-routed docs, mean
+    readability (exact milli, sum div n) — composed from the X157
+    router (with its planted code fixtures) and X143 readability
+    (with its planted sentence punctuation) joined 1:1 on doc_id and
+    rolled up by lang; the oracle chains both stage oracles as CTEs
+    so a drift in either stage or the composition mismatches."""
+    from .operators.text import code_detect, readability
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    braces = F.repeat(F.lit("{};()= "), F.greatest(
+        F.expr("cast(n_chars div 20 as int)"), F.lit(5)
+    ))
+    aug_code = F.when(
+        did % 7 == 0, F.concat(F.col("text"), F.lit(" def import "), braces)
+    ).when(
+        did % 11 == 1,
+        F.concat(F.col("text"), F.lit("\n  import os\n  return x\n  const y")),
+    ).otherwise(F.col("text"))
+    cd = code_detect(d.withColumn("text", aug_code)).select(
+        "doc_id", "is_code"
+    )
+    rd = readability(
+        d.withColumn("text", F.expr("replace(text, ' a ', '. ')"))
+    ).select("doc_id", "fre_milli", "grade_milli")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "_tok"
+        ),
+    )
+    j = toks.join(cd, "doc_id").join(rd, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_tok").cast("long").alias("n_tokens"),
+            F.sum(F.col("is_code").cast("long")).alias("n_code"),
+            F.expr("sum(fre_milli) div count(*)").cast("long").alias(
+                "mean_fre_milli"
+            ),
+            F.expr("sum(grade_milli) div count(*)").cast("long").alias(
+                "mean_grade_milli"
+            ),
+        )
+    )
+
+
+SQL_CORPUS_DATASHEET = (
+    "WITH cd AS (" + SQL_CODE_DETECT + "), rd AS (" + SQL_READABILITY + """)
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       sum(len(string_split_regex(trim(d.text), '\\s+')))::BIGINT
+         AS n_tokens,
+       sum(CASE WHEN cd.is_code THEN 1 ELSE 0 END)::BIGINT AS n_code,
+       (sum(rd.fre_milli) // count(*))::BIGINT AS mean_fre_milli,
+       (sum(rd.grade_milli) // count(*))::BIGINT AS mean_grade_milli
+FROM documents d
+JOIN cd ON cd.doc_id = d.doc_id
+JOIN rd ON rd.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+)

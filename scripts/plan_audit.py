@@ -197,6 +197,9 @@ AUDITED = [
     "q_quality_classifier",
     "q_threshold_sweep",
     "q_homograph",
+    # X161/X162: fluency buckets, corpus datasheet
+    "q_perplexity_buckets",
+    "q_corpus_datasheet",
 ]
 
 

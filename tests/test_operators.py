@@ -1414,3 +1414,23 @@ def test_threshold_sweep_exact_counts(spark):
     r8 = out[800]
     assert (r8["n_predicted"], r8["tp"]) == (1, 1)
     assert r8["precision_milli"] == 1000 and r8["recall_milli"] == 333
+
+
+def test_fluency_buckets_thirds_and_rank(spark):
+    """Exact thirds with deterministic tie-breaks; rank is the true
+    global (score desc, id asc) position; bucket sizes follow the
+    integer-thirds rule."""
+    from oa_spider_spark.operators.text import fluency_buckets
+
+    rows = [(i, 1000 - (i % 4) * 100) for i in range(9)]  # tied scores
+    df = spark.createDataFrame(rows, "doc_id long, score_micro long")
+    out = {r["doc_id"]: r for r in fluency_buckets(df).collect()}
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    for rk, (did, _s) in enumerate(order, 1):
+        assert out[did]["rank"] == rk
+        want = "head" if rk * 3 <= 9 else ("middle" if rk * 3 <= 18 else "tail")
+        assert out[did]["bucket"] == want
+    from collections import Counter
+    assert Counter(r["bucket"] for r in out.values()) == {
+        "head": 3, "middle": 3, "tail": 3,
+    }
