@@ -1259,3 +1259,67 @@ def k_anonymize(
         .agg(F.sum("n").cast("long").alias("n"))
         .select(*quasi_cols, "n", "suppressed")
     )
+
+
+def release_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-set release audit: what changed between two corpus
+    releases, per language — added / removed / changed / unchanged doc
+    counts and the net whitespace-token delta. The datasheet (X162)
+    describes ONE release; reviewers of a data update need the DIFF
+    (a silently shrinking low-resource language or a +40% token jump
+    in one source is exactly what this table surfaces before a
+    training run bakes it in).
+
+    One full-outer join on the doc id (both sides carry id + group +
+    an md5 content fingerprint + a token count — never the text
+    itself through the shuffle), then one group rollup. Changed =
+    present in both with differing fingerprints. group_col is taken
+    from the NEW side for changed/added docs and the old side for
+    removed (a doc that migrated language counts as changed under its
+    new language).
+
+    Output: (group, n_added, n_removed, n_changed, n_unchanged,
+    tokens_old, tokens_new, token_delta)."""
+    def side(df, tag):
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.col(group_col).alias(f"_g_{tag}"),
+            F.md5(F.col(text_col)).alias(f"_fp_{tag}"),
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+            .cast("long")
+            .alias(f"_tok_{tag}"),
+        )
+
+    j = side(old, "o").join(side(new, "n"), "_id", "full_outer")
+    status = (
+        F.when(F.col("_fp_o").isNull(), "added")
+        .when(F.col("_fp_n").isNull(), "removed")
+        .when(F.col("_fp_o") != F.col("_fp_n"), "changed")
+        .otherwise("unchanged")
+    )
+    rows = j.select(
+        F.coalesce("_g_n", "_g_o").alias(group_col),
+        status.alias("_st"),
+        F.coalesce("_tok_o", F.lit(0)).alias("_to"),
+        F.coalesce("_tok_n", F.lit(0)).alias("_tn"),
+    )
+    return (
+        rows.groupBy(group_col)
+        .agg(
+            F.sum((F.col("_st") == "added").cast("long")).alias("n_added"),
+            F.sum((F.col("_st") == "removed").cast("long")).alias("n_removed"),
+            F.sum((F.col("_st") == "changed").cast("long")).alias("n_changed"),
+            F.sum((F.col("_st") == "unchanged").cast("long")).alias(
+                "n_unchanged"
+            ),
+            F.sum("_to").cast("long").alias("tokens_old"),
+            F.sum("_tn").cast("long").alias("tokens_new"),
+        )
+        .withColumn("token_delta", F.expr("tokens_new - tokens_old"))
+    )

@@ -1308,6 +1308,7 @@ def register(
             "q_quality_classifier": q_quality_classifier,
             "q_perplexity_buckets": q_perplexity_buckets,
             "q_corpus_datasheet": q_corpus_datasheet,
+            "q_release_diff": q_release_diff,
         }
     )
     oracles.update(
@@ -1347,6 +1348,7 @@ def register(
             "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
             "q_perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
             "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
+            "q_release_diff": SQL_RELEASE_DIFF,
         }
     )
 
@@ -1853,3 +1855,62 @@ JOIN rd ON rd.doc_id = d.doc_id
 GROUP BY d.lang
 """
 )
+
+
+# --- X163: training-set release diff ------------------------------------------
+
+
+def q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163: corpus release audit (operators/pipeline.py::
+    release_diff). Release A = docs with doc_id % 10 < 9; release B =
+    every doc, with doc_id % 20 == 0 texts amended (' updated claim'
+    appended) — so per language the diff shows exactly the 10%-sample
+    additions, the planted changes, zero removals, and the token delta
+    those edits inject."""
+    from .operators.pipeline import release_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 < 9)
+    new = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.col("text"), F.lit(" updated claim")),
+        ).otherwise(F.col("text")),
+    )
+    return release_diff(old, new)
+
+
+SQL_RELEASE_DIFF = """
+WITH o AS (
+  SELECT doc_id, lang, md5(text) AS fp,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS tok
+  FROM documents WHERE doc_id % 10 < 9
+), n AS (
+  SELECT doc_id, lang,
+         md5(CASE WHEN doc_id % 20 = 0 THEN text || ' updated claim'
+                  ELSE text END) AS fp,
+         len(string_split_regex(trim(
+           CASE WHEN doc_id % 20 = 0 THEN text || ' updated claim'
+                ELSE text END), '\\s+'))::BIGINT AS tok
+  FROM documents
+), j AS (
+  SELECT coalesce(n.lang, o.lang) AS lang,
+         CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS st,
+         coalesce(o.tok, 0) AS t_o, coalesce(n.tok, 0) AS t_n
+  FROM o FULL OUTER JOIN n USING (doc_id)
+)
+SELECT lang,
+       sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+       sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END)::BIGINT
+         AS n_unchanged,
+       sum(t_o)::BIGINT AS tokens_old,
+       sum(t_n)::BIGINT AS tokens_new,
+       (sum(t_n) - sum(t_o))::BIGINT AS token_delta
+FROM j GROUP BY lang
+"""

@@ -200,6 +200,8 @@ AUDITED = [
     # X161/X162: fluency buckets, corpus datasheet
     "q_perplexity_buckets",
     "q_corpus_datasheet",
+    # X163: release diff
+    "q_release_diff",
 ]
 
 

@@ -737,3 +737,36 @@ def test_k_anonymize_suppression_and_sum(spark):
     assert supp[0]["g"] == "*" and supp[0]["h"] == "*"
     legit = [r for r in out if not r["suppressed"] and r["g"] == "*"]
     assert len(legit) == 1 and legit[0]["n"] == 6
+
+
+def test_release_diff_statuses_and_tokens(spark):
+    """Hand releases: one added, one removed, one changed (counted
+    under its NEW language), one unchanged; token deltas exact."""
+    from oa_spider_spark.operators.pipeline import release_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "en", "one two three"),
+            (2, "en", "to be removed"),
+            (3, "en", "will change soon"),
+            (4, "de", "stays the same"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "en", "one two three"),
+            (3, "fr", "changed now entirely different"),
+            (4, "de", "stays the same"),
+            (5, "de", "brand new doc"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["lang"]: r for r in release_diff(old, new).collect()}
+    assert out["en"]["n_unchanged"] == 1 and out["en"]["n_removed"] == 1
+    assert out["fr"]["n_changed"] == 1          # migrated lang -> new side
+    assert out["de"]["n_added"] == 1 and out["de"]["n_unchanged"] == 1
+    # fr: old tokens 3 ("will change soon"), new 4
+    assert out["fr"]["tokens_old"] == 3 and out["fr"]["tokens_new"] == 4
+    assert out["fr"]["token_delta"] == 1
+    assert out["en"]["token_delta"] == -3       # removed doc's tokens
