@@ -1323,3 +1323,64 @@ def release_diff(
         )
         .withColumn("token_delta", F.expr("tokens_new - tokens_old"))
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list,
+    score_col: str,
+    id_col: str,
+    k: int = 5,
+    subbuckets: int = 256,
+) -> DataFrame:
+    """Generic scale-safe grouped top-k BY SCORE — the primitive behind
+    "best k pages per host", "top k images per phash cluster", "highest
+    k scores per language" when group sizes are wildly skewed and a
+    bare per-group window would hand one task a whole hot group
+    (X59's grouped_sample solves this for HASH rank, where uniformity
+    gives a cutoff for free; arbitrary scores don't have one, so this
+    extracts the frontier's two-level decomposition into the general
+    form).
+
+    Fully relational, zero driver collects: per-GROUP score bounds
+    (one aggregate, joined back — not collected), scores quantized
+    into ≤subbuckets cells per group, per-cell counts running-summed
+    over a (group × cells) metadata window partitioned by group. Cells
+    whose offset already reaches k are DISCARDED BEFORE any window —
+    the below-cutoff mass of a hot group is never sorted — and the
+    surviving boundary cells get in-cell row_numbers over ~1/subbuckets
+    of their group. Degenerate case: a group whose scores are all
+    equal collapses to one cell and that cell's tie-break sort is one
+    task of the group's size — inherent to exact ties, the same bound
+    the knn/extract_tables windows document.
+
+    Output: group_cols + (id_col, score_col, rank), rank 1..k per
+    group by (score DESC, id ASC)."""
+    g = list(group_cols)
+    bounds = df.groupBy(*g).agg(
+        F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
+    )
+    j = df.join(bounds, g)
+    # integer div on NAMED columns (float '/' then cast is not floor
+    # division cross-engine — the repo-wide discipline)
+    keyed = j.withColumn(
+        "_q", F.expr(f"greatest((_hi - _lo + 1) div {int(subbuckets)}, 1)")
+    ).withColumn("_s", F.expr(f"-(({score_col} - _lo) div _q)"))
+    w_off = Window.partitionBy(*g).orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        keyed.groupBy(*g, "_s")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select(*g, "_s", "_off")
+    )
+    survivors = keyed.join(offsets, [*g, "_s"]).filter(F.col("_off") < k)
+    w_in = Window.partitionBy(*g, "_s").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.col("_off") + F.row_number().over(w_in))
+        .filter(F.col("rank") <= k)
+        .select(*g, id_col, score_col, F.col("rank").cast("long").alias("rank"))
+    )

@@ -504,6 +504,7 @@ def register(
             "q_df_stopwords": q_df_stopwords,
             "q_doc_chunks": q_doc_chunks,
             "q_contamination": q_contamination,
+            "q_grouped_topk": q_grouped_topk,
             "q_pii_redact": q_pii_redact,
             "q_lang_centroid": q_lang_centroid,
             "q_embedding_drift": q_embedding_drift,
@@ -519,6 +520,7 @@ def register(
             "q_df_stopwords": SQL_DF_STOPWORDS,
             "q_doc_chunks": SQL_DOC_CHUNKS,
             "q_contamination": SQL_CONTAMINATION,
+            "q_grouped_topk": SQL_GROUPED_TOPK,
             "q_pii_redact": SQL_PII_REDACT,
             "q_lang_centroid": SQL_LANG_CENTROID,
             "q_embedding_drift": SQL_EMBEDDING_DRIFT,
@@ -527,3 +529,38 @@ def register(
             "q_temperature_targets": SQL_TEMPERATURE_TARGETS,
         }
     )
+
+
+# --- X164: generic grouped top-k by score ----------------------------------
+
+
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164: top-5 events by exact cent value per event_type
+    (operators/pipeline.py::grouped_topk — the two-level cutoff form,
+    below-cutoff cells discarded before any window). Oracle is the
+    plain per-group window DuckDB can afford at sf0.01."""
+    from .operators.pipeline import grouped_topk
+
+    e = _t(spark, sf_dir, "events")
+    rows = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return grouped_topk(
+        rows, group_cols=["event_type"], score_col="cents",
+        id_col="event_id", k=5,
+    )
+
+
+SQL_GROUPED_TOPK = """
+SELECT event_type, event_id, cents, rank FROM (
+  SELECT event_type, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 100, 0) AS BIGINT) DESC, event_id
+         )::BIGINT AS rank
+  FROM events
+) WHERE rank <= 5
+"""

@@ -202,6 +202,8 @@ AUDITED = [
     "q_corpus_datasheet",
     # X163: release diff
     "q_release_diff",
+    # X164: grouped top-k
+    "q_grouped_topk",
 ]
 
 

@@ -770,3 +770,36 @@ def test_release_diff_statuses_and_tokens(spark):
     assert out["fr"]["tokens_old"] == 3 and out["fr"]["tokens_new"] == 4
     assert out["fr"]["token_delta"] == 1
     assert out["en"]["token_delta"] == -3       # removed doc's tokens
+
+
+def test_grouped_topk_skew_and_ties(spark):
+    """Exact per-group top-k under heavy group-size skew and a
+    degenerate all-ties group; ranks break ties by id ascending."""
+    from oa_spider_spark.operators.pipeline import grouped_topk
+
+    rows = (
+        [("big", i, (i * 7919) % 100000) for i in range(2000)]
+        + [("small", i, i * 10) for i in range(3)]
+        + [("ties", i, 42) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, id long, score long")
+    out = grouped_topk(
+        df, group_cols=["g"], score_col="score", id_col="id", k=4
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["g"], []).append((r["rank"], r["id"], r["score"]))
+    for g in got:
+        got[g].sort()
+    # brute-force expectation
+    import collections
+    exp = collections.defaultdict(list)
+    for g, i, s in rows:
+        exp[g].append((-s, i))
+    for g in exp:
+        want = [
+            (rk + 1, i, -ns)
+            for rk, (ns, i) in enumerate(sorted(exp[g])[:4])
+        ]
+        assert got[g] == want, (g, got[g][:5], want)
+    assert len(got["small"]) == 3  # groups smaller than k return all
